@@ -1,0 +1,187 @@
+"""Connected components and component-based filtering on TPU.
+
+The reference uses scipy.ndimage.label + per-component Python loops
+(deepwmh/analysis/image_ops.py:233-367). That is irregular, host-bound code;
+here labeling is re-expressed as a bounded-iteration min-propagation with
+pointer jumping — every voxel's label is its component's minimum linear
+index, computed by alternating 6/4-neighborhood min-hooks with two pointer-
+jump (label = label[label]) compressions per round, which converges in
+O(log diameter) rounds inside one XLA while_loop.
+
+Component sizes then come from a single scatter-add over the root labels, so
+"remove components smaller than v" and "keep the largest component per
+slice" are pure dense array math with no data-dependent shapes.
+
+Connectivity is 1 (faces only), matching scipy.ndimage.label's default
+structure used throughout the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deepwmh_tpu.ops.morphology import binary_erosion_2d
+
+
+def _shift(a, delta, axis, fill):
+    """Shift with fill; result[i] = a[i + delta]."""
+    n = a.shape[axis]
+    if delta == 1:
+        sl = jnp.take(a, jnp.arange(1, n), axis=axis)
+        pad = jnp.full_like(jnp.take(a, jnp.arange(0, 1), axis=axis), fill)
+        return jnp.concatenate([sl, pad], axis=axis)
+    else:
+        sl = jnp.take(a, jnp.arange(0, n - 1), axis=axis)
+        pad = jnp.full_like(jnp.take(a, jnp.arange(0, 1), axis=axis), fill)
+        return jnp.concatenate([pad, sl], axis=axis)
+
+
+def label_components(mask, axes=(0, 1, 2), max_iters: int = 4096):
+    """Label connected components of a binary mask.
+
+    Returns int32 labels shaped like `mask`: for foreground voxels the
+    minimum linear index of their component; `N` (= mask.size) for
+    background. `axes` restricts connectivity — (1, 2) labels each [0]-slice
+    independently (used for per-slice filtering), all in parallel.
+    """
+    m = mask > 0.5
+    N = int(m.size)
+    BIG = jnp.int32(N)
+    idx = jnp.arange(N, dtype=jnp.int32).reshape(m.shape)
+    lbl0 = jnp.where(m, idx, BIG)
+
+    def neighbor_min(l):
+        ln = l
+        for ax in axes:
+            ln = jnp.minimum(ln, _shift(l, 1, ax, N))
+            ln = jnp.minimum(ln, _shift(l, -1, ax, N))
+        return jnp.where(m, ln, BIG)
+
+    def jump(l):
+        flat = l.reshape(-1)
+        safe = jnp.minimum(flat, N - 1)
+        j = jnp.where(flat < N, jnp.minimum(flat, flat[safe]), BIG)
+        return j.reshape(l.shape)
+
+    def body(state):
+        l, _ = state
+        l2 = neighbor_min(l)
+        l2 = jump(jump(l2))
+        changed = jnp.any(l2 != l)
+        return l2, changed
+
+    def cond(state):
+        return state[1]
+
+    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
+    return lbl
+
+
+def component_sizes(lbl):
+    """Per-voxel component size from root labels (background -> size at the
+    dump slot N, never used)."""
+    N = int(lbl.size)
+    flat = lbl.reshape(-1)
+    fg = (flat < N).astype(jnp.float32)
+    sizes = jnp.zeros((N + 1,), jnp.float32).at[flat].add(fg)
+    return sizes[jnp.minimum(flat, N)].reshape(lbl.shape) * fg.reshape(lbl.shape)
+
+
+def remove_sparks(mask, min_volume: int = 3):
+    """Drop components smaller than `min_volume` voxels
+    (reference image_ops.py:325-344)."""
+    m = mask > 0.5
+    lbl = label_components(m)
+    sz = component_sizes(lbl)
+    return ((sz >= min_volume) & m).astype(jnp.float32)
+
+
+def spark_min_volume(voxel_size) -> int:
+    """Static host-side rule for the 3 mm^3 spark threshold
+    (reference image_ops.py:346-367)."""
+    import numpy as np
+
+    pv = [float(v) for v in voxel_size]
+    voxel_volume = pv[0] * pv[1] * pv[2]
+    if max(pv) / min(pv) > 3.0:
+        return 3  # thick-slice data: 3 voxels
+    return max(int(np.around(3.0 / voxel_volume)), 2)
+
+
+def remove_3mm_sparks(mask, voxel_size):
+    """Remove components smaller than 3 mm^3 (3 voxels for thick-slice data)
+    (reference image_ops.py:346-367)."""
+    return remove_sparks(mask, min_volume=spark_min_volume(voxel_size))
+
+
+def largest_component(mask, axes=(0, 1, 2)):
+    """Keep only the largest component; ties keep the component whose first
+    (raster-order) voxel comes first, matching scipy label-id ordering.
+
+    With axes=(1,2) this runs per-[0]-slice, all slices in parallel; the
+    reduction axes are the connectivity axes.
+    """
+    m = mask > 0.5
+    N = int(m.size)
+    lbl = label_components(m, axes=axes)
+    sz = component_sizes(lbl)
+    red_axes = tuple(axes)
+    max_sz = jnp.max(sz, axis=red_axes, keepdims=True)
+    cand = jnp.where((sz == max_sz) & m, lbl, N)
+    min_root = jnp.min(cand, axis=red_axes, keepdims=True)
+    keep = m & (lbl == min_root) & (max_sz > 0)
+    return keep.astype(jnp.float32)
+
+
+def component_filtering(mask, voxel_size):
+    """Per-slice brain-mask cleanup (reference image_ops.py:256-308).
+
+    For each filtered orientation: erode every 2D slice (cross structuring
+    element, zero border) and keep its largest connected component; the
+    result is the union over orientations. Thick-slice data (max/min pixdim
+    > 3) filters only the reconstruction direction.
+    """
+    import numpy as np
+
+    pv = [float(v) for v in voxel_size]
+    if max(pv) / min(pv) > 3.0:
+        do_filtering = [False, False, False]
+        do_filtering[int(np.argmax(pv))] = True
+    else:
+        do_filtering = [True, True, True]
+
+    m = (mask > 0.5).astype(jnp.float32)
+    results = []
+    for ax in range(3):
+        if do_filtering[ax]:
+            inplane = tuple(a for a in range(3) if a != ax)
+            eroded = binary_erosion_2d(m, slice_axis=ax)
+            results.append(largest_component(eroded, axes=inplane))
+        else:
+            results.append(m)
+    union = results[0] + results[1] + results[2]
+    return (union > 0.5).astype(jnp.float32)
+
+
+def average_contiguous_labels(stack, num_classes: int):
+    """Majority vote over a [K, ...] stack of contiguous-id label maps
+    (reference image_ops.py:23-38). `num_classes` is static (host computes
+    max(label)+1). Ties resolve to the lowest class id, like np.argmax."""
+    ilbl = stack.astype(jnp.int32)
+    counts = jnp.stack(
+        [jnp.sum((ilbl == ch).astype(jnp.float32), axis=0) for ch in range(num_classes)]
+    )
+    return jnp.argmax(counts, axis=0).astype(jnp.int32)
+
+
+def map_label(label, src_ids, dst_ids):
+    """Remap label ids (reference image_ops.py:40-54). Host-side numpy."""
+    import numpy as np
+
+    assert len(src_ids) == len(dst_ids)
+    i_label = np.around(np.asarray(label)).astype("int32")
+    out = np.zeros_like(i_label)
+    for s, d in zip(src_ids, dst_ids):
+        out[i_label == s] = d
+    return out

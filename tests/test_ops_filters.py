@@ -1,0 +1,60 @@
+import numpy as np
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from deepwmh_tpu.ops import filters as F
+
+
+def test_median_filter_odd(rng):
+    x = rng.rand(9, 10, 8).astype(np.float32)
+    got = np.asarray(F.median_filter(jnp.asarray(x), 3))
+    want = ndi.median_filter(x, size=3, mode="constant", cval=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_median_filter_2d_kernel(rng):
+    x = rng.rand(4, 12, 11).astype(np.float32)
+    got = np.asarray(F.median_filter(jnp.asarray(x), (1, 3, 5)))
+    want = ndi.median_filter(x, size=(1, 3, 5), mode="constant", cval=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mean_filter(rng):
+    x = rng.rand(8, 9, 7).astype(np.float32)
+    got = np.asarray(F.mean_filter(jnp.asarray(x), 3))
+    want = ndi.uniform_filter(x, size=3, mode="constant", cval=0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_min_max_filter(rng):
+    x = rng.rand(7, 8, 6).astype(np.float32)
+    got_min = np.asarray(F.min_filter(jnp.asarray(x), 3))
+    got_max = np.asarray(F.max_filter(jnp.asarray(x), 3))
+    want_min = ndi.minimum_filter(x, size=3, mode="constant", cval=0)
+    want_max = ndi.maximum_filter(x, size=3, mode="constant", cval=0)
+    np.testing.assert_allclose(got_min, want_min)
+    np.testing.assert_allclose(got_max, want_max)
+
+
+def test_even_kernel_placement(rng):
+    x = rng.rand(10, 10, 10).astype(np.float32)
+    got = np.asarray(F.max_filter(jnp.asarray(x), 4))
+    want = ndi.maximum_filter(x, size=4, mode="constant", cval=0)
+    np.testing.assert_allclose(got, want)
+
+
+def test_median_3mm_isotropic(rng):
+    x = rng.rand(9, 9, 9).astype(np.float32)
+    got = np.asarray(F.median_3mm(jnp.asarray(x), [1.0, 1.0, 1.0]))
+    want = ndi.median_filter(x, size=3, mode="constant", cval=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_median_3mm_anisotropic(rng):
+    # 5mm thick slices along axis 2 -> per-slice 2D 3x3 kernel
+    x = rng.rand(12, 12, 5).astype(np.float32)
+    got = np.asarray(F.median_3mm(jnp.asarray(x), [1.0, 1.0, 5.0]))
+    want = np.zeros_like(x)
+    for s in range(x.shape[2]):
+        want[:, :, s] = ndi.median_filter(x[:, :, s], size=(3, 3), mode="constant", cval=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
