@@ -1,0 +1,174 @@
+"""Gaussian-weighted sliding-window 3D U-Net inference as one XLA program.
+
+Replaces the nnU-Net fork's `nnUNet_predict` path (reference:
+deepwmh/main/predict.py:153-156; flags --disable_tta / --save_softmax /
+--selected_cases at DCNN_multistage.py:331-344): tile the volume with
+half-overlapping patches, weight each patch's softmax with a Gaussian
+importance map, accumulate, normalize.
+
+TPU design: the whole sweep is a single jitted lax.scan over patch
+positions — patch extraction (dynamic_slice), mirror-TTA forward passes
+(static flip set), Gaussian accumulation (dynamic_update_slice read-modify-
+write) all fuse into one program; the position list is bucketed so distinct
+compilations stay rare. Mirror TTA averages the softmax over all 8
+axis-flip combinations (the fork's 8x-cost option, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepwmh_tpu.unet.preprocess import (
+    pad_to,
+    padded_shape,
+    preprocess_case,
+    resample_to_shape,
+)
+
+POS_BUCKET = 8
+ALL_FLIPS = tuple(itertools.product((False, True), repeat=3))
+NO_FLIPS = ((False, False, False),)
+
+
+def gaussian_importance_map(patch_size, sigma_scale: float = 1.0 / 8.0):
+    """Separable Gaussian bump centered in the patch, max-normalized to 1
+    (the nnU-Net importance map)."""
+    gs = []
+    for s in patch_size:
+        c = (s - 1) / 2.0
+        sigma = max(s * sigma_scale, 1e-3)
+        x = np.arange(s, dtype=np.float64)
+        gs.append(np.exp(-0.5 * ((x - c) / sigma) ** 2))
+    g = gs[0][:, None, None] * gs[1][None, :, None] * gs[2][None, None, :]
+    g = g / g.max()
+    # floor keeps single-coverage corner voxels numerically well-conditioned
+    # in float32 (a 16^3 patch otherwise bottoms out below 1e-9)
+    g = np.maximum(g, 1e-4)
+    return jnp.asarray(g, jnp.float32)
+
+
+def compute_steps(image_size, patch_size, step_fraction: float = 0.5):
+    """Evenly spaced patch start positions per axis (nnU-Net step rule)."""
+    steps = []
+    for size, patch in zip(image_size, patch_size):
+        size, patch = int(size), int(patch)
+        if size <= patch:
+            steps.append([0])
+            continue
+        target = patch * step_fraction
+        num = int(math.ceil((size - patch) / target)) + 1
+        actual = (size - patch) / max(num - 1, 1)
+        steps.append([int(round(i * actual)) for i in range(num)])
+    return steps
+
+
+def patch_positions(image_size, patch_size, step_fraction: float = 0.5):
+    """All patch start positions as an int32 [P, 3] array, padded up to a
+    POS_BUCKET multiple by repeating the last position (duplicates add the
+    same Gaussian contribution to numerator and denominator — harmless)."""
+    steps = compute_steps(image_size, patch_size, step_fraction)
+    pos = np.array(list(itertools.product(*steps)), dtype=np.int32)
+    bucket = int(math.ceil(len(pos) / POS_BUCKET) * POS_BUCKET)
+    if bucket > len(pos):
+        pos = np.concatenate([pos, np.repeat(pos[-1:], bucket - len(pos), axis=0)])
+    return jnp.asarray(pos)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "patch_size", "num_classes", "flips"),
+)
+def _sliding_window(params, volume, positions, gauss, apply_fn, patch_size, num_classes, flips):
+    """volume: [D,H,W] padded; positions: [P,3]; returns softmax [D,H,W,C]."""
+    D, H, W = volume.shape
+    C = num_classes
+    acc = jnp.zeros((D, H, W, C), jnp.float32)
+    wt = jnp.zeros((D, H, W), jnp.float32)
+
+    def forward(patch):
+        # patch: [d,h,w] -> probs [d,h,w,C], averaged over mirror flips
+        x = patch[None, :, :, :, None]
+        total = jnp.zeros(patch.shape + (C,), jnp.float32)
+        for flip in flips:
+            axes = tuple(i + 1 for i, f in enumerate(flip) if f)
+            xf = jnp.flip(x, axes) if axes else x
+            logits = apply_fn(params, xf)
+            if isinstance(logits, (list, tuple)):
+                logits = logits[0]
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+            if axes:
+                probs = jnp.flip(probs, tuple(a - 1 for a in axes))
+            total = total + probs
+        return total / len(flips)
+
+    def body(carry, pos):
+        acc, wt = carry
+        pos = (pos[0], pos[1], pos[2])
+        patch = jax.lax.dynamic_slice(volume, pos, patch_size)
+        probs = forward(patch)
+        contrib = gauss[..., None] * probs
+        cur = jax.lax.dynamic_slice(
+            acc, (pos[0], pos[1], pos[2], 0), patch_size + (C,)
+        )
+        acc = jax.lax.dynamic_update_slice(
+            acc, cur + contrib, (pos[0], pos[1], pos[2], 0)
+        )
+        cur_w = jax.lax.dynamic_slice(wt, pos, patch_size)
+        wt = jax.lax.dynamic_update_slice(wt, cur_w + gauss, pos)
+        return (acc, wt), None
+
+    (acc, wt), _ = jax.lax.scan(body, (acc, wt), positions)
+    return acc / jnp.maximum(wt, 1e-8)[..., None]
+
+
+class SlidingWindowPredictor:
+    """Caches compiled sweeps per padded shape; the user-facing predictor."""
+
+    def __init__(self, model, params, plan, tta: bool = True, step_fraction: float = 0.5):
+        self.model = model
+        self.params = params
+        self.plan = plan
+        self.tta = tta
+        self.step_fraction = step_fraction
+        self.patch_size = tuple(int(p) for p in plan.patch_size)
+        self.gauss = gaussian_importance_map(self.patch_size)
+        self._apply = lambda p, x: model.apply({"params": p}, x)
+
+    def predict_volume(self, volume):
+        """volume: preprocessed [D,H,W] at plan spacing. Returns softmax
+        [D,H,W,C] (unpadded)."""
+        vol = jnp.asarray(volume, jnp.float32)
+        orig = vol.shape
+        target = padded_shape(orig, self.patch_size)
+        vol = pad_to(vol, target)
+        pos = patch_positions(target, self.patch_size, self.step_fraction)
+        flips = ALL_FLIPS if self.tta else NO_FLIPS
+        probs = _sliding_window(
+            self.params,
+            vol,
+            pos,
+            self.gauss,
+            self._apply,
+            self.patch_size,
+            int(self.plan.num_classes),
+            flips,
+        )
+        return probs[: orig[0], : orig[1], : orig[2]]
+
+    def predict_case(self, data, spacing):
+        """Raw volume + spacing -> (segmentation uint8, fg probability) in
+        the ORIGINAL grid. Resamples to plan spacing, sweeps, resamples the
+        softmax back linearly (channel-sum preserved => argmax == fg>0.5)."""
+        orig_shape = np.asarray(data).shape
+        vol = preprocess_case(jnp.asarray(data, jnp.float32), spacing, self.plan)
+        probs = self.predict_volume(vol)
+        fg = probs[..., 1]
+        fg_orig = resample_to_shape(fg, orig_shape, order=1)
+        seg = (fg_orig > 0.5).astype(jnp.uint8)
+        return seg, fg_orig

@@ -1,0 +1,84 @@
+"""Segmentation losses: cross-entropy + soft Dice with deep supervision.
+
+The nnU-Net trainer the reference shells out to (nnUNetTrainerV2, fixed at
+deepwmh/pipeline/DCNN_multistage.py:200) optimizes CE + batch soft-Dice with
+deep supervision weights halving per resolution and the lowest resolution
+masked out. Re-expressed here as pure JAX on [N,D,H,W,C] logits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SMOOTH = 1e-5
+
+
+def softmax_ce(logits, target):
+    """Mean voxel cross-entropy. target: integer [N,D,H,W]."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(ll)
+
+
+def soft_dice(logits, target, batch_dice: bool = True):
+    """Soft Dice loss over foreground classes (1 - dice).
+
+    batch_dice=True pools the statistics over the whole batch (nnU-Net's
+    3d_fullres default for small batches).
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    C = logits.shape[-1]
+    onehot = jax.nn.one_hot(target.astype(jnp.int32), C, dtype=jnp.float32)
+    axes = (0, 1, 2, 3) if batch_dice else (1, 2, 3)
+    inter = jnp.sum(probs * onehot, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+    dice = (2 * inter + SMOOTH) / (denom + SMOOTH)
+    fg = dice[..., 1:]  # skip background channel
+    return 1.0 - jnp.mean(fg)
+
+
+def ce_dice_loss(logits, target, batch_dice: bool = True):
+    return softmax_ce(logits, target) + soft_dice(logits, target, batch_dice)
+
+
+def ds_weights(num_outputs: int):
+    """Deep-supervision weights: 2^-i, lowest resolution masked out,
+    normalized to sum 1."""
+    w = [2.0**-i for i in range(num_outputs)]
+    if num_outputs > 1:
+        w[-1] = 0.0
+    s = sum(w)
+    return [v / s for v in w]
+
+
+def downsample_target(target, factor):
+    """Nearest-neighbor downsampling of an integer target [N,D,H,W] by
+    per-axis integer factors (matches nnU-Net's GT downsampling for DS)."""
+    f = tuple(int(v) for v in factor)
+    return target[:, :: f[0], :: f[1], :: f[2]]
+
+
+def deep_supervision_loss(outputs, target, pool_kernels, batch_dice: bool = True):
+    """outputs: list of logits, highest res first; target: [N,D,H,W] int.
+
+    Output i lives at cumulative stride prod(pool_kernels[:i]).
+    """
+    weights = ds_weights(len(outputs))
+    total = 0.0
+    stride = [1, 1, 1]
+    for i, (out, w) in enumerate(zip(outputs, weights)):
+        if w > 0:
+            t = downsample_target(target, stride)
+            total = total + w * ce_dice_loss(out, t, batch_dice)
+        if i < len(pool_kernels):
+            stride = [s * k for s, k in zip(stride, pool_kernels[i])]
+    return total
+
+
+def hard_dice(pred, target):
+    """Binary hard Dice for online validation (reference metrics.py:26-32)."""
+    p = (pred > 0.5).astype(jnp.float32)
+    g = (target > 0.5).astype(jnp.float32)
+    inter = jnp.sum(p * g)
+    return (2 * inter + SMOOTH) / (jnp.sum(p) + jnp.sum(g) + SMOOTH)

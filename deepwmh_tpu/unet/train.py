@@ -1,0 +1,206 @@
+"""The U-Net training engine: pjit-sharded data-parallel training loop.
+
+Replaces the nnU-Net fork's `nnUNet_train` command surface that the
+reference pipeline drives (deepwmh/pipeline/DCNN_multistage.py:292-309,
+496-523), reproducing its semantics:
+
+- `-e epochs` / `-b batches-per-epoch` budgets (fork-specific flags)
+- `--noval` (no validation split; model_best := model_latest)
+- `--save_every_epoch` (per-epoch checkpoints enabling stage-2 softmax
+  ensembling over the last 10% of epochs)
+- `--custom_val_cases` (explicit validation case list, stage 3)
+- `-c` continue-from-model_latest resume
+- SGD + Nesterov momentum 0.99, poly LR (1 - step/total)^0.9, grad-norm
+  clip 12, CE + batch soft-Dice with deep supervision — the nnUNetTrainerV2
+  optimization recipe.
+
+TPU design: the whole step (on-device augmentation -> forward with deep
+supervision -> loss -> grads -> SGD update) is ONE jitted program; with a
+`jax.sharding.Mesh` the batch is sharded over the 'dp' axis and parameters
+are replicated, so XLA inserts the gradient all-reduce over ICI
+(SURVEY.md §2.2 TPU equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from deepwmh_tpu.unet import checkpoint as ckpt
+from deepwmh_tpu.unet.augment import AugmentConfig, augment_batch
+from deepwmh_tpu.unet.data import SegDataset
+from deepwmh_tpu.unet.losses import deep_supervision_loss, hard_dice
+from deepwmh_tpu.unet.model import UNet3D
+from deepwmh_tpu.unet.plan import Plan
+from deepwmh_tpu.utils.logging import SimpleTxtLog, Timer
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 100
+    batches_per_epoch: int = 150  # reference DCNN_batches_in_each_epoch
+    batch_size: int = 2
+    lr: float = 1e-2
+    momentum: float = 0.99
+    weight_decay: float = 3e-5
+    grad_clip: float = 12.0
+    noval: bool = False
+    save_every_epoch: bool = False
+    oversample_fg: float = 0.33
+    augment: bool = True
+    aug: AugmentConfig = field(default_factory=AugmentConfig)
+    val_batches: int = 10
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, plan: Plan, cfg: TrainConfig, out_dir: str, mesh=None, logger=None):
+        self.plan = plan
+        self.cfg = cfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.model = UNet3D(plan=plan)
+        self.mesh = mesh
+        self.logger = logger or SimpleTxtLog(os.path.join(out_dir, "training_log.txt"))
+
+        total_steps = cfg.epochs * cfg.batches_per_epoch
+        schedule = lambda step: cfg.lr * (1.0 - step / max(total_steps, 1)) ** 0.9
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(schedule, momentum=cfg.momentum, nesterov=True),
+        )
+
+        if mesh is not None:
+            self.rep_sharding = NamedSharding(mesh, P())
+            self.batch_sharding = NamedSharding(mesh, P("dp"))
+        else:
+            self.rep_sharding = None
+            self.batch_sharding = None
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------ #
+
+    def log(self, msg: str):
+        self.logger.write(msg)
+        print(msg, flush=True)
+
+    def init_state(self, rng):
+        ps = tuple(self.plan.patch_size)
+        x = jnp.zeros((1,) + ps + (self.plan.in_channels,), jnp.bfloat16)
+        params = self.model.init(rng, x)["params"]
+        opt_state = self.tx.init(params)
+        if self.rep_sharding is not None:
+            params = jax.device_put(params, self.rep_sharding)
+            opt_state = jax.device_put(opt_state, self.rep_sharding)
+        return params, opt_state
+
+    def _train_step_impl(self, params, opt_state, images, labels, rng):
+        """images [N,D,H,W] f32, labels [N,D,H,W] i32."""
+        if self.cfg.augment:
+            images, labels = augment_batch(rng, images, labels, self.cfg.aug)
+
+        def loss_fn(p):
+            outs = self.model.apply(
+                {"params": p}, images[..., None], deep_supervision=True
+            )
+            return deep_supervision_loss(outs, labels, self.plan.pool_kernels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def _eval_step_impl(self, params, images, labels):
+        logits = self.model.apply({"params": params}, images[..., None])
+        pred = jnp.argmax(logits, axis=-1)
+        return hard_dice(pred, labels)
+
+    def _put_batch(self, images, labels):
+        if self.batch_sharding is not None:
+            images = jax.device_put(images, self.batch_sharding)
+            labels = jax.device_put(labels, self.batch_sharding)
+        return jnp.asarray(images), jnp.asarray(labels)
+
+    # ------------------------------------------------------------------ #
+
+    def fit(self, train_ds: SegDataset, val_ds: SegDataset = None, resume: bool = True):
+        """Run the full training budget; returns (params, best_metric).
+
+        Resume semantics match the reference: if model_latest exists,
+        continue from it (`-c`, DCNN_multistage.py:300-304).
+        """
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        params, opt_state = self.init_state(rng)
+        start_epoch = 0
+        best_metric = -1.0
+
+        if resume and ckpt.checkpoint_exists(self.out_dir, ckpt.MODEL_LATEST):
+            params, opt_state, meta = ckpt.load_checkpoint(
+                self.out_dir, ckpt.MODEL_LATEST, params, opt_state
+            )
+            start_epoch = int(meta.get("epoch", 0))
+            best_metric = float(meta.get("best_metric", -1.0))
+            self.log("resumed from model_latest at epoch %d" % start_epoch)
+
+        np_rng = np.random.RandomState(cfg.seed + start_epoch)
+        ema_loss = None
+        for epoch in range(start_epoch, cfg.epochs):
+            timer = Timer()
+            losses = []
+            for b in range(cfg.batches_per_epoch):
+                imgs, lbls = train_ds.sample_batch(
+                    np_rng, cfg.batch_size, cfg.oversample_fg
+                )
+                imgs, lbls = self._put_batch(imgs, lbls)
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, imgs, lbls, step_rng
+                )
+                losses.append(loss)
+            mean_loss = float(jnp.mean(jnp.stack(losses)))
+            ema_loss = mean_loss if ema_loss is None else 0.9 * ema_loss + 0.1 * mean_loss
+
+            # online validation: pseudo-Dice on val patches (nnU-Net style)
+            metric = None
+            if val_ds is not None and len(val_ds) > 0 and not cfg.noval:
+                dices = []
+                for _ in range(cfg.val_batches):
+                    vi, vl = val_ds.sample_batch(np_rng, cfg.batch_size, 0.5)
+                    vi, vl = self._put_batch(vi, vl)
+                    dices.append(self._eval_step(params, vi, vl))
+                metric = float(jnp.mean(jnp.stack(dices)))
+            else:
+                metric = -ema_loss  # noval: best == lowest smoothed loss
+
+            meta = {
+                "epoch": epoch + 1,
+                "best_metric": max(best_metric, metric),
+                "train_loss": mean_loss,
+                "val_metric": metric,
+            }
+            ckpt.save_checkpoint(self.out_dir, ckpt.MODEL_LATEST, params, opt_state, meta)
+            if cfg.save_every_epoch:
+                ckpt.save_checkpoint(
+                    self.out_dir, ckpt.MODEL_EPOCH_FMT % (epoch + 1), params, meta=meta
+                )
+            if metric > best_metric:
+                best_metric = metric
+                ckpt.save_checkpoint(self.out_dir, ckpt.MODEL_BEST, params, meta=meta)
+            self.log(
+                "epoch %d/%d loss=%.4f metric=%.4f best=%.4f (%.1fs)"
+                % (epoch + 1, cfg.epochs, mean_loss, metric, best_metric, timer.elapsed())
+            )
+
+        if not ckpt.checkpoint_exists(self.out_dir, ckpt.MODEL_BEST):
+            ckpt.save_checkpoint(self.out_dir, ckpt.MODEL_BEST, params, meta={"epoch": cfg.epochs})
+        return params, best_metric

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# the axon TPU plugin overrides JAX_PLATFORMS; force CPU explicitly
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,125 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepwmh_tpu.unet import plan as planning
+from deepwmh_tpu.unet.model import UNet3D, count_params, init_params
+from deepwmh_tpu.unet.infer import (
+    SlidingWindowPredictor,
+    compute_steps,
+    gaussian_importance_map,
+    patch_positions,
+)
+from deepwmh_tpu.unet.preprocess import preprocess_case, resample_volume
+
+
+def tiny_plan():
+    return planning.Plan(
+        target_spacing=[1.0, 1.0, 1.0],
+        patch_size=[16, 16, 16],
+        batch_size=2,
+        pool_kernels=[[2, 2, 2], [2, 2, 2]],
+        conv_kernels=[[3, 3, 3], [3, 3, 3], [3, 3, 3]],
+        base_features=4,
+        max_features=16,
+    )
+
+
+def test_plan_flagship():
+    p = planning.default_plan_1mm_iso()
+    assert p.num_pools == 5
+    stride = 2**5
+    assert all(v % stride == 0 for v in p.patch_size)
+    assert np.prod(p.patch_size) <= planning.DEFAULT_VOXEL_BUDGET * 1.25
+    assert p.target_spacing == [1.0, 1.0, 1.0]
+
+
+def test_plan_anisotropic():
+    shapes = [[256, 256, 30]] * 4
+    spacings = [[0.9, 0.9, 5.0]] * 4
+    p = planning.plan_experiment(shapes, spacings)
+    # thick axis: no pooling / 1-kernels until spacing catches up
+    assert p.pool_kernels[0][2] == 1
+    assert p.conv_kernels[0][2] == 1
+    assert p.target_spacing[2] > 2 * p.target_spacing[0]
+
+
+def test_plan_json_roundtrip(tmp_path):
+    p = planning.default_plan_1mm_iso()
+    path = str(tmp_path / "plan.json")
+    p.save(path)
+    q = planning.Plan.load(path)
+    assert q == p
+
+
+def test_unet_forward_shapes(rng):
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 1), jnp.float32)
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 16, 16, 16, 2)
+    assert out.dtype == jnp.float32
+    outs = model.apply({"params": params}, x, deep_supervision=True)
+    assert len(outs) == p.num_pools
+    assert outs[0].shape == (1, 16, 16, 16, 2)
+    assert outs[1].shape == (1, 8, 8, 8, 2)
+    assert count_params(params) > 1000
+
+
+def test_gaussian_importance():
+    g = np.asarray(gaussian_importance_map((8, 8, 8)))
+    assert g.max() == 1.0
+    assert g.min() > 0
+    c = np.unravel_index(np.argmax(g), g.shape)
+    assert c == (3, 3, 3) or c == (4, 4, 4)
+
+
+def test_compute_steps():
+    steps = compute_steps((32, 16, 40), (16, 16, 16))
+    assert steps[0] == [0, 8, 16]
+    assert steps[1] == [0]
+    assert steps[2][0] == 0 and steps[2][-1] == 24
+    pos = np.asarray(patch_positions((32, 16, 40), (16, 16, 16)))
+    assert pos.shape[0] % 8 == 0
+    assert (pos >= 0).all()
+
+
+def test_sliding_window_inference(rng):
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(1))
+    pred = SlidingWindowPredictor(model, params, p, tta=False)
+    vol = jnp.asarray(rng.rand(20, 18, 24), jnp.float32)
+    probs = np.asarray(pred.predict_volume(vol))
+    assert probs.shape == (20, 18, 24, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_predict_case_roundtrip(rng):
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(2))
+    pred = SlidingWindowPredictor(model, params, p, tta=False)
+    data = rng.rand(20, 20, 10).astype(np.float32)
+    seg, fg = pred.predict_case(data, spacing=[1.0, 1.0, 2.0])
+    assert seg.shape == data.shape
+    assert fg.shape == data.shape
+    assert np.asarray(fg).min() >= 0 and np.asarray(fg).max() <= 1
+
+
+def test_resample_volume_shapes(rng):
+    x = jnp.asarray(rng.rand(10, 12, 8), jnp.float32)
+    out = resample_volume(x, [2.0, 2.0, 2.0], [1.0, 1.0, 1.0])
+    assert out.shape == (20, 24, 16)
+    back = resample_volume(out, [1.0, 1.0, 1.0], [2.0, 2.0, 2.0])
+    assert back.shape == (10, 12, 8)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0.35)
+
+
+def test_preprocess_case_normalized(rng):
+    p = tiny_plan()
+    vol = preprocess_case(jnp.asarray(rng.rand(12, 12, 12) * 100, jnp.float32), [2.0, 1.0, 1.0], p)
+    assert vol.shape == (24, 12, 12)
+    np.testing.assert_allclose(float(vol.mean()), 0.0, atol=1e-4)
+    np.testing.assert_allclose(float(vol.std()), 1.0, atol=1e-3)
