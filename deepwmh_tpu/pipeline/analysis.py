@@ -1,0 +1,285 @@
+"""Stage-1 lesion analysis: the NLL anomaly pipeline as one fused program.
+
+Rebuild of the reference's nll_analysis + LesionAnalyzer
+(deepwmh/analysis/lesion_analysis.py:115-278,358-461) — the 2-5 min/case
+numpy hot path (SURVEY.md §3.5) — as a single jitted XLA program per case:
+
+  rough brain mask from the registered label1 cohort -> z-score -> Otsu
+  valid mask -> tissue-min background fill -> 50 mm local-mean alignment of
+  every reference to the target -> voxelwise Gaussian NLL with one-sided
+  prior -> per-slice component filtering -> per-reference anomaly histograms
+  -> zero-crossing auto-threshold -> cerebellum/brainstem 3 mm median ->
+  majority-vote tissue masking.
+
+The host wrapper (LesionAnalyzer) handles NIfTI I/O, idempotent artifacts
+and the per-case summary, matching the reference's output contract
+(anomaly_score / valid_mask / normalized_input / segmentation[_pp] /
+summary + segmentation.txt).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+import shutil
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepwmh_tpu.core import nifti
+from deepwmh_tpu.core.artifacts import atomic_write_json, join_path, mkdir
+from deepwmh_tpu.ops.components import (
+    average_contiguous_labels,
+    component_filtering,
+    remove_3mm_sparks,
+)
+from deepwmh_tpu.ops.filters import median_3mm
+from deepwmh_tpu.ops.grid import mean_std_grid
+from deepwmh_tpu.ops.histogram import (
+    auto_threshold_from_curves,
+    histogram_analysis,
+    otsu_threshold,
+)
+from deepwmh_tpu.ops.nll import nll
+from deepwmh_tpu.ops.stats import group_mean, z_score
+from deepwmh_tpu.utils.logging import SimpleTxtLog, TimeStamps
+
+PHYSICAL_PATCH_MM = 50.0  # reference lesion_analysis.py:126-127
+MIN_STD = 0.03  # reference lesion_analysis.py:180
+
+
+@dataclass
+class AnalysisResult:
+    anomaly: np.ndarray
+    valid_mask: np.ndarray
+    normalized_input: np.ndarray
+    averaged_label: np.ndarray
+    curve_x: np.ndarray
+    curve_y: np.ndarray
+    curve_r: np.ndarray
+    threshold: float
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "patch_size",
+        "voxel_size",
+        "num_label_classes",
+        "side",
+        "apply_otsu",
+        "mean_correction",
+    ),
+)
+def nll_analysis_core(
+    x_raw,
+    refs_raw,
+    label1s,
+    label2s,
+    patch_size,
+    voxel_size,
+    num_label_classes,
+    side="+",
+    apply_otsu=True,
+    mean_correction=True,
+):
+    """x_raw [D,H,W]; refs_raw/label1s/label2s [K,D,H,W] (registered).
+
+    Returns (anomaly, valid_mask, normalized_input, averaged_label,
+    curve_x, curve_y, curve_r, threshold).
+    """
+    K = refs_raw.shape[0]
+
+    # rough brain mask: cohort majority of label1 (lesion_analysis.py:139-141)
+    m1 = (label1s > 0.5).astype(jnp.float32)
+    m_prob = group_mean(m1)
+    m_rough = (m_prob > 0.5).astype(jnp.float32)
+
+    x = z_score(x_raw.astype(jnp.float32), mask=m_rough)
+    if apply_otsu:
+        xmin = jnp.min(x)
+        otsu_thr = otsu_threshold(jnp.where(m_rough < 0.5, xmin, x))
+        m_otsu = (x > otsu_thr).astype(jnp.float32)
+    else:
+        m_otsu = jnp.ones_like(x)
+    m_valid = m_rough * m_otsu
+
+    # background fill with tissue minimum (lesion_analysis.py:155-167)
+    tissue_min = jnp.min(jnp.where(m_rough > 0.5, x, jnp.inf))
+    x = jnp.where(m_rough < 0.5, tissue_min, x)
+
+    def prep_ref(r):
+        t = z_score(r.astype(jnp.float32), mask=m_rough)
+        tmin = jnp.min(jnp.where(m_rough > 0.5, t, jnp.inf))
+        return jnp.where(m_rough < 0.5, tmin, t)
+
+    refs = jax.vmap(prep_ref)(refs_raw)
+
+    # local mean alignment (lesion_analysis.py:169-176)
+    x_mu, _ = mean_std_grid(x, patch_size, mask=m_valid)
+    if mean_correction:
+        def align(r):
+            r_mu, _ = mean_std_grid(r, patch_size, mask=m_valid)
+            return r - r_mu + x_mu
+
+        refs = jax.vmap(align)(refs)
+
+    # anomaly of the target and of each reference (leave-none-out, like the
+    # reference: each ref scored against the full cohort)
+    anomaly, x_mean, x_std = nll(x, refs, min_std=MIN_STD, side=side, return_all=True)
+    anomaly = anomaly * component_filtering(m_valid, voxel_size)
+
+    anomaly_refs = jax.vmap(
+        lambda r: nll(r, refs, min_std=MIN_STD, side=side) * m_valid
+    )(refs)
+
+    # histogram curves + auto threshold (lesion_analysis.py:195-215)
+    curve_x, curve_y, curve_r, curve_rs = histogram_analysis(
+        anomaly, anomaly_refs, m_valid
+    )
+    threshold = auto_threshold_from_curves(curve_x, curve_rs)
+
+    # anatomical priors (lesion_analysis.py:217-243)
+    avg_label = average_contiguous_labels(label2s, num_label_classes).astype(
+        jnp.float32
+    )
+    anomaly = anomaly * (avg_label > 0.5).astype(jnp.float32)
+    cb_mask = ((avg_label > 1.5) & (avg_label < 2.5)).astype(jnp.float32)
+    anomaly_cb = median_3mm(anomaly, voxel_size)
+    anomaly = jnp.where(cb_mask > 0.5, anomaly_cb, anomaly)
+
+    tissue_sum = jnp.sum((label2s > 0.5).astype(jnp.float32), axis=0)
+    tissue_majority = (tissue_sum > (K / 2.0)).astype(jnp.float32)
+    anomaly = anomaly * tissue_majority
+
+    return anomaly, m_valid, x, avg_label, curve_x, curve_y, curve_r, threshold
+
+
+def patch_size_from_voxel(voxel_size):
+    """ceil(50 mm / pixdim) per axis (lesion_analysis.py:126-132)."""
+    return tuple(int(math.ceil(PHYSICAL_PATCH_MM / float(v))) for v in voxel_size)
+
+
+class LesionAnalyzer:
+    """Host orchestration: NIfTI in, idempotent artifacts out
+    (reference LesionAnalyzer, lesion_analysis.py:358-461)."""
+
+    def __init__(self, output_folder: str, logger: SimpleTxtLog = None):
+        self.output_folder = mkdir(output_folder)
+        self.data_dict = {}
+        self.logger = logger
+        self.time_stamps = TimeStamps()
+
+    def log(self, msg):
+        if self.logger is not None:
+            self.logger.write(msg)
+        print(msg, flush=True)
+
+    def add_case(self, name, x_input, x_refs, label1, label2):
+        self.data_dict[name] = {"x": x_input, "r": x_refs, "m": label1, "y": label2}
+
+    # ------------------------------------------------------------------ #
+
+    def analyze_case(self, case: str, intensity_prior="+", apply_otsu=True) -> AnalysisResult:
+        info = self.data_dict[case]
+        x_raw, hdr = nifti.load_nifti(info["x"])
+        voxel_size = tuple(nifti.get_nifti_pixdim(info["x"]))
+        patch = patch_size_from_voxel(voxel_size)
+
+        refs = np.stack([nifti.load_nifti_simple(p) for p in info["r"]])
+        l1 = np.stack([nifti.load_nifti_simple(p) for p in info["m"]])
+        l2 = np.stack([nifti.load_nifti_simple(p) for p in info["y"]])
+        num_classes = int(np.max(l2.astype(np.int64))) + 1
+
+        out = nll_analysis_core(
+            jnp.asarray(x_raw),
+            jnp.asarray(refs),
+            jnp.asarray(l1),
+            jnp.asarray(l2),
+            patch_size=patch,
+            voxel_size=voxel_size,
+            num_label_classes=num_classes,
+            side=intensity_prior,
+            apply_otsu=apply_otsu,
+        )
+        (anomaly, m_valid, x_norm, avg_label, cx, cy, cr, thr) = [
+            np.asarray(o) for o in out
+        ]
+        return AnalysisResult(
+            anomaly, m_valid, x_norm, avg_label, cx, cy, cr, float(thr)
+        ), hdr, voxel_size
+
+    def analyze_and_do_segmentation(self, intensity_prior="+", do_postprocessing=True):
+        self.time_stamps.record("segmentation_start")
+        for case in self.data_dict:
+            case_dir = mkdir(join_path(self.output_folder, case))
+            summary_path = join_path(case_dir, "summary.json")
+            if os.path.isfile(summary_path):
+                self.log("case %s: summary exists, skip analysis" % case)
+            else:
+                self.log("analyzing case %s" % case)
+                result, hdr, voxel_size = self.analyze_case(
+                    case, intensity_prior=intensity_prior
+                )
+                nifti.save_nifti(
+                    result.normalized_input, hdr, join_path(case_dir, "normalized_input.nii.gz")
+                )
+                nifti.save_nifti(
+                    result.anomaly, hdr, join_path(case_dir, "anomaly_score.nii.gz")
+                )
+                nifti.save_nifti(
+                    result.valid_mask, hdr, join_path(case_dir, "valid_mask.nii.gz")
+                )
+                nifti.save_nifti(
+                    result.averaged_label, hdr, join_path(case_dir, "averaged_label.nii.gz")
+                )
+                shutil.copyfile(
+                    self.data_dict[case]["x"],
+                    join_path(case_dir, "preprocessed_image.nii.gz"),
+                )
+                summary = {
+                    "preprocessed_image": self.data_dict[case]["x"],
+                    "intensity_prior": intensity_prior,
+                    "autoseg_threshold": result.threshold,
+                    "histogram_curves": {
+                        "x": result.curve_x.tolist(),
+                        "y": result.curve_y.tolist(),
+                        "r": result.curve_r.tolist(),
+                    },
+                }
+                atomic_write_json(summary, summary_path)
+
+            # segmentation (reference _parallel_segmentation)
+            seg_path = join_path(case_dir, "segmentation.nii.gz")
+            if not nifti.try_load_nifti(seg_path):
+                with open(summary_path) as f:
+                    summary = json.load(f)
+                thr = summary["autoseg_threshold"]
+                anomaly = nifti.load_nifti_simple(join_path(case_dir, "anomaly_score.nii.gz"))
+                hdr = nifti.get_nifti_header(join_path(case_dir, "preprocessed_image.nii.gz"))
+                seg = (anomaly > thr).astype(np.float32)
+                nifti.save_nifti(seg, hdr, seg_path)
+                with open(join_path(case_dir, "segmentation.txt"), "w") as f:
+                    f.write("case name: %s\n" % case)
+                    f.write("segmentation threshold: %.4f\n" % thr)
+
+            # post-processing: 3mm spark removal
+            if do_postprocessing:
+                pp_path = join_path(case_dir, "segmentation_pp.nii.gz")
+                if not nifti.try_load_nifti(pp_path):
+                    voxel_size = nifti.get_nifti_pixdim(
+                        join_path(case_dir, "preprocessed_image.nii.gz")
+                    )
+                    seg = nifti.load_nifti_simple(seg_path)
+                    hdr = nifti.get_nifti_header(
+                        join_path(case_dir, "preprocessed_image.nii.gz")
+                    )
+                    seg_pp = np.asarray(remove_3mm_sparks(jnp.asarray(seg), voxel_size))
+                    nifti.save_nifti(seg_pp, hdr, pp_path)
+
+        self.time_stamps.record("segmentation_end")
+        self.log("stage-1 analysis finished for %d case(s)" % len(self.data_dict))

@@ -1,0 +1,92 @@
+import os
+
+import numpy as np
+
+from deepwmh_tpu.core import nifti
+from deepwmh_tpu.pipeline.analysis import (
+    LesionAnalyzer,
+    patch_size_from_voxel,
+)
+
+
+def make_cohort(tmp_path, K=4, shape=(24, 24, 20), seed=0):
+    """Synthetic 'registered' cohort: shared brain + per-subject noise;
+    the target has a bright lesion blob."""
+    rng = np.random.RandomState(seed)
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, shape[0]),
+        np.linspace(-1, 1, shape[1]),
+        np.linspace(-1, 1, shape[2]),
+        indexing="ij",
+    )
+    r = np.sqrt(zz**2 + yy**2 + xx**2)
+    brain = (r < 0.8).astype(np.float32)
+    base = brain * (200 + 40 * np.cos(3 * zz))
+
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+
+    refs, l1s, l2s = [], [], []
+    for i in range(K):
+        ref = base + 8 * rng.randn(*shape).astype(np.float32) * brain
+        p = str(tmp_path / ("ref%d.nii.gz" % i))
+        nifti.save_nifti(ref, hdr, p)
+        refs.append(p)
+        p1 = str(tmp_path / ("l1_%d.nii.gz" % i))
+        nifti.save_nifti(brain, hdr, p1)
+        l1s.append(p1)
+        # label2: tissue classes, cerebrum=1 everywhere in brain
+        p2 = str(tmp_path / ("l2_%d.nii.gz" % i))
+        nifti.save_nifti(brain, hdr, p2)
+        l2s.append(p2)
+
+    target = base + 8 * rng.randn(*shape).astype(np.float32) * brain
+    lesion = np.zeros(shape, np.float32)
+    lesion[10:15, 10:15, 8:12] = 1.0
+    lesion *= brain
+    target = target + 150 * lesion
+    tpath = str(tmp_path / "target.nii.gz")
+    nifti.save_nifti(target, hdr, tpath)
+    return tpath, refs, l1s, l2s, lesion
+
+
+def test_patch_size_from_voxel():
+    assert patch_size_from_voxel([1.0, 1.0, 1.0]) == (50, 50, 50)
+    assert patch_size_from_voxel([2.0, 1.0, 5.0]) == (25, 50, 10)
+
+
+def test_lesion_analyzer_end_to_end(tmp_path):
+    tpath, refs, l1s, l2s, lesion = make_cohort(tmp_path)
+    out = str(tmp_path / "stage1")
+    an = LesionAnalyzer(out)
+    an.add_case("case1", tpath, refs, l1s, l2s)
+    an.analyze_and_do_segmentation(intensity_prior="+")
+
+    case_dir = os.path.join(out, "case1")
+    for f in [
+        "anomaly_score.nii.gz",
+        "valid_mask.nii.gz",
+        "normalized_input.nii.gz",
+        "segmentation.nii.gz",
+        "segmentation_pp.nii.gz",
+        "summary.json",
+        "segmentation.txt",
+        "preprocessed_image.nii.gz",
+    ]:
+        assert os.path.isfile(os.path.join(case_dir, f)), f
+
+    seg = nifti.load_nifti_simple(os.path.join(case_dir, "segmentation_pp.nii.gz"))
+    inter = ((seg > 0.5) & (lesion > 0.5)).sum()
+    dice = 2 * inter / max((seg > 0.5).sum() + (lesion > 0.5).sum(), 1)
+    assert dice > 0.5, "lesion not detected (dice=%.3f)" % dice
+
+    # anomaly is high inside the lesion, low in healthy tissue
+    anomaly = nifti.load_nifti_simple(os.path.join(case_dir, "anomaly_score.nii.gz"))
+    assert anomaly[lesion > 0.5].mean() > 5 * max(anomaly[lesion < 0.5].mean(), 1e-6)
+
+    # idempotent: second run must not recompute (mtime unchanged)
+    m1 = os.path.getmtime(os.path.join(case_dir, "anomaly_score.nii.gz"))
+    an.analyze_and_do_segmentation(intensity_prior="+")
+    m2 = os.path.getmtime(os.path.join(case_dir, "anomaly_score.nii.gz"))
+    assert m1 == m2

@@ -1,0 +1,127 @@
+import os
+
+import jax
+import numpy as np
+
+from deepwmh_tpu.core import nifti
+from deepwmh_tpu.unet import checkpoint as ckpt
+from deepwmh_tpu.unet.model import UNet3D, init_params
+from deepwmh_tpu.unet.plan import Plan
+from deepwmh_tpu.unet.release import (
+    install_model,
+    load_released_model,
+    release_model,
+)
+
+
+def tiny_plan():
+    return Plan(
+        target_spacing=[2.0, 2.0, 2.0],
+        patch_size=[16, 16, 16],
+        batch_size=2,
+        pool_kernels=[[2, 2, 2], [2, 2, 2]],
+        conv_kernels=[[3, 3, 3], [3, 3, 3], [3, 3, 3]],
+        base_features=4,
+        max_features=8,
+    )
+
+
+def make_trained_dir(tmp_path):
+    plan = tiny_plan()
+    model = UNet3D(plan=plan)
+    params = init_params(model, jax.random.PRNGKey(0))
+    train_dir = str(tmp_path / "train")
+    ckpt.save_checkpoint(train_dir, "model_best", params, meta={"epoch": 1})
+    return train_dir, plan
+
+
+def test_release_install_load_roundtrip(tmp_path):
+    train_dir, plan = make_trained_dir(tmp_path)
+    rel_dir = str(tmp_path / "release")
+    tarball = release_model(train_dir, plan, rel_dir)
+    assert os.path.isfile(tarball)
+
+    inst_dir = str(tmp_path / "installed")
+    dest = install_model(tarball, inst_dir)
+    model, params, plan2 = load_released_model(dest)
+    assert plan2 == plan
+
+
+def test_predict_cli_end_to_end(tmp_path, rng):
+    from deepwmh_tpu.cli.predict import run_predict
+
+    train_dir, plan = make_trained_dir(tmp_path)
+    rel_dir = str(tmp_path / "release")
+    release_model(train_dir, plan, rel_dir, make_tarball=False)
+
+    # synthetic head volume
+    shape = (24, 24, 20)
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, shape[0]),
+        np.linspace(-1, 1, shape[1]),
+        np.linspace(-1, 1, shape[2]),
+        indexing="ij",
+    )
+    head = (np.sqrt(zz**2 + yy**2 + xx**2) < 0.8).astype(np.float32)
+    vol = head * (200 + 20 * rng.rand(*shape).astype(np.float32))
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    img_path = str(tmp_path / "subj.nii.gz")
+    nifti.save_nifti(vol, hdr, img_path)
+
+    out = str(tmp_path / "out")
+    run_predict(
+        [img_path],
+        ["subj"],
+        rel_dir,
+        out,
+        skip_bfc=True,  # N4 covered by its own tests; keep CI fast
+        tta=False,
+        make_previews=True,
+    )
+    for rel in [
+        "001_Preprocessed_Images/subj_0000.nii.gz",
+        "002_Segmentations/001_raw/subj.nii.gz",
+        "002_Segmentations/002_postproc_3mm/subj.nii.gz",
+        "002_Segmentations/003_postproc_fov/subj.nii.gz",
+        "003_Previews/subj.gif",
+    ]:
+        assert os.path.isfile(os.path.join(out, rel)), rel
+
+    seg = nifti.load_nifti_simple(
+        os.path.join(out, "002_Segmentations/003_postproc_fov/subj.nii.gz")
+    )
+    assert seg.shape == shape
+    assert set(np.unique(seg)).issubset({0.0, 1.0})
+
+
+def test_cli_argparse_main(tmp_path, rng, capsys):
+    from deepwmh_tpu.cli import predict as predict_cli
+
+    train_dir, plan = make_trained_dir(tmp_path)
+    rel_dir = str(tmp_path / "release")
+    release_model(train_dir, plan, rel_dir, make_tarball=False)
+
+    vol = (rng.rand(20, 20, 16) * 100).astype(np.float32)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(vol.shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    img_path = str(tmp_path / "c1.nii.gz")
+    nifti.save_nifti(vol, hdr, img_path)
+    out = str(tmp_path / "cli_out")
+    predict_cli.main(
+        [
+            "-i", img_path,
+            "-n", "c1",
+            "-m", rel_dir,
+            "-o", out,
+            "--skip-bfc",
+            "--disable-tta",
+            "--no-previews",
+            "--skip-integrity-check",
+        ]
+    )
+    assert os.path.isfile(
+        os.path.join(out, "002_Segmentations/003_postproc_fov/c1.nii.gz")
+    )
