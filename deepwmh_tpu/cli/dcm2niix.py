@@ -1,0 +1,32 @@
+"""dcm2niix_py — recursive DICOM -> NIfTI conversion CLI.
+
+Counterpart of the reference adapter (deepwmh/external_tools/dcm2niix.py:5-77)
+without the external dcm2niix binary: supports uncompressed single-frame
+little-endian series (the common MRI export case).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from deepwmh_tpu.core.dicom import convert_directory
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Convert DICOM series to NIfTI recursively.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("-i", "--input", type=str, required=True,
+                        help="Directory containing DICOM files (searched recursively).")
+    parser.add_argument("-o", "--output", type=str, required=True,
+                        help="Output directory for NIfTI volumes.")
+    parser.add_argument("--no-compress", action="store_true",
+                        help="Write .nii instead of .nii.gz.")
+    args = parser.parse_args(argv)
+    written = convert_directory(args.input, args.output, compress=not args.no_compress)
+    print("%d series converted." % len(written))
+
+
+if __name__ == "__main__":
+    main()

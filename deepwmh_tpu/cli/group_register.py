@@ -1,0 +1,67 @@
+"""deepwmhGroupRegistration — standalone all-pairs registration CLI.
+
+Counterpart of the reference `antsGroupRegistration` console script
+(deepwmh/external_tools/ANTs_group_registration.py:277-391), including the
+manual multi-machine `--distributed a/b` protocol: machines sharing the
+output filesystem each run one shard; completed pairs are skipped by the
+loadability probes, so re-running after failures is safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from deepwmh_tpu.core.manifests import load_csv_simple
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Register every source image onto every target image "
+        "(rigid + affine + diffeomorphic SVF on TPU).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("-s", "--source", type=str, required=True,
+                        help="Source CSV with columns (case, data).")
+    parser.add_argument("-t", "--target", type=str, required=True,
+                        help="Target CSV with columns (case, data).")
+    parser.add_argument("-o", "--output-folder", type=str, required=True)
+    parser.add_argument("-j", "--jobs", type=int, default=1,
+                        help="Kept for CLI compatibility (pairs run sequentially "
+                        "on the accelerator).")
+    parser.add_argument("--keep-deformation", action="store_true",
+                        help="Keep dense warp fields (needed for label propagation; "
+                        "~6x more disk, reference :327-332).")
+    parser.add_argument("--allow-quick-registration", action="store_true",
+                        help="Fewer iterations / coarser finest level (~30-40%% faster).")
+    parser.add_argument("--allow-large-deformations", action="store_true",
+                        help="More iterations for large anatomical differences.")
+    parser.add_argument("--affine-only", action="store_true",
+                        help="Skip the deformable stage.")
+    parser.add_argument("--distributed", type=str, default=None,
+                        help="'a/b': run shard a (1-based) of b machines.")
+    args = parser.parse_args(argv)
+
+    from deepwmh_tpu.registration.group import GroupRegistration
+
+    src = load_csv_simple(args.source, key_names=["case", "data"])
+    tgt = load_csv_simple(args.target, key_names=["case", "data"])
+    sources = list(zip(src["case"], src["data"]))
+    targets = list(zip(tgt["case"], tgt["data"]))
+
+    reg = GroupRegistration(
+        sources,
+        targets,
+        args.output_folder,
+        keep_deformation=args.keep_deformation,
+        quick=args.allow_quick_registration,
+        large_deformation=args.allow_large_deformations,
+        distributed=args.distributed,
+        deformable=not args.affine_only,
+    )
+    print("%d registration pair(s) in this shard." % len(reg.tasks))
+    reg.launch()
+    print("group registration finished.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""DeepWMH_train — end-to-end annotation-free training CLI.
+
+Reproduces the reference driver (deepwmh/main/train.py:62-277):
+
+  -s reference.csv   (case, desc, flair, label1, label2)
+  -t training.csv    (case, desc, flair)
+  -o output          working folder
+  [-r release]       model release folder
+  [--core-folder]    pipeline state folder (default <output>/004_WMH_pipeline)
+
+Flow: N4 preprocessing of every FLAIR -> all-pairs group registration of the
+healthy reference cohort onto each training subject -> label propagation
+(brain mask label1 + tissue prior label2, nearest neighbor) -> the 3-stage
+self-training pipeline -> model release. Every phase resumes from artifacts;
+a run_registration.sh-equivalent sharding is available via
+`deepwmhGroupRegistration --distributed a/b` on multiple hosts sharing the
+output filesystem.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from deepwmh_tpu.cli.integrity import check_system_integrity
+from deepwmh_tpu.core import nifti
+from deepwmh_tpu.core.artifacts import join_path, mkdir
+from deepwmh_tpu.core.manifests import check_dataset, load_csv_simple, write_csv_simple
+
+
+def n4_preprocess_cases(cases, flairs, out_folder, skip_bfc=False):
+    """N4-correct every FLAIR into <out>/<case>.nii.gz (idempotent)."""
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.ops.n4 import n4_bias_correction
+
+    out_paths = {}
+    for case, flair in zip(cases, flairs):
+        out_path = join_path(out_folder, "%s.nii.gz" % case)
+        out_paths[case] = out_path
+        if nifti.try_load_nifti(out_path):
+            continue
+        print("N4: %s" % case, flush=True)
+        data, hdr = nifti.load_nifti(flair)
+        if skip_bfc:
+            nifti.save_nifti(data, hdr, out_path)
+        else:
+            corrected = np.asarray(n4_bias_correction(jnp.asarray(data)))
+            nifti.save_nifti(corrected, hdr, out_path)
+    return out_paths
+
+
+def run_train(
+    reference_csv,
+    training_csv,
+    output_folder,
+    core_folder=None,
+    release_folder=None,
+    skip_bfc=False,
+    quick_registration=True,
+    budget=None,
+    run_stages="full",
+    distributed=None,
+):
+    from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
+    from deepwmh_tpu.registration.group import (
+        GroupRegistration,
+        apply_pair_transforms,
+        pair_name,
+    )
+
+    output_folder = mkdir(output_folder)
+    core_folder = mkdir(core_folder or join_path(output_folder, "004_WMH_pipeline"))
+    release_folder = mkdir(release_folder or join_path(core_folder, "Model_release"))
+
+    reference_dataset = load_csv_simple(
+        reference_csv, key_names=["case", "desc", "flair", "label1", "label2"]
+    )
+    training_dataset = load_csv_simple(training_csv, key_names=["case", "desc", "flair"])
+    if not check_dataset(reference_dataset) or not check_dataset(training_dataset):
+        raise SystemExit(1)
+    print(
+        "reference cases: %d, training cases: %d"
+        % (len(reference_dataset["case"]), len(training_dataset["case"]))
+    )
+
+    # 001: N4 preprocessing
+    preproc_folder = mkdir(join_path(output_folder, "001_Preprocessed"))
+    ref_paths = n4_preprocess_cases(
+        reference_dataset["case"], reference_dataset["flair"], preproc_folder, skip_bfc
+    )
+    train_paths = n4_preprocess_cases(
+        training_dataset["case"], training_dataset["flair"], preproc_folder, skip_bfc
+    )
+
+    # 002: group registration (refs -> each training subject)
+    registration_folder = mkdir(join_path(output_folder, "002_Registration"))
+    S = [(c, ref_paths[c]) for c in reference_dataset["case"]]
+    T = [(c, train_paths[c]) for c in training_dataset["case"]]
+    # emit the multi-host sharding manifest (reference train.py:186-223)
+    write_csv_simple(
+        join_path(output_folder, "regsource.csv"),
+        {"case": reference_dataset["case"], "data": [ref_paths[c] for c in reference_dataset["case"]]},
+    )
+    write_csv_simple(
+        join_path(output_folder, "regtarget.csv"),
+        {"case": training_dataset["case"], "data": [train_paths[c] for c in training_dataset["case"]]},
+    )
+    with open(join_path(output_folder, "run_registration.sh"), "w") as f:
+        f.write(
+            "#!/bin/sh\n"
+            "# Distribute registration over machines sharing this filesystem by\n"
+            "# running shard k of n on each: add --distributed k/n\n"
+            "deepwmhGroupRegistration -s %s -t %s -o %s --keep-deformation%s\n"
+            % (
+                join_path(output_folder, "regsource.csv"),
+                join_path(output_folder, "regtarget.csv"),
+                registration_folder,
+                " --allow-quick-registration" if quick_registration else "",
+            )
+        )
+    os.chmod(join_path(output_folder, "run_registration.sh"), 0o755)
+
+    reg = GroupRegistration(
+        S, T, registration_folder, keep_deformation=True, quick=quick_registration,
+        distributed=distributed,
+    )
+    reg.launch()
+
+    # 003: propagate reference labels onto each training subject
+    transformed_folder = mkdir(join_path(output_folder, "003_Transformed"))
+    ref_idx = {c: i for i, c in enumerate(reference_dataset["case"])}
+    for s in reference_dataset["case"]:
+        for t in training_dataset["case"]:
+            pair = pair_name(s, t)
+            pair_dir = join_path(registration_folder, pair)
+            out_dir = mkdir(join_path(transformed_folder, pair))
+            i = ref_idx[s]
+            apply_pair_transforms(
+                pair_dir,
+                [reference_dataset["label1"][i], reference_dataset["label2"][i]],
+                [join_path(out_dir, "label1.nii.gz"), join_path(out_dir, "label2.nii.gz")],
+                interp="NearestNeighbor",
+            )
+
+    # 004: the 3-stage pipeline
+    pipeline = PipelineMultistage(core_folder, budget=budget or StageBudget())
+    for t in training_dataset["case"]:
+        flair = train_paths[t]
+        refs = [
+            join_path(registration_folder, "%s.nii.gz" % pair_name(s, t))
+            for s in reference_dataset["case"]
+        ]
+        l1 = [
+            join_path(transformed_folder, pair_name(s, t), "label1.nii.gz")
+            for s in reference_dataset["case"]
+        ]
+        l2 = [
+            join_path(transformed_folder, pair_name(s, t), "label2.nii.gz")
+            for s in reference_dataset["case"]
+        ]
+        desc = training_dataset["desc"][training_dataset["case"].index(t)]
+        pipeline.add_training_case(t, flair, refs, l1, l2, description=desc)
+
+    pipeline.run_training(run_stages=run_stages)
+
+    if run_stages == "full":
+        if len(os.listdir(release_folder)) > 0:
+            print("[!] release folder not empty; skipping release.")
+        else:
+            pipeline.release_model(release_folder)
+    return core_folder
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train the full annotation-free WMH segmentation pipeline "
+        "end-to-end (TPU-native DeepWMH_train).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("-s", "--reference", type=str, required=True,
+                        help="Reference cohort CSV (case,desc,flair,label1,label2).")
+    parser.add_argument("-t", "--training", type=str, required=True,
+                        help="Training cohort CSV (case,desc,flair).")
+    parser.add_argument("-o", "--output-folder", type=str, required=True)
+    parser.add_argument("-j", "--num-CPU-cores", type=int, default=8,
+                        help="Kept for CLI compatibility (compute runs on TPU).")
+    parser.add_argument("-g", "--gpu", type=int, default=0,
+                        help="Kept for CLI compatibility.")
+    parser.add_argument("-r", "--release-model", type=str, required=False)
+    parser.add_argument("--core-folder", type=str, required=False)
+    parser.add_argument("--skip-bfc", action="store_true",
+                        help="[Advanced] Skip N4 bias field correction.")
+    parser.add_argument("--run-stages", choices=["initseg", "denoise", "full"],
+                        default="full", help="[Advanced] Run a pipeline prefix.")
+    parser.add_argument("--distributed", type=str, default=None,
+                        help="[Advanced] 'a/b': run registration shard a of b.")
+    parser.add_argument("--skip-integrity-check", action="store_true")
+    args = parser.parse_args(argv)
+
+    if not args.skip_integrity_check and not check_system_integrity():
+        raise SystemExit(1)
+    run_train(
+        args.reference,
+        args.training,
+        args.output_folder,
+        core_folder=args.core_folder,
+        release_folder=args.release_model,
+        skip_bfc=args.skip_bfc,
+        run_stages=args.run_stages,
+        distributed=args.distributed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -226,6 +226,27 @@ def _serialize_header(hdr: NiftiHeader, datatype: int) -> bytes:
 # ---------------------------------------------------------------------- #
 
 
+def _read_raw(path: str) -> bytes:
+    """Read a possibly-gzipped file; uses the native zlib kernel when built
+    (several x faster than Python's gzip on big volumes)."""
+    if str(path).endswith(".gz"):
+        with open(path, "rb") as f:
+            blob = f.read()
+        try:
+            from deepwmh_tpu import native
+
+            out = native.gzip_inflate_host(blob, len(blob) * 4)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+        import io
+
+        return gzip.open(io.BytesIO(blob), "rb").read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def load_nifti(path, return_type="float32", force_RAS=False, nan=None):
     """Load a NIfTI volume. Returns (data, header).
 
@@ -233,8 +254,7 @@ def load_nifti(path, return_type="float32", force_RAS=False, nan=None):
     scl_slope/inter applied (like nibabel get_fdata), optional RAS+ flip,
     optional NaN replacement, dtype cast.
     """
-    with _open_maybe_gz(path, "rb") as f:
-        raw = f.read()
+    raw = _read_raw(path)
     hdr, vox_offset = _parse_header(raw)
     np_dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(hdr.endian)
     shape = hdr.shape
@@ -277,8 +297,17 @@ def save_nifti(data, header, path, dtype="float32"):
     payload = _serialize_header(hdr, code) + b"\x00" * 4 + data.tobytes(order="F")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     if str(path).endswith(".gz"):
-        with gzip.open(path, "wb", compresslevel=4) as f:
-            f.write(payload)
+        blob = None
+        try:
+            from deepwmh_tpu import native
+
+            blob = native.gzip_deflate_host(payload, level=4)
+        except Exception:
+            blob = None
+        if blob is None:
+            blob = gzip.compress(payload, compresslevel=4)
+        with open(path, "wb") as f:
+            f.write(blob)
     else:
         with open(path, "wb") as f:
             f.write(payload)

@@ -1,0 +1,143 @@
+"""Evaluation metrics: voxel Dice, precision/recall, instance F1,
+per-component Dice, and a file-pair evaluation harness.
+
+Rebuild of deepwmh/analysis/metrics.py (C12 in SURVEY.md §2): the accuracy
+north star is voxel-wise hard Dice against expert raters
+(experiments/010_OASIS3/run_Siemens_Biograph_mMR.py:282-300). Heavy array
+math accepts numpy or jax arrays; instance metrics use the framework's own
+connected-components op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def hard_dice_binary(a, b, threshold: float = 0.5) -> float:
+    """Voxel-wise hard Dice (reference metrics.py:26-32)."""
+    a = np.asarray(a) > threshold
+    b = np.asarray(b) > threshold
+    inter = np.logical_and(a, b).sum()
+    denom = a.sum() + b.sum()
+    if denom == 0:
+        return 1.0
+    return float(2.0 * inter / denom)
+
+
+def voxel_precision_recall(pred, truth, threshold: float = 0.5):
+    """(precision, recall) at the voxel level (reference metrics.py:34-44)."""
+    p = np.asarray(pred) > threshold
+    t = np.asarray(truth) > threshold
+    tp = np.logical_and(p, t).sum()
+    precision = float(tp / p.sum()) if p.sum() > 0 else 0.0
+    recall = float(tp / t.sum()) if t.sum() > 0 else 0.0
+    return precision, recall
+
+
+def _label_np(mask):
+    """Host connected components (6-connectivity): native union-find when
+    the C++ layer is built, JAX min-propagation otherwise."""
+    from deepwmh_tpu.native import label_components_host
+
+    native = label_components_host(np.asarray(mask))
+    if native is not None:
+        return native
+
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.ops.components import label_components
+
+    lbl = np.asarray(label_components(jnp.asarray(mask.astype(np.float32))))
+    N = mask.size
+    fg = lbl < N
+    # compact ids 1..n
+    roots, inv = np.unique(lbl[fg], return_inverse=True)
+    out = np.zeros(mask.shape, np.int32)
+    out[fg] = inv + 1
+    return out, len(roots)
+
+
+def instance_confusion(pred, truth, threshold: float = 0.5):
+    """Instance-level TP/FP/FN: a predicted component is a TP if it overlaps
+    any truth voxel; a truth component is detected if it overlaps any
+    prediction (reference metrics.py:46-76)."""
+    p = np.asarray(pred) > threshold
+    t = np.asarray(truth) > threshold
+    p_lbl, p_n = _label_np(p)
+    t_lbl, t_n = _label_np(t)
+    tp = fp = 0
+    for i in range(1, p_n + 1):
+        if t[p_lbl == i].any():
+            tp += 1
+        else:
+            fp += 1
+    fn = 0
+    for j in range(1, t_n + 1):
+        if not p[t_lbl == j].any():
+            fn += 1
+    return tp, fp, fn
+
+
+def instance_f1(pred, truth, threshold: float = 0.5) -> float:
+    tp, fp, fn = instance_confusion(pred, truth, threshold)
+    denom = 2 * tp + fp + fn
+    return float(2 * tp / denom) if denom > 0 else 1.0
+
+
+def binary_component_dice(pred, truth, threshold: float = 0.5):
+    """Per-truth-component Dice list: for each ground-truth lesion, the Dice
+    of the prediction restricted to that component's bounding neighborhood
+    (reference metrics.py:304-536, the lesion-size scatter data)."""
+    p = np.asarray(pred) > threshold
+    t = np.asarray(truth) > threshold
+    t_lbl, t_n = _label_np(t)
+    out = []
+    for j in range(1, t_n + 1):
+        comp = t_lbl == j
+        pd = np.logical_and(p, comp)
+        dice = 2.0 * pd.sum() / max(comp.sum() + pd.sum(), 1)
+        out.append((int(comp.sum()), float(dice)))
+    return out
+
+
+class PairedEvaluation:
+    """Evaluate (prediction file, truth file) pairs with named methods
+    (reference metrics.py PairedEvaluation, :175-262)."""
+
+    def __init__(self):
+        self.pairs = []
+
+    def add_pair(self, name: str, pred_path: str, truth_path: str):
+        self.pairs.append((name, pred_path, truth_path))
+
+    def run(self, metrics=("dice",)) -> dict:
+        from deepwmh_tpu.core import nifti
+
+        results = {}
+        for name, pred_path, truth_path in self.pairs:
+            pred = nifti.load_nifti_simple(pred_path)
+            truth = nifti.load_nifti_simple(truth_path)
+            row = {}
+            for m in metrics:
+                if m == "dice":
+                    row[m] = hard_dice_binary(pred, truth)
+                elif m == "precision_recall":
+                    row["precision"], row["recall"] = voxel_precision_recall(pred, truth)
+                elif m == "instance_f1":
+                    row[m] = instance_f1(pred, truth)
+                else:
+                    raise ValueError("unknown metric %r" % m)
+            results[name] = row
+        return results
+
+
+def summarize(results: dict) -> dict:
+    """Mean/std per metric across cases."""
+    keys = set()
+    for row in results.values():
+        keys.update(row.keys())
+    out = {}
+    for k in sorted(keys):
+        vals = [row[k] for row in results.values() if k in row]
+        out[k] = {"mean": float(np.mean(vals)), "std": float(np.std(vals)), "n": len(vals)}
+    return out

@@ -1,0 +1,146 @@
+"""ctypes loader for the native host kernels (cc3d.cpp).
+
+Builds the shared library on first use when a toolchain is available and
+falls back to pure-Python/JAX implementations otherwise — the framework
+never hard-requires the native layer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libdeepwmh_native.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_HERE, check=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=120,
+        )
+        return os.path.isfile(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Returns the loaded ctypes library or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    src = os.path.join(_HERE, "cc3d.cpp")
+    if not os.path.isfile(_LIB_PATH) or (
+        os.path.isfile(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.label_components_3d.restype = ctypes.c_int32
+    lib.label_components_3d.argtypes = [
+        i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+    ]
+    lib.remove_small_components.restype = ctypes.c_int32
+    lib.remove_small_components.argtypes = [
+        i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+    ]
+    lib.component_sizes_3d.restype = None
+    lib.component_sizes_3d.argtypes = [
+        i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p,
+    ]
+    lib.gzip_inflate.restype = ctypes.c_int64
+    lib.gzip_inflate.argtypes = [i8p, ctypes.c_int64, i8p, ctypes.c_int64]
+    lib.gzip_deflate.restype = ctypes.c_int64
+    lib.gzip_deflate.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64, ctypes.c_int32,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------- #
+# numpy-facing wrappers
+# ---------------------------------------------------------------------- #
+
+
+def label_components_host(mask: np.ndarray):
+    """(labels int32 [D,H,W] with ids 1..n in raster order, n) or None when
+    the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(mask > 0.5, dtype=np.uint8)
+    labels = np.empty(m.shape, np.int32)
+    n = lib.label_components_3d(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m.shape[0], m.shape[1], m.shape[2],
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return labels, int(n)
+
+
+def remove_small_components_host(mask: np.ndarray, min_volume: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(mask > 0.5, dtype=np.uint8)
+    lib.remove_small_components(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m.shape[0], m.shape[1], m.shape[2], int(min_volume),
+    )
+    return m.astype(np.float32)
+
+
+def gzip_inflate_host(data: bytes, expected_size: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    cap = max(int(expected_size), len(src), 1024)
+    while cap <= 1 << 36:  # grow capacity on underestimate
+        dst = np.empty(cap, np.uint8)
+        n = lib.gzip_inflate(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+        if n == -2:
+            cap *= 8
+            continue
+        if n < 0:
+            return None
+        return dst[:n].tobytes()
+    return None
+
+
+def gzip_deflate_host(data: bytes, level: int = 4):
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    cap = len(src) + len(src) // 2 + 1024
+    dst = np.empty(cap, np.uint8)
+    n = lib.gzip_deflate(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap, level,
+    )
+    if n < 0:
+        return None
+    return dst[:n].tobytes()

@@ -61,6 +61,7 @@ class AnalysisResult:
     curve_x: np.ndarray
     curve_y: np.ndarray
     curve_r: np.ndarray
+    curve_rs: np.ndarray
     threshold: float
 
 
@@ -156,7 +157,8 @@ def nll_analysis_core(
     tissue_majority = (tissue_sum > (K / 2.0)).astype(jnp.float32)
     anomaly = anomaly * tissue_majority
 
-    return anomaly, m_valid, x, avg_label, curve_x, curve_y, curve_r, threshold
+    return (anomaly, m_valid, x, avg_label, curve_x, curve_y, curve_r, curve_rs,
+            threshold)
 
 
 def patch_size_from_voxel(voxel_size):
@@ -206,11 +208,11 @@ class LesionAnalyzer:
             side=intensity_prior,
             apply_otsu=apply_otsu,
         )
-        (anomaly, m_valid, x_norm, avg_label, cx, cy, cr, thr) = [
+        (anomaly, m_valid, x_norm, avg_label, cx, cy, cr, crs, thr) = [
             np.asarray(o) for o in out
         ]
         return AnalysisResult(
-            anomaly, m_valid, x_norm, avg_label, cx, cy, cr, float(thr)
+            anomaly, m_valid, x_norm, avg_label, cx, cy, cr, crs, float(thr)
         ), hdr, voxel_size
 
     def analyze_and_do_segmentation(self, intensity_prior="+", do_postprocessing=True):
@@ -251,6 +253,19 @@ class LesionAnalyzer:
                         "r": result.curve_r.tolist(),
                     },
                 }
+                # per-case histogram curve plot (lesion_analysis.py:198-199)
+                try:
+                    from deepwmh_tpu.eval.plots import hist_curve_plot
+
+                    hist_curve_plot(
+                        result.curve_x,
+                        result.curve_y,
+                        result.curve_r,
+                        result.curve_rs,
+                        join_path(case_dir, "histogram_curves.png"),
+                    )
+                except Exception as e:  # plotting must never kill analysis
+                    self.log("histogram plot failed for %s: %s" % (case, e))
                 atomic_write_json(summary, summary_path)
 
             # segmentation (reference _parallel_segmentation)

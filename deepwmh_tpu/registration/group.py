@@ -1,0 +1,214 @@
+"""All-pairs group registration with idempotent artifacts and sharding.
+
+Rebuild of the reference's ANTsGroupRegistration driver
+(deepwmh/external_tools/ANTs_group_registration.py:220-273 and CLI :277-391):
+register every source (healthy reference) onto every target (training
+subject), S x T pairs, skipping pairs whose outputs already load cleanly
+(:175-188) and supporting the manual multi-machine `--distributed a/b`
+round-robin sharding (:248-258). The per-pair compute is the TPU affine +
+SVF stack instead of a subprocess per pair.
+
+Artifact layout per pair (consumed by the training pipeline):
+  <out>/<s>_to_<t>.nii.gz          warped source image on the target grid
+  <out>/<s>_to_<t>/affine.json     3x4 physical affine + spacings
+  <out>/<s>_to_<t>/warp.nii.gz     displacement field (D,H,W,3, voxels)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepwmh_tpu.core import nifti
+from deepwmh_tpu.core.artifacts import atomic_write_json, join_path, load_json, mkdir
+from deepwmh_tpu.registration.affine import AffineConfig, register_affine, apply_affine
+from deepwmh_tpu.registration.svf import SVFConfig, apply_affine_svf, register_svf
+
+
+def pair_name(source_case: str, target_case: str) -> str:
+    return "%s_to_%s" % (source_case, target_case)
+
+
+class GroupRegistration:
+    def __init__(
+        self,
+        sources,
+        targets,
+        output_folder,
+        keep_deformation: bool = True,
+        quick: bool = False,
+        large_deformation: bool = False,
+        distributed: str = None,
+        deformable: bool = True,
+    ):
+        """sources/targets: [(case_name, image_path)].
+
+        quick: fewer iterations / skip the finest pyramid level — the
+        reference's --allow-quick-registration (30-40% faster, :322-326).
+        large_deformation: more iterations — --allow-large-deformations.
+        distributed: 'a/b' runs shard a (1-based) of b (:248-258).
+        """
+        self.sources = list(sources)
+        self.targets = list(targets)
+        self.output_folder = mkdir(output_folder)
+        self.keep_deformation = keep_deformation
+        self.deformable = deformable
+
+        if quick:
+            self.affine_cfg = AffineConfig(shrinks=(8, 4), iters=(100, 50))
+            self.svf_cfg = SVFConfig(shrinks=(4,), iters=(80,))
+        elif large_deformation:
+            self.affine_cfg = AffineConfig(shrinks=(8, 4, 2), iters=(200, 120, 60))
+            self.svf_cfg = SVFConfig(shrinks=(4, 2), iters=(160, 80))
+        else:
+            self.affine_cfg = AffineConfig()
+            self.svf_cfg = SVFConfig()
+
+        tasks = [(s, t) for s in self.sources for t in self.targets]
+        if distributed:
+            a, b = distributed.split("/")
+            a, b = int(a), int(b)
+            assert 1 <= a <= b, "invalid --distributed %s" % distributed
+            tasks = [task for i, task in enumerate(tasks) if i % b == (a - 1)]
+        self.tasks = tasks
+
+    # ------------------------------------------------------------------ #
+
+    def _pair_paths(self, s_case, t_case):
+        name = pair_name(s_case, t_case)
+        return {
+            "image": join_path(self.output_folder, name + ".nii.gz"),
+            "dir": join_path(self.output_folder, name),
+            "affine": join_path(self.output_folder, name, "affine.json"),
+            "warp": join_path(self.output_folder, name, "warp.nii.gz"),
+        }
+
+    def _pair_done(self, paths) -> bool:
+        if not nifti.try_load_nifti(paths["image"]):
+            return False
+        if not os.path.isfile(paths["affine"]):
+            return False
+        if self.deformable and self.keep_deformation and not nifti.try_load_nifti(
+            paths["warp"]
+        ):
+            return False
+        return True
+
+    @staticmethod
+    def _feasible_levels(cfg_shrinks, cfg_iters, shape, min_dim: int = 8):
+        """Drop pyramid levels too coarse for this volume (each level must
+        keep every axis >= min_dim); always keep at least the finest."""
+        shrinks, iters = [], []
+        for s, it in zip(cfg_shrinks, cfg_iters):
+            if min(shape) // s >= min_dim:
+                shrinks.append(s)
+                iters.append(it)
+        if not shrinks:
+            shrinks, iters = [1], [cfg_iters[-1]]
+        return tuple(shrinks), tuple(iters)
+
+    def register_pair(self, s_case, s_path, t_case, t_path, verbose=True):
+        paths = self._pair_paths(s_case, t_case)
+        if self._pair_done(paths):
+            if verbose:
+                print("pair %s: already done, skip" % pair_name(s_case, t_case))
+            return paths
+        if verbose:
+            print("registering %s" % pair_name(s_case, t_case), flush=True)
+
+        fixed, f_hdr = nifti.load_nifti(t_path)
+        moving, _ = nifti.load_nifti(s_path)
+        f_sp = nifti.get_nifti_pixdim(t_path)
+        m_sp = nifti.get_nifti_pixdim(s_path)
+
+        import dataclasses
+
+        a_shr, a_it = self._feasible_levels(
+            self.affine_cfg.shrinks, self.affine_cfg.iters, fixed.shape
+        )
+        affine_cfg = dataclasses.replace(self.affine_cfg, shrinks=a_shr, iters=a_it)
+        s_shr, s_it = self._feasible_levels(
+            self.svf_cfg.shrinks, self.svf_cfg.iters, fixed.shape
+        )
+        svf_cfg = dataclasses.replace(self.svf_cfg, shrinks=s_shr, iters=s_it)
+
+        matrix, aff_loss = register_affine(fixed, moving, f_sp, m_sp, cfg=affine_cfg)
+        moving_on_fixed = np.asarray(
+            apply_affine(moving, matrix, fixed.shape, f_sp, m_sp, order=1)
+        )
+        if self.deformable:
+            disp, svf_loss = register_svf(fixed, moving_on_fixed, cfg=svf_cfg)
+            warped = np.asarray(
+                apply_affine_svf(moving, matrix, disp, fixed.shape, f_sp, m_sp, order=1)
+            )
+        else:
+            disp, svf_loss = None, None
+            warped = moving_on_fixed
+
+        mkdir(paths["dir"])
+        nifti.save_nifti(warped, f_hdr, paths["image"])
+        atomic_write_json(
+            {
+                "matrix": np.asarray(matrix).tolist(),
+                "fixed_spacing": [float(v) for v in f_sp],
+                "moving_spacing": [float(v) for v in m_sp],
+                "fixed_shape": [int(v) for v in fixed.shape],
+                "affine_loss": float(aff_loss),
+                "svf_loss": None if svf_loss is None else float(svf_loss),
+            },
+            paths["affine"],
+        )
+        if self.deformable and self.keep_deformation:
+            nifti.save_nifti(
+                np.moveaxis(np.asarray(disp), 0, -1), f_hdr, paths["warp"]
+            )
+        return paths
+
+    def launch(self, verbose: bool = True):
+        src = dict(self.sources)
+        tgt = dict(self.targets)
+        n = len(self.tasks)
+        for i, (s, t) in enumerate(self.tasks):
+            if verbose:
+                print("[%d/%d]" % (i + 1, n), end=" ")
+            self.register_pair(s[0], s[1], t[0], t[1], verbose=verbose)
+        _ = (src, tgt)
+
+
+def apply_pair_transforms(
+    pair_dir, in_files, out_files, interp="NearestNeighbor"
+):
+    """Warp files from the source subject's grid onto the target grid using
+    a saved pair transform — the reference's two-step antsApplyTransforms
+    label propagation (deepwmh/main/train.py:45-60) as one fused gather."""
+    meta = load_json(join_path(pair_dir, "affine.json"))
+    matrix = np.asarray(meta["matrix"], np.float32)
+    fixed_shape = tuple(meta["fixed_shape"])
+    f_sp = meta["fixed_spacing"]
+    m_sp = meta["moving_spacing"]
+    warp_path = join_path(pair_dir, "warp.nii.gz")
+    order = 0 if interp == "NearestNeighbor" else 1
+
+    if nifti.try_load_nifti(warp_path):
+        disp = np.moveaxis(nifti.load_nifti_simple(warp_path), -1, 0)
+    else:
+        disp = np.zeros((3,) + fixed_shape, np.float32)
+
+    for in_file, out_file in zip(in_files, out_files):
+        if nifti.try_load_nifti(out_file):
+            continue
+        data = nifti.load_nifti_simple(in_file)
+        out = np.asarray(
+            apply_affine_svf(
+                jnp.asarray(data), matrix, jnp.asarray(disp), fixed_shape, f_sp, m_sp,
+                order=order,
+            )
+        )
+        # donor header: the fixed grid (any registered image of this pair)
+        hdr = nifti.NiftiHeader()
+        hdr.set_shape(fixed_shape)
+        hdr.set_zooms(tuple(f_sp))
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
+        nifti.save_nifti(out, hdr, out_file)

@@ -1,0 +1,145 @@
+"""Learned (VoxelMorph-style) registration — the amortized alternative.
+
+Rebuild of the reference's VoxelMorph pathway
+(deepwmh/external_tools/VxM_group_registration.py:84-397): instead of
+optimizing every source->target pair from scratch, train a small
+displacement-predicting U-Net on the cohort once, then register any pair
+with a single forward pass. On the reference's training workload (10 refs x
+100 subjects = 1000 pairs, SURVEY.md §6) this turns hours of per-pair
+optimization into one forward pass per pair.
+
+The network consumes [fixed, moving] stacked as 2 channels on a common grid
+(after the affine template alignment, registration/template.py) and
+predicts a stationary velocity field; scaling-and-squaring integration keeps
+the warp diffeomorphic. Loss = -LNCC + lambda * |grad v|^2, trained with the
+same pjit/mesh data-parallel machinery as the segmentation engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepwmh_tpu.ops.warp import displacement_warp
+from deepwmh_tpu.registration.similarity import lncc, winsorize_rescale
+from deepwmh_tpu.registration.svf import scaling_and_squaring
+from deepwmh_tpu.unet.model import UNet3D
+from deepwmh_tpu.unet.plan import Plan
+
+
+@dataclass
+class LearnedRegConfig:
+    base_features: int = 8
+    max_features: int = 32
+    num_pools: int = 3
+    steps: int = 300
+    batch_pairs: int = 1
+    lr: float = 1e-3
+    smooth_weight: float = 1.0
+    lncc_radius: int = 2
+    int_steps: int = 5
+    velocity_scale: float = 1.5  # tanh-bounded max velocity (voxels/step)
+
+
+def _reg_plan(grid_shape, cfg: LearnedRegConfig) -> Plan:
+    return Plan(
+        target_spacing=[1.0, 1.0, 1.0],
+        patch_size=[int(s) for s in grid_shape],
+        batch_size=cfg.batch_pairs,
+        pool_kernels=[[2, 2, 2]] * cfg.num_pools,
+        conv_kernels=[[3, 3, 3]] * (cfg.num_pools + 1),
+        base_features=cfg.base_features,
+        max_features=cfg.max_features,
+        num_classes=3,  # the 3 velocity components
+        in_channels=2,
+    )
+
+
+class LearnedRegistration:
+    """Train once on a cohort of same-grid volumes; register pairs in one
+    forward pass."""
+
+    def __init__(self, grid_shape, cfg: LearnedRegConfig = None):
+        self.cfg = cfg or LearnedRegConfig()
+        self.grid_shape = tuple(int(s) for s in grid_shape)
+        self.plan = _reg_plan(self.grid_shape, self.cfg)
+        self.model = UNet3D(plan=self.plan)
+        self.params = None
+        self._predict = jax.jit(self._predict_impl)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------ #
+
+    def _velocity(self, params, fixed, moving):
+        x = jnp.stack([fixed, moving], axis=-1)[None]
+        out = self.model.apply({"params": params}, x)[0]  # [D,H,W,3]
+        v = jnp.tanh(out.astype(jnp.float32)) * self.cfg.velocity_scale
+        return jnp.moveaxis(v, -1, 0)  # [3,D,H,W]
+
+    def _predict_impl(self, params, fixed, moving):
+        v = self._velocity(params, fixed, moving)
+        return scaling_and_squaring(v, self.cfg.int_steps)
+
+    def _loss(self, params, fixed, moving):
+        v = self._velocity(params, fixed, moving)
+        disp = scaling_and_squaring(v, self.cfg.int_steps)
+        warped = displacement_warp(moving, disp)
+        sim = -lncc(fixed, warped, radius=self.cfg.lncc_radius)
+        smooth = 0.0
+        for ax in range(1, 4):
+            smooth = smooth + jnp.mean(jnp.square(jnp.diff(v, axis=ax)))
+        return sim + self.cfg.smooth_weight * smooth
+
+    def _train_step_impl(self, params, opt_state, fixed, moving):
+        loss, grads = jax.value_and_grad(self._loss)(params, fixed, moving)
+        updates, opt_state = self.tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # ------------------------------------------------------------------ #
+
+    def train(self, volumes, rng_seed: int = 0, verbose: bool = True):
+        """volumes: list of [D,H,W] arrays on the common grid (affine-aligned).
+        Trains on random ordered pairs. Returns the final mean loss."""
+        cfg = self.cfg
+        vols = [
+            np.asarray(winsorize_rescale(jnp.asarray(v, jnp.float32)))
+            for v in volumes
+        ]
+        key = jax.random.PRNGKey(rng_seed)
+        x0 = jnp.zeros((1,) + self.grid_shape + (2,), jnp.bfloat16)
+        self.params = self.model.init(key, x0)["params"]
+        self.tx = optax.adam(cfg.lr)
+        opt_state = self.tx.init(self.params)
+
+        np_rng = np.random.RandomState(rng_seed)
+        losses = []
+        for step in range(cfg.steps):
+            i, j = np_rng.randint(0, len(vols), size=2)
+            if i == j:
+                j = (j + 1) % len(vols)
+            fixed = jnp.asarray(vols[i])
+            moving = jnp.asarray(vols[j])
+            self.params, opt_state, loss = self._train_step(
+                self.params, opt_state, fixed, moving
+            )
+            losses.append(float(loss))
+            if verbose and (step + 1) % max(cfg.steps // 10, 1) == 0:
+                print(
+                    "regnet step %d/%d loss %.4f"
+                    % (step + 1, cfg.steps, np.mean(losses[-20:])),
+                    flush=True,
+                )
+        return float(np.mean(losses[-20:]))
+
+    def register(self, fixed, moving):
+        """One forward pass -> displacement field [3,D,H,W] (voxel units)
+        such that moving o (id+disp) ~ fixed."""
+        assert self.params is not None, "train() first (or load params)"
+        f = winsorize_rescale(jnp.asarray(fixed, jnp.float32))
+        m = winsorize_rescale(jnp.asarray(moving, jnp.float32))
+        return np.asarray(self._predict(self.params, f, m))

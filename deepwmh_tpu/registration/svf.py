@@ -1,0 +1,205 @@
+"""Diffeomorphic registration via stationary velocity fields (SVF).
+
+TPU-native replacement for the reference's ANTs SyN[0.1,3,0] stage with
+CC(radius 4) (deepwmh/external_tools/ANTs_group_registration.py:85-119).
+Instead of porting ITK's symmetric-normalization CPU solver, the deformable
+stage is an instance-wise optimization of a stationary velocity field —
+the construction the reference itself ships as an alternative (VoxelMorph,
+C7 in SURVEY.md §2), minus the learned network:
+
+  warp = exp(v) computed by scaling-and-squaring (2^K compositions),
+  loss = -LNCC(fixed, moving o warp) + bending-energy regularization,
+  Adam over a multi-resolution pyramid, each level one jitted XLA program.
+
+The moving image is expected already resampled to the fixed grid by the
+affine stage; the result is a dense displacement field (voxel units, fixed
+grid) that composes with the affine for label propagation.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepwmh_tpu.ops.warp import displacement_warp, identity_grid, sample_volume
+from deepwmh_tpu.registration.similarity import lncc, winsorize_rescale
+
+
+@dataclass
+class SVFConfig:
+    shrinks: tuple = (4, 2)
+    iters: tuple = (120, 60)
+    lr: float = 0.25
+    n_squaring: int = 6
+    lncc_radius: int = 2
+    bending_weight: float = 1.0
+    smooth_sigma_vox: float = 1.0  # gaussian smoothing of velocity updates
+
+
+def scaling_and_squaring(v, n: int = 6):
+    """Integrate a stationary velocity field: phi = exp(v) via n squarings."""
+    disp = v / (2.0**n)
+
+    def body(i, d):
+        grid = identity_grid(d.shape[1:])
+        coords = grid + d
+        moved = jnp.stack([sample_volume(d[j], coords) for j in range(3)])
+        return d + moved
+
+    return jax.lax.fori_loop(0, n, body, disp)
+
+
+def _grad_sq(v):
+    """Bending-ish regularizer: mean squared forward differences of v."""
+    total = 0.0
+    for ax in range(1, 4):
+        d = jnp.diff(v, axis=ax)
+        total = total + jnp.mean(jnp.square(d))
+    return total
+
+
+def _gauss_kernel1d(sigma):
+    r = max(int(3 * sigma), 1)
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray(k / k.sum())
+
+
+def _smooth3(v, sigma):
+    """Separable gaussian smoothing of a [3,D,H,W] field."""
+    if sigma <= 0:
+        return v
+    k = _gauss_kernel1d(sigma)
+    r = (len(k) - 1) // 2
+
+    def smooth_axis(x, ax):
+        xp = jnp.moveaxis(x, ax, -1)
+        pad = [(0, 0)] * (xp.ndim - 1) + [(r, r)]
+        xpad = jnp.pad(xp, pad, mode="edge")
+        out = jnp.zeros_like(xp)
+        for i in range(len(k)):
+            out = out + k[i] * jax.lax.dynamic_slice_in_dim(
+                xpad, i, xp.shape[-1], axis=xp.ndim - 1
+            )
+        return jnp.moveaxis(out, -1, ax)
+
+    for ax in (1, 2, 3):
+        v = smooth_axis(v, ax)
+    return v
+
+
+def _resize_field(v, new_shape):
+    """Linear-resize a [3,...] voxel-unit displacement/velocity field to a
+    new grid, scaling the vectors by the grid ratio."""
+    from deepwmh_tpu.ops.grid import _linear_resize_axis
+
+    out = []
+    for i in range(3):
+        c = v[i]
+        for ax in range(3):
+            c = _linear_resize_axis(c, ax, int(new_shape[ax]))
+        scale = new_shape[i] / v.shape[1 + i]
+        out.append(c * scale)
+    return jnp.stack(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "lr", "n_squaring", "lncc_radius", "bending", "sigma"),
+)
+def _optimize_svf_level(
+    fixed, moving, v0, iters: int, lr: float, n_squaring: int, lncc_radius: int,
+    bending: float, sigma: float
+):
+    tx = optax.adam(lr)
+
+    def loss_fn(v):
+        vs = _smooth3(v, sigma)
+        disp = scaling_and_squaring(vs, n_squaring)
+        warped = displacement_warp(moving, disp)
+        return -lncc(fixed, warped, radius=lncc_radius) + bending * _grad_sq(vs)
+
+    def step(carry, _):
+        v, opt_state = carry
+        loss, g = jax.value_and_grad(loss_fn)(v)
+        updates, opt_state = tx.update(g, opt_state)
+        v = optax.apply_updates(v, updates)
+        return (v, opt_state), loss
+
+    (v, _), losses = jax.lax.scan(step, (v0, tx.init(v0)), None, length=iters)
+    return v, losses[-1]
+
+
+def _downsample(x, factor: int):
+    if factor <= 1:
+        return x
+    s = factor
+    pad = [(0, (-x.shape[a]) % s) for a in range(3)]
+    xp = jnp.pad(x, pad)
+    return xp.reshape(
+        xp.shape[0] // s, s, xp.shape[1] // s, s, xp.shape[2] // s, s
+    ).mean(axis=(1, 3, 5))
+
+
+def register_svf(fixed, moving, cfg: SVFConfig = None):
+    """fixed/moving on the SAME grid. Returns (disp [3,D,H,W] voxel units,
+    final_loss). moving o (id + disp) ~= fixed."""
+    cfg = cfg or SVFConfig()
+    fixed = winsorize_rescale(jnp.asarray(fixed, jnp.float32))
+    moving = winsorize_rescale(jnp.asarray(moving, jnp.float32))
+
+    v = None
+    for shrink, iters in zip(cfg.shrinks, cfg.iters):
+        f = _downsample(fixed, shrink)
+        m = _downsample(moving, shrink)
+        if v is None:
+            v = jnp.zeros((3,) + f.shape, jnp.float32)
+        else:
+            v = _resize_field(v, f.shape)
+        v, loss = _optimize_svf_level(
+            f,
+            m,
+            v,
+            iters=int(iters),
+            lr=float(cfg.lr),
+            n_squaring=int(cfg.n_squaring),
+            lncc_radius=int(cfg.lncc_radius),
+            bending=float(cfg.bending_weight),
+            sigma=float(cfg.smooth_sigma_vox),
+        )
+
+    v = _smooth3(v, cfg.smooth_sigma_vox)
+    disp_small = scaling_and_squaring(v, cfg.n_squaring)
+    disp = _resize_field(disp_small, fixed.shape)
+    return disp, float(loss)
+
+
+def apply_affine_svf(
+    moving,
+    matrix,
+    disp,
+    fixed_shape,
+    fixed_spacing,
+    moving_spacing,
+    order: int = 1,
+):
+    """Resample `moving` (its native grid) through [affine, warp] like
+    antsApplyTransforms -t affine -t warp: the output voxel is displaced by
+    the warp on the fixed grid, then mapped through the physical affine into
+    the moving volume."""
+    disp = jnp.asarray(disp, jnp.float32)
+    grid = identity_grid(tuple(fixed_shape))
+    warped_vox = grid + disp
+    fsp = jnp.asarray(fixed_spacing, jnp.float32).reshape(3, 1)
+    msp = jnp.asarray(moving_spacing, jnp.float32).reshape(3, 1)
+    matrix = jnp.asarray(matrix, jnp.float32)
+    A, t = matrix[:, :3], matrix[:, 3]
+    phys = warped_vox.reshape(3, -1) * fsp
+    mov_phys = A @ phys + t[:, None]
+    mov_vox = (mov_phys / msp).reshape((3,) + tuple(fixed_shape))
+    return sample_volume(jnp.asarray(moving, jnp.float32), mov_vox, order=order)

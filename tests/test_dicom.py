@@ -1,0 +1,99 @@
+"""DICOM reader tests against an independently-written minimal DICOM writer."""
+
+import os
+import struct
+
+import numpy as np
+
+from deepwmh_tpu.core.dicom import convert_directory, read_dicom, series_to_volume
+
+
+def _el_explicit(group, elem, vr, value: bytes) -> bytes:
+    if vr in (b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"):
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
+
+
+def write_test_dicom(path, pixel: np.ndarray, ipp, instance, series_uid="1.2.3.4"):
+    rows, cols = pixel.shape
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+    body = b""
+    body += _el_explicit(0x0008, 0x0018, b"UI", b"1.2.3.4.5.%d" % instance)
+    body += _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode())
+    body += _el_explicit(0x0020, 0x0013, b"IS", str(instance).encode())
+    body += _el_explicit(
+        0x0020, 0x0032, b"DS", ("%g\\%g\\%g" % tuple(ipp)).encode()
+    )
+    body += _el_explicit(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0")
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _el_explicit(0x0028, 0x0030, b"DS", b"2\\2")
+    body += _el_explicit(0x0018, 0x0050, b"DS", b"3")
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += _el_explicit(0x0028, 0x1052, b"DS", b"0")
+    body += _el_explicit(0x0028, 0x1053, b"DS", b"1")
+    body += _el_explicit(
+        0x7FE0, 0x0010, b"OW", pixel.astype("<u2").tobytes()
+    )
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def make_series(folder, n_slices=5, shape=(8, 10)):
+    rng = np.random.RandomState(0)
+    vol = (rng.rand(shape[0], shape[1], n_slices) * 1000).astype(np.uint16)
+    # write slices shuffled to exercise sorting
+    order = list(range(n_slices))
+    rng.shuffle(order)
+    for i in order:
+        write_test_dicom(
+            os.path.join(folder, "slice%02d.dcm" % i),
+            vol[:, :, i],
+            ipp=(0, 0, 3.0 * i),
+            instance=i + 1,
+        )
+    return vol
+
+
+def test_read_dicom_fields(tmp_path):
+    vol = make_series(str(tmp_path))
+    f = read_dicom(str(tmp_path / "slice00.dcm"))
+    assert f["series_uid"].decode().strip("\x00") == "1.2.3.4"
+    assert struct.unpack("<H", f["rows"][:2])[0] == 8
+
+
+def test_series_to_volume_sorting(tmp_path):
+    vol = make_series(str(tmp_path))
+    paths = [str(tmp_path / f) for f in sorted(os.listdir(tmp_path))]
+    got, spacing, affine = series_to_volume(paths)
+    assert got.shape == (8, 10, 5)
+    np.testing.assert_allclose(got, vol.astype(np.float32))
+    np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+    assert affine.shape == (4, 4)
+
+
+def test_convert_directory(tmp_path):
+    src = tmp_path / "dicom"
+    os.makedirs(src)
+    make_series(str(src))
+    out = tmp_path / "nii"
+    written = convert_directory(str(src), str(out), verbose=False)
+    assert len(written) == 1
+    from deepwmh_tpu.core import nifti
+
+    data, hdr = nifti.load_nifti(written[0])
+    assert data.shape == (8, 10, 5)
+    assert [round(z, 3) for z in hdr.zooms[:3]] == [2.0, 2.0, 3.0]
+
+
+def test_non_dicom_rejected(tmp_path):
+    p = str(tmp_path / "x.dcm")
+    with open(p, "wb") as f:
+        f.write(b"not dicom")
+    import pytest
+
+    from deepwmh_tpu.core.dicom import DicomError
+
+    with pytest.raises(DicomError):
+        read_dicom(p)

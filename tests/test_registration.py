@@ -1,0 +1,121 @@
+import numpy as np
+import jax.numpy as jnp
+
+from deepwmh_tpu.ops.warp import affine_warp
+from deepwmh_tpu.registration.affine import (
+    AffineConfig,
+    apply_affine,
+    invert_affine,
+    register_affine,
+)
+from deepwmh_tpu.registration.similarity import (
+    lncc,
+    mutual_information,
+    winsorize_rescale,
+)
+from deepwmh_tpu.registration.svf import SVFConfig, register_svf
+
+
+def make_brain(shape=(32, 32, 32), seed=0):
+    rng = np.random.RandomState(seed)
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    r = np.sqrt(sum(a**2 for a in g))
+    vol = np.where(r < 0.7, 200.0, 0.0) + np.where(r < 0.4, 100.0, 0.0)
+    vol += 10 * rng.rand(*shape)
+    # off-center bright structure to break rotational symmetry
+    vol[8:14, 18:26, 10:18] += 150
+    vol[20:24, 6:12, 20:26] += 120
+    return vol.astype(np.float32)
+
+
+def test_mi_prefers_aligned(rng):
+    a = jnp.asarray(winsorize_rescale(jnp.asarray(make_brain())))
+    shifted = np.roll(np.asarray(a), 5, axis=0)
+    mi_self = float(mutual_information(a, a))
+    mi_shift = float(mutual_information(a, jnp.asarray(shifted)))
+    assert mi_self > mi_shift
+
+
+def test_lncc_prefers_aligned(rng):
+    a = jnp.asarray(winsorize_rescale(jnp.asarray(make_brain())))
+    shifted = jnp.asarray(np.roll(np.asarray(a), 4, axis=1))
+    assert float(lncc(a, a)) > float(lncc(a, shifted))
+    assert float(lncc(a, a)) > 0.95
+
+
+def test_affine_recovers_translation():
+    fixed = make_brain()
+    # moving = fixed shifted by 3 voxels along axis 0 (content moved +3)
+    mat = np.eye(3, 4, dtype=np.float32)
+    mat[0, 3] = -3.0
+    moving = np.asarray(affine_warp(jnp.asarray(fixed), mat))
+    cfg = AffineConfig(shrinks=(2,), iters=(120,), do_affine=False)
+    got, loss = register_affine(fixed, moving, cfg=cfg)
+    # moving(o) = fixed(o-3): moving content sits at +3, so the fixed->moving
+    # map is x -> x+3
+    assert abs(got[0, 3] - 3.0) < 1.0, got
+    assert abs(got[1, 3]) < 1.0 and abs(got[2, 3]) < 1.0
+    warped = np.asarray(
+        apply_affine(moving, got, fixed.shape, (1, 1, 1), (1, 1, 1))
+    )
+    cc_before = np.corrcoef(fixed.ravel(), moving.ravel())[0, 1]
+    cc_after = np.corrcoef(fixed.ravel(), warped.ravel())[0, 1]
+    assert cc_after > cc_before
+    assert cc_after > 0.95
+
+
+def test_affine_recovers_rotation():
+    from deepwmh_tpu.ops.warp import rotation_matrix
+
+    fixed = make_brain()
+    R = np.asarray(rotation_matrix(jnp.array([0.0, 0.0, 0.15])))
+    mat = np.concatenate([R, np.zeros((3, 1), np.float32)], axis=1)
+    c = np.array([15.5, 15.5, 15.5], np.float32)
+    moving = np.asarray(affine_warp(jnp.asarray(fixed), mat, center=c))
+    cfg = AffineConfig(shrinks=(2, 1), iters=(120, 60))
+    got, _ = register_affine(fixed, moving, cfg=cfg)
+    warped = np.asarray(apply_affine(moving, got, fixed.shape, (1, 1, 1), (1, 1, 1)))
+    mask = fixed > 50
+    cc_before = np.corrcoef(fixed[mask], moving[mask])[0, 1]
+    cc_after = np.corrcoef(fixed[mask], warped[mask])[0, 1]
+    assert cc_after > cc_before
+    assert cc_after > 0.9
+
+
+def test_invert_affine():
+    m = np.eye(3, 4)
+    m[:, 3] = [1, 2, 3]
+    inv = invert_affine(m)
+    np.testing.assert_allclose(inv[:, 3], [-1, -2, -3], atol=1e-6)
+
+
+def test_svf_improves_alignment():
+    from deepwmh_tpu.ops.warp import displacement_warp
+
+    fixed = make_brain()
+    # smooth synthetic deformation
+    zz = np.linspace(0, np.pi, 32)
+    bump = 2.0 * np.sin(zz)[:, None, None] * np.ones((32, 32, 32))
+    disp_true = np.stack([bump, 0.5 * bump, np.zeros_like(bump)]).astype(np.float32)
+    moving = np.asarray(displacement_warp(jnp.asarray(fixed), jnp.asarray(disp_true)))
+
+    cfg = SVFConfig(shrinks=(2,), iters=(80,), lncc_radius=2)
+    disp, loss = register_svf(fixed, moving, cfg=cfg)
+    assert disp.shape == (3, 32, 32, 32)
+    warped = np.asarray(displacement_warp(jnp.asarray(moving), jnp.asarray(disp)))
+    mask = fixed > 50
+    cc_before = np.corrcoef(fixed[mask], moving[mask])[0, 1]
+    cc_after = np.corrcoef(fixed[mask], warped[mask])[0, 1]
+    assert cc_after > cc_before
+
+
+def test_apply_affine_svf_identity():
+    from deepwmh_tpu.registration.svf import apply_affine_svf
+
+    vol = make_brain()
+    eye = np.eye(3, 4, dtype=np.float32)
+    disp = np.zeros((3, 32, 32, 32), np.float32)
+    out = np.asarray(
+        apply_affine_svf(vol, eye, disp, (32, 32, 32), (1, 1, 1), (1, 1, 1))
+    )
+    np.testing.assert_allclose(out, vol, atol=1e-4)
