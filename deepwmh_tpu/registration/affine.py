@@ -137,6 +137,19 @@ def _optimize_level(
     return params, losses[-1]
 
 
+def feasible_levels(shrinks, iters, shape, min_dim: int = 8):
+    """Drop pyramid levels too coarse for this volume (each level must keep
+    every axis >= min_dim); always keep at least the finest requested."""
+    out_s, out_i = [], []
+    for s, it in zip(shrinks, iters):
+        if min(shape) // s >= min_dim:
+            out_s.append(s)
+            out_i.append(it)
+    if not out_s:
+        out_s, out_i = [1], [iters[-1]]
+    return tuple(out_s), tuple(out_i)
+
+
 def register_affine(
     fixed,
     moving,
@@ -145,7 +158,11 @@ def register_affine(
     cfg: AffineConfig = None,
 ):
     """Returns (matrix 3x4 numpy, final_loss): fixed phys -> moving phys."""
+    import dataclasses
+
     cfg = cfg or AffineConfig()
+    shr, its = feasible_levels(cfg.shrinks, cfg.iters, fixed.shape)
+    cfg = dataclasses.replace(cfg, shrinks=shr, iters=its)
     fixed = winsorize_rescale(jnp.asarray(fixed, jnp.float32))
     moving = winsorize_rescale(jnp.asarray(moving, jnp.float32))
     fsp = jnp.asarray(fixed_spacing, jnp.float32)

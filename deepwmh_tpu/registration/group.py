@@ -98,16 +98,9 @@ class GroupRegistration:
 
     @staticmethod
     def _feasible_levels(cfg_shrinks, cfg_iters, shape, min_dim: int = 8):
-        """Drop pyramid levels too coarse for this volume (each level must
-        keep every axis >= min_dim); always keep at least the finest."""
-        shrinks, iters = [], []
-        for s, it in zip(cfg_shrinks, cfg_iters):
-            if min(shape) // s >= min_dim:
-                shrinks.append(s)
-                iters.append(it)
-        if not shrinks:
-            shrinks, iters = [1], [cfg_iters[-1]]
-        return tuple(shrinks), tuple(iters)
+        from deepwmh_tpu.registration.affine import feasible_levels
+
+        return feasible_levels(cfg_shrinks, cfg_iters, shape, min_dim)
 
     def register_pair(self, s_case, s_path, t_case, t_path, verbose=True):
         paths = self._pair_paths(s_case, t_case)

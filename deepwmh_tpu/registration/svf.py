@@ -149,7 +149,13 @@ def _downsample(x, factor: int):
 def register_svf(fixed, moving, cfg: SVFConfig = None):
     """fixed/moving on the SAME grid. Returns (disp [3,D,H,W] voxel units,
     final_loss). moving o (id + disp) ~= fixed."""
+    import dataclasses
+
+    from deepwmh_tpu.registration.affine import feasible_levels
+
     cfg = cfg or SVFConfig()
+    shr, its = feasible_levels(cfg.shrinks, cfg.iters, fixed.shape)
+    cfg = dataclasses.replace(cfg, shrinks=shr, iters=its)
     fixed = winsorize_rescale(jnp.asarray(fixed, jnp.float32))
     moving = winsorize_rescale(jnp.asarray(moving, jnp.float32))
 

@@ -1,0 +1,129 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from deepwmh_tpu.ops.selection import (
+    binarize_image,
+    gaussian_noise_2x2x2,
+    select_components,
+)
+from deepwmh_tpu.eval.colormaps import apply_colormap, list_colormaps
+from deepwmh_tpu.eval.stats import (
+    VisualScoreEvaluation,
+    boxplot_compare,
+    component_dice_scatter,
+    nuisance_regression,
+    paired_test,
+    significance_stars,
+)
+from deepwmh_tpu.utils.misc import contain_duplicates, minibar, remove_duplicates
+from deepwmh_tpu.utils.table import render_table
+
+
+def test_select_components_modes():
+    m = np.zeros((10, 10, 10), np.float32)
+    m[1:3, 1:3, 1:3] = 1  # comp A: inside selection
+    m[6:9, 6:9, 6:9] = 1  # comp B: partially crossing
+    sel = np.zeros_like(m)
+    sel[0:5, 0:5, 0:5] = 1
+    sel[6:7, 6:7, 6:7] = 1
+    win = np.asarray(select_components(jnp.asarray(m), jnp.asarray(sel), "window"))
+    cross = np.asarray(select_components(jnp.asarray(m), jnp.asarray(sel), "crossing"))
+    maskd = np.asarray(select_components(jnp.asarray(m), jnp.asarray(sel), "masking"))
+    assert win[2, 2, 2] == 1 and win[7, 7, 7] == 0  # only fully-inside A
+    assert cross[2, 2, 2] == 1 and cross[7, 7, 7] == 1  # both selected
+    assert maskd[6, 6, 6] == 1 and maskd[7, 7, 7] == 0  # plain intersection
+
+
+def test_gaussian_noise_2x2x2():
+    n = gaussian_noise_2x2x2((9, 8, 7), 1.0, seed=0)
+    assert n.shape == (9, 8, 7)
+    # 2x2x2 blocks are constant
+    assert n[0, 0, 0] == n[1, 1, 1] == n[0, 1, 0]
+    assert abs(n.std() - 1.0) < 0.2
+
+
+def test_binarize_image(tmp_path, rng):
+    from deepwmh_tpu.core import nifti
+
+    p = str(tmp_path / "x.nii.gz")
+    nifti.save_nifti_simple(rng.rand(5, 5, 5).astype(np.float32), p)
+    out = binarize_image(p, 0.5, save_file=str(tmp_path / "b.nii.gz"))
+    assert set(np.unique(out)).issubset({0.0, 1.0})
+    assert os.path.isfile(str(tmp_path / "b.nii.gz"))
+
+
+def test_colormaps(rng):
+    v = rng.rand(6, 6)
+    for name in list_colormaps():
+        rgb = apply_colormap(v, name)
+        assert rgb.shape == (6, 6, 3)
+        assert rgb.dtype == np.uint8
+    gray = apply_colormap(np.array([0.0, 1.0]), "grayscale")
+    np.testing.assert_array_equal(gray[0], [0, 0, 0])
+    np.testing.assert_array_equal(gray[1], [255, 255, 255])
+
+
+def test_stats_paired(rng):
+    a = rng.rand(20)
+    b = a + 0.5  # clearly different
+    p = paired_test(a, b, "wilcoxon")
+    assert p < 0.01
+    assert significance_stars(p) in ("**", "***")
+    assert paired_test(a, a) == 1.0
+    resid, beta = nuisance_regression(2 * np.arange(10.0) + 3, np.arange(10.0))
+    np.testing.assert_allclose(resid, 0, atol=1e-8)
+    np.testing.assert_allclose(beta, [3, 2], atol=1e-8)
+
+
+def test_stats_plots(tmp_path, rng):
+    groups = [rng.rand(15), rng.rand(15) + 0.3]
+    f1 = str(tmp_path / "box.png")
+    boxplot_compare(groups, ["a", "b"], f1, paired_pairs=[(0, 1)])
+    assert os.path.getsize(f1) > 1000
+    pairs = [(int(v), float(d)) for v, d in zip(rng.randint(1, 1000, 40), rng.rand(40))]
+    f2 = str(tmp_path / "scatter.png")
+    component_dice_scatter(pairs, f2, n_boot=20)
+    assert os.path.getsize(f2) > 1000
+
+
+def test_visual_score_harness(tmp_path):
+    ev = VisualScoreEvaluation(str(tmp_path / "vs"), seed=1)
+    ev.add_entry("c1", "ours", "p1.gif")
+    ev.add_entry("c1", "baseline", "p2.gif")
+    ev.add_entry("c2", "ours", "p3.gif")
+    sheet, key = ev.make_blinded_sheet()
+    # rater fills scores
+    import csv
+
+    rows = list(csv.DictReader(open(sheet)))
+    for i, r in enumerate(rows):
+        r["score"] = str(i + 1)
+    with open(sheet, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["blind_id", "preview", "score"])
+        w.writeheader()
+        w.writerows(rows)
+    scores = VisualScoreEvaluation.unblind(sheet, key)
+    assert sorted(scores.keys()) == ["baseline", "ours"]
+    assert len(scores["ours"]) == 2
+
+
+def test_misc_utils():
+    assert contain_duplicates([1, 2, 1])
+    assert not contain_duplicates([1, 2, 3])
+    assert remove_duplicates([3, 1, 3, 2]) == [3, 1, 2]
+    bar = minibar(0.5, width=10, msg="x")
+    assert "#####" in bar and "50%" in bar
+    t = render_table(["a", "bb"], [["1", "2"], ["333", "4"]])
+    assert "333" in t and "| a " in t
+
+
+def test_stage_timer():
+    from deepwmh_tpu.utils.profiling import StageTimer
+
+    st = StageTimer()
+    with st.stage("foo"):
+        pass
+    assert "foo" in st.durations
+    assert "foo" in st.summary()
