@@ -197,11 +197,32 @@ def main(argv=None):
                         default="full", help="[Advanced] Run a pipeline prefix.")
     parser.add_argument("--distributed", type=str, default=None,
                         help="[Advanced] 'a/b': run registration shard a of b.")
+    parser.add_argument("--stage2-epochs", type=int, default=None,
+                        help="[Advanced] Override the 50-epoch denoiser budget.")
+    parser.add_argument("--stage3-epochs", type=int, default=None,
+                        help="[Advanced] Override the 100-epoch final budget.")
+    parser.add_argument("--batches-per-epoch", type=int, default=None,
+                        help="[Advanced] Override the 150 batches/epoch budget.")
+    parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 
     if not args.skip_integrity_check and not check_system_integrity():
         raise SystemExit(1)
+
+    budget = None
+    overrides = {
+        "stage2_epochs": args.stage2_epochs,
+        "stage3_epochs": args.stage3_epochs,
+        "batches_per_epoch": args.batches_per_epoch,
+        "batch_size": args.batch_size,
+    }
+    overrides = {k: v for k, v in overrides.items() if v is not None}
+    if overrides:
+        from deepwmh_tpu.pipeline.multistage import StageBudget
+
+        budget = StageBudget(**overrides)
+
     run_train(
         args.reference,
         args.training,
@@ -211,6 +232,7 @@ def main(argv=None):
         skip_bfc=args.skip_bfc,
         run_stages=args.run_stages,
         distributed=args.distributed,
+        budget=budget,
     )
 
 

@@ -1,0 +1,58 @@
+"""Device mesh / distributed runtime helpers.
+
+The reference's only 'distribution' is a shared filesystem plus manually
+launched shards (SURVEY.md §2.2). The TPU framework's equivalents:
+
+- data-parallel training over a `jax.sharding.Mesh` (unet/train.py — XLA
+  inserts the gradient all-reduce over ICI),
+- sharded sliding-window inference (parallel/infer_sharded.py — patch
+  positions split across the dp axis, partial Gaussian accumulators summed
+  with one psum),
+- `init_distributed()` for multi-host pods (jax.distributed over DCN),
+- subject-level fan-out stays embarrassingly parallel: shards of the
+  registration pair list via `--distributed a/b` exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_mesh(n_devices: int = None, axis: str = "dp"):
+    """A 1-D data-parallel mesh over the first n local (or all) devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def init_distributed(coordinator: str = None, num_processes: int = None,
+                     process_id: int = None):
+    """Initialize jax.distributed for multi-host execution (DCN). No-op for
+    single-process runs."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def device_info() -> dict:
+    import jax
+
+    devs = jax.devices()
+    return {
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "local_device_count": jax.local_device_count(),
+        "process_count": jax.process_count(),
+        "platforms": sorted({d.platform for d in devs}),
+    }

@@ -68,28 +68,39 @@ def compute_steps(image_size, patch_size, step_fraction: float = 0.5):
     return steps
 
 
-def patch_positions(image_size, patch_size, step_fraction: float = 0.5):
-    """All patch start positions as an int32 [P, 3] array, padded up to a
-    POS_BUCKET multiple by repeating the last position (duplicates add the
-    same Gaussian contribution to numerator and denominator — harmless)."""
+def patch_positions(image_size, patch_size, step_fraction: float = 0.5,
+                    bucket_multiple: int = 1):
+    """All patch start positions as an int32 [P, 3] array plus a float32 [P]
+    validity weight, padded up to a POS_BUCKET*bucket_multiple multiple by
+    repeating the last position with weight 0. (Padding with weight-1
+    duplicates would BIAS the Gaussian-weighted average wherever the
+    duplicated patch overlaps other patches — the duplicate's contribution
+    is double-counted against its neighbors'.)"""
     steps = compute_steps(image_size, patch_size, step_fraction)
     pos = np.array(list(itertools.product(*steps)), dtype=np.int32)
-    bucket = int(math.ceil(len(pos) / POS_BUCKET) * POS_BUCKET)
-    if bucket > len(pos):
-        pos = np.concatenate([pos, np.repeat(pos[-1:], bucket - len(pos), axis=0)])
-    return jnp.asarray(pos)
+    n_real = len(pos)
+    unit = POS_BUCKET * bucket_multiple
+    bucket = int(math.ceil(n_real / unit) * unit)
+    if bucket > n_real:
+        pos = np.concatenate([pos, np.repeat(pos[-1:], bucket - n_real, axis=0)])
+    w = np.zeros(bucket, np.float32)
+    w[:n_real] = 1.0
+    return jnp.asarray(pos), jnp.asarray(w)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("apply_fn", "patch_size", "num_classes", "flips"),
-)
-def _sliding_window(params, volume, positions, gauss, apply_fn, patch_size, num_classes, flips):
-    """volume: [D,H,W] padded; positions: [P,3]; returns softmax [D,H,W,C]."""
+def accumulate_patches(params, volume, positions, pos_weights, gauss, apply_fn, patch_size, num_classes, flips, varying_axis=None):
+    """Core sweep: scan the patch positions, returning the UN-normalized
+    Gaussian-weighted (acc [D,H,W,C], wt [D,H,W]) accumulators. Shared by
+    the single-chip jit and the mesh-sharded path (partial accumulators are
+    psum-merged there; pass `varying_axis` so the zero-initialized carry is
+    marked device-varying under shard_map)."""
     D, H, W = volume.shape
     C = num_classes
     acc = jnp.zeros((D, H, W, C), jnp.float32)
     wt = jnp.zeros((D, H, W), jnp.float32)
+    if varying_axis is not None:
+        acc = jax.lax.pvary(acc, (varying_axis,))
+        wt = jax.lax.pvary(wt, (varying_axis,))
 
     def forward(patch):
         # patch: [d,h,w] -> probs [d,h,w,C], averaged over mirror flips
@@ -107,12 +118,14 @@ def _sliding_window(params, volume, positions, gauss, apply_fn, patch_size, num_
             total = total + probs
         return total / len(flips)
 
-    def body(carry, pos):
+    def body(carry, pos_w):
         acc, wt = carry
+        pos, w = pos_w
         pos = (pos[0], pos[1], pos[2])
         patch = jax.lax.dynamic_slice(volume, pos, patch_size)
         probs = forward(patch)
-        contrib = gauss[..., None] * probs
+        g = gauss * w  # w=0 for padded positions: no contribution
+        contrib = g[..., None] * probs
         cur = jax.lax.dynamic_slice(
             acc, (pos[0], pos[1], pos[2], 0), patch_size + (C,)
         )
@@ -120,10 +133,23 @@ def _sliding_window(params, volume, positions, gauss, apply_fn, patch_size, num_
             acc, cur + contrib, (pos[0], pos[1], pos[2], 0)
         )
         cur_w = jax.lax.dynamic_slice(wt, pos, patch_size)
-        wt = jax.lax.dynamic_update_slice(wt, cur_w + gauss, pos)
+        wt = jax.lax.dynamic_update_slice(wt, cur_w + g, pos)
         return (acc, wt), None
 
-    (acc, wt), _ = jax.lax.scan(body, (acc, wt), positions)
+    (acc, wt), _ = jax.lax.scan(body, (acc, wt), (positions, pos_weights))
+    return acc, wt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "patch_size", "num_classes", "flips"),
+)
+def _sliding_window(params, volume, positions, pos_weights, gauss, apply_fn, patch_size, num_classes, flips):
+    """volume: [D,H,W] padded; positions: [P,3]; returns softmax [D,H,W,C]."""
+    acc, wt = accumulate_patches(
+        params, volume, positions, pos_weights, gauss, apply_fn, patch_size,
+        num_classes, flips
+    )
     return acc / jnp.maximum(wt, 1e-8)[..., None]
 
 
@@ -147,12 +173,13 @@ class SlidingWindowPredictor:
         orig = vol.shape
         target = padded_shape(orig, self.patch_size)
         vol = pad_to(vol, target)
-        pos = patch_positions(target, self.patch_size, self.step_fraction)
+        pos, pos_w = patch_positions(target, self.patch_size, self.step_fraction)
         flips = ALL_FLIPS if self.tta else NO_FLIPS
         probs = _sliding_window(
             self.params,
             vol,
             pos,
+            pos_w,
             self.gauss,
             self._apply,
             self.patch_size,

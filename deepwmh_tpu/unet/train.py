@@ -142,14 +142,14 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         params, opt_state = self.init_state(rng)
         start_epoch = 0
-        best_metric = -1.0
+        best_metric = -float("inf")  # noval metrics (= -loss) can be < -1
 
         if resume and ckpt.checkpoint_exists(self.out_dir, ckpt.MODEL_LATEST):
             params, opt_state, meta = ckpt.load_checkpoint(
                 self.out_dir, ckpt.MODEL_LATEST, params, opt_state
             )
             start_epoch = int(meta.get("epoch", 0))
-            best_metric = float(meta.get("best_metric", -1.0))
+            best_metric = float(meta.get("best_metric", -float("inf")))
             self.log("resumed from model_latest at epoch %d" % start_epoch)
 
         np_rng = np.random.RandomState(cfg.seed + start_epoch)

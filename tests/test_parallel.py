@@ -1,0 +1,49 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepwmh_tpu.parallel.mesh import device_info, make_mesh
+from deepwmh_tpu.parallel.infer_sharded import ShardedSlidingWindowPredictor
+from deepwmh_tpu.unet.infer import SlidingWindowPredictor
+from deepwmh_tpu.unet.model import UNet3D, init_params
+from deepwmh_tpu.unet.plan import Plan
+
+
+def tiny_plan():
+    return Plan(
+        target_spacing=[1.0, 1.0, 1.0],
+        patch_size=[16, 16, 16],
+        batch_size=2,
+        pool_kernels=[[2, 2, 2], [2, 2, 2]],
+        conv_kernels=[[3, 3, 3]] * 3,
+        base_features=4,
+        max_features=8,
+    )
+
+
+def test_device_info():
+    info = device_info()
+    assert info["device_count"] >= 1
+    assert info["backend"] == "cpu"  # forced in conftest
+
+
+def test_sharded_inference_matches_single(rng):
+    n = min(8, jax.device_count())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(n)
+    plan = tiny_plan()
+    model = UNet3D(plan=plan)
+    params = init_params(model, jax.random.PRNGKey(0))
+    vol = jnp.asarray(rng.rand(24, 20, 28), jnp.float32)
+
+    single = SlidingWindowPredictor(model, params, plan, tta=False)
+    want = np.asarray(single.predict_volume(vol))
+
+    sharded = ShardedSlidingWindowPredictor(model, params, plan, mesh, tta=False)
+    got = np.asarray(sharded.predict_volume(vol))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-4)

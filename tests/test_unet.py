@@ -80,9 +80,14 @@ def test_compute_steps():
     assert steps[0] == [0, 8, 16]
     assert steps[1] == [0]
     assert steps[2][0] == 0 and steps[2][-1] == 24
-    pos = np.asarray(patch_positions((32, 16, 40), (16, 16, 16)))
+    pos, pos_w = patch_positions((32, 16, 40), (16, 16, 16))
+    pos = np.asarray(pos)
     assert pos.shape[0] % 8 == 0
     assert (pos >= 0).all()
+    # padded entries carry zero weight (no bias from duplicates)
+    n_real = 3 * 1 * 4  # steps: [0,8,16] x [0] x [0,8,16,24]
+    np.testing.assert_allclose(np.asarray(pos_w)[:n_real], 1.0)
+    np.testing.assert_allclose(np.asarray(pos_w)[n_real:], 0.0)
 
 
 def test_sliding_window_inference(rng):
