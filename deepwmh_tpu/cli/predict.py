@@ -137,6 +137,10 @@ def main(argv=None):
                         help="[Advanced] Disable mirror test-time augmentation (8x faster).")
     parser.add_argument("--no-previews", action="store_true",
                         help="[Advanced] Skip GIF preview rendering.")
+    parser.add_argument("--checkpoint", type=str, default="model_best",
+                        help="[Advanced] Checkpoint to load from the model dir "
+                        "(e.g. model_best, model_latest, model_ep_0042) — the "
+                        "nnU-Net fork's -chk role.")
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 
@@ -163,6 +167,7 @@ def main(argv=None):
         skip_bfc=args.skip_bfc,
         tta=not args.disable_tta,
         make_previews=not args.no_previews,
+        checkpoint_name=args.checkpoint,
     )
 
 

@@ -104,19 +104,26 @@ def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE):
     vmax = jnp.where(vmax > vmin, vmax, vmin + 1.0)
     width = (vmax - vmin) / (nbins - 1)
 
-    # triangular (linear) binning like ITK
+    # triangular (linear) binning like ITK. Computed as a dense
+    # compare-reduce rather than a scatter-add: 1M updates all colliding
+    # into 200 bins serialize TPU scatters, while sum-over-voxels per bin
+    # chunk is pure VPU work that XLA fuses without materializing [N, B].
     pos = (v - vmin) / jnp.maximum(width, 1e-30)
+    pos = jnp.clip(pos, 0.0, float(nbins - 1))
+    pos_flat = pos.reshape(-1)
+    w = mask.reshape(-1)
+    CHUNK = 25
+    parts = []
+    for b0 in range(0, nbins, CHUNK):
+        centers_chunk = jnp.arange(b0, b0 + CHUNK, dtype=jnp.float32)
+        tri = jnp.maximum(
+            1.0 - jnp.abs(pos_flat[:, None] - centers_chunk[None, :]), 0.0
+        )
+        parts.append(jnp.sum(tri * w[:, None], axis=0))
+    hist = jnp.concatenate(parts)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nbins - 1)
     hi = jnp.clip(lo + 1, 0, nbins - 1)
     frac = pos - jnp.floor(pos)
-    w = mask.reshape(-1)
-    hist = (
-        jnp.zeros((nbins,), jnp.float32)
-        .at[lo.reshape(-1)]
-        .add(w * (1 - frac.reshape(-1)))
-        .at[hi.reshape(-1)]
-        .add(w * frac.reshape(-1))
-    )
 
     # Wiener deconvolution with a Gaussian of given FWHM (in bin units)
     pad_n = nbins * 2

@@ -103,19 +103,23 @@ def accumulate_patches(params, volume, positions, pos_weights, gauss, apply_fn, 
         wt = jax.lax.pvary(wt, (varying_axis,))
 
     def forward(patch):
-        # patch: [d,h,w] -> probs [d,h,w,C], averaged over mirror flips
-        x = patch[None, :, :, :, None]
-        total = jnp.zeros(patch.shape + (C,), jnp.float32)
+        # patch: [d,h,w] -> probs [d,h,w,C], averaged over mirror flips.
+        # All flips run as ONE batched forward: 8 sequential batch-1 3D
+        # convolutions underutilize the MXU, one batch-8 pass fills it.
+        xs = []
         for flip in flips:
-            axes = tuple(i + 1 for i, f in enumerate(flip) if f)
-            xf = jnp.flip(x, axes) if axes else x
-            logits = apply_fn(params, xf)
-            if isinstance(logits, (list, tuple)):
-                logits = logits[0]
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
-            if axes:
-                probs = jnp.flip(probs, tuple(a - 1 for a in axes))
-            total = total + probs
+            axes = tuple(i for i, f in enumerate(flip) if f)
+            xs.append(jnp.flip(patch, axes) if axes else patch)
+        x = jnp.stack(xs)[..., None]  # [F, d, h, w, 1]
+        logits = apply_fn(params, x)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[0]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # [F,...]
+        total = jnp.zeros(patch.shape + (C,), jnp.float32)
+        for i, flip in enumerate(flips):
+            axes = tuple(a for a, f in enumerate(flip) if f)
+            p = jnp.flip(probs[i], axes) if axes else probs[i]
+            total = total + p
         return total / len(flips)
 
     def body(carry, pos_w):
@@ -123,7 +127,14 @@ def accumulate_patches(params, volume, positions, pos_weights, gauss, apply_fn, 
         pos, w = pos_w
         pos = (pos[0], pos[1], pos[2])
         patch = jax.lax.dynamic_slice(volume, pos, patch_size)
-        probs = forward(patch)
+        # skip the (expensive) forward entirely for zero-weight padding
+        def zeros_branch(p):
+            z = jnp.zeros(patch_size + (C,), jnp.float32)
+            if varying_axis is not None:
+                z = jax.lax.pvary(z, (varying_axis,))
+            return z
+
+        probs = jax.lax.cond(w > 0, forward, zeros_branch, patch)
         g = gauss * w  # w=0 for padded positions: no contribution
         contrib = g[..., None] * probs
         cur = jax.lax.dynamic_slice(
@@ -188,14 +199,56 @@ class SlidingWindowPredictor:
         )
         return probs[: orig[0], : orig[1], : orig[2]]
 
-    def predict_case(self, data, spacing):
+    def predict_case(self, data, spacing, apply_n4: bool = False):
         """Raw volume + spacing -> (segmentation uint8, fg probability) in
-        the ORIGINAL grid. Resamples to plan spacing, sweeps, resamples the
-        softmax back linearly (channel-sum preserved => argmax == fg>0.5)."""
-        orig_shape = np.asarray(data).shape
-        vol = preprocess_case(jnp.asarray(data, jnp.float32), spacing, self.plan)
-        probs = self.predict_volume(vol)
-        fg = probs[..., 1]
-        fg_orig = resample_to_shape(fg, orig_shape, order=1)
-        seg = (fg_orig > 0.5).astype(jnp.uint8)
-        return seg, fg_orig
+        the ORIGINAL grid.
+
+        The WHOLE case pipeline — optional N4, resample to plan spacing,
+        z-score, pad, sliding-window sweep, resample softmax back, threshold
+        — is ONE jitted program per input shape: eager per-op dispatch costs
+        hundreds of ms per op through remote-attached TPUs, so nothing runs
+        outside jit. (Softmax channel-sums are preserved by the linear
+        resample back, so argmax == fg > 0.5.)"""
+        data = jnp.asarray(data, jnp.float32)
+        key = (data.shape, tuple(round(float(s), 4) for s in spacing), apply_n4)
+        if not hasattr(self, "_case_cache"):
+            self._case_cache = {}
+        if key not in self._case_cache:
+            self._case_cache[key] = self._build_case_fn(
+                data.shape, tuple(float(s) for s in spacing), apply_n4
+            )
+        return self._case_cache[key](self.params, data)
+
+    def _build_case_fn(self, orig_shape, spacing, apply_n4):
+        plan = self.plan
+        patch_size = self.patch_size
+        gauss = self.gauss
+        apply_fn = self._apply
+        flips = ALL_FLIPS if self.tta else NO_FLIPS
+        C = int(plan.num_classes)
+        # static geometry: resampled + padded shapes, patch positions
+        res_shape = tuple(
+            max(int(round(orig_shape[a] * spacing[a] / plan.target_spacing[a])), 1)
+            for a in range(3)
+        )
+        target = padded_shape(res_shape, patch_size)
+        pos, pos_w = patch_positions(target, patch_size, self.step_fraction)
+
+        def fn(params, raw):
+            vol = raw
+            if apply_n4:
+                from deepwmh_tpu.ops.n4 import n4_bias_correction
+
+                vol = n4_bias_correction(vol)
+            vol = preprocess_case(vol, spacing, plan)
+            vol = pad_to(vol, target)
+            acc, wt = accumulate_patches(
+                params, vol, pos, pos_w, gauss, apply_fn, patch_size, C, flips
+            )
+            probs = acc / jnp.maximum(wt, 1e-8)[..., None]
+            fg = probs[: res_shape[0], : res_shape[1], : res_shape[2], 1]
+            fg_orig = resample_to_shape(fg, orig_shape, order=1)
+            seg = (fg_orig > 0.5).astype(jnp.uint8)
+            return seg, fg_orig
+
+        return jax.jit(fn)

@@ -128,3 +128,54 @@ def test_preprocess_case_normalized(rng):
     assert vol.shape == (24, 12, 12)
     np.testing.assert_allclose(float(vol.mean()), 0.0, atol=1e-4)
     np.testing.assert_allclose(float(vol.std()), 1.0, atol=1e-3)
+
+
+def test_tta_flip_averaging_consistent(rng):
+    """Batched-TTA accumulation on a single exact-size patch must equal the
+    mean over flips of unflip(softmax(net(flip(patch)))) — the nnU-Net
+    mirror-TTA contract. (Tested at the accumulate level: flipping a whole
+    padded volume would change the patch tiling.)"""
+    import itertools
+
+    from deepwmh_tpu.unet.infer import (
+        ALL_FLIPS,
+        accumulate_patches,
+        gaussian_importance_map,
+    )
+
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(3))
+    vol = jnp.asarray(rng.rand(16, 16, 16), jnp.float32)
+
+    gauss = gaussian_importance_map((16, 16, 16))
+    pos = jnp.zeros((8, 3), jnp.int32)
+    pos_w = jnp.zeros((8,), jnp.float32).at[0].set(1.0)
+    apply_fn = lambda pr, x: model.apply({"params": pr}, x)
+    acc, wt = accumulate_patches(
+        params, vol, pos, pos_w, gauss, apply_fn, (16, 16, 16), 2, ALL_FLIPS
+    )
+    probs_tta = np.asarray(acc / wt[..., None])
+
+    total = np.zeros((16, 16, 16, 2), np.float32)
+    for flip in itertools.product((False, True), repeat=3):
+        axes = tuple(i for i, f in enumerate(flip) if f)
+        v = jnp.flip(vol, axes) if axes else vol
+        logits = model.apply({"params": params}, v[None, ..., None])[0]
+        pr = np.asarray(jax.nn.softmax(logits, axis=-1))
+        total += np.flip(pr, axes) if axes else pr
+    total /= 8
+    np.testing.assert_allclose(probs_tta, total, rtol=2e-2, atol=2e-3)
+
+
+def test_predict_case_with_n4(rng):
+    import jax
+
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(4))
+    pred = SlidingWindowPredictor(model, params, p, tta=False)
+    data = (rng.rand(20, 20, 16) * 200).astype(np.float32)
+    seg, fg = pred.predict_case(data, [1.0, 1.0, 1.0], apply_n4=True)
+    assert seg.shape == data.shape
+    assert np.isfinite(np.asarray(fg)).all()
