@@ -37,6 +37,11 @@ def main(argv=None):
                         help="More iterations for large anatomical differences.")
     parser.add_argument("--affine-only", action="store_true",
                         help="Skip the deformable stage.")
+    parser.add_argument("--learned", action="store_true",
+                        help="Amortized mode (the reference's VoxelMorph "
+                        "pathway): build an affine template, train one "
+                        "registration network on the cohort, register every "
+                        "pair with a single forward pass.")
     parser.add_argument("--distributed", type=str, default=None,
                         help="'a/b': run shard a (1-based) of b machines.")
     args = parser.parse_args(argv)
@@ -47,6 +52,17 @@ def main(argv=None):
     tgt = load_csv_simple(args.target, key_names=["case", "data"])
     sources = list(zip(src["case"], src["data"]))
     targets = list(zip(tgt["case"], tgt["data"]))
+
+    if args.learned:
+        from deepwmh_tpu.registration.learned_group import LearnedGroupRegistration
+
+        if args.distributed:
+            raise SystemExit("--learned trains one shared network; shard the "
+                             "pair list only in the classic mode.")
+        lg = LearnedGroupRegistration(sources, targets, args.output_folder)
+        lg.launch()
+        print("learned group registration finished.")
+        return
 
     reg = GroupRegistration(
         sources,
