@@ -42,6 +42,9 @@ def main(argv=None):
                         "pathway): build an affine template, train one "
                         "registration network on the cohort, register every "
                         "pair with a single forward pass.")
+    parser.add_argument("--batch-pairs", type=int, default=1,
+                        help="Register N same-geometry pairs simultaneously "
+                        "in one vmapped XLA program (TPU throughput).")
     parser.add_argument("--distributed", type=str, default=None,
                         help="'a/b': run shard a (1-based) of b machines.")
     args = parser.parse_args(argv)
@@ -75,7 +78,7 @@ def main(argv=None):
         deformable=not args.affine_only,
     )
     print("%d registration pair(s) in this shard." % len(reg.tasks))
-    reg.launch()
+    reg.launch(batch_pairs=args.batch_pairs)
     print("group registration finished.")
 
 

@@ -63,6 +63,7 @@ def run_train(
     budget=None,
     run_stages="full",
     distributed=None,
+    batch_pairs=1,
 ):
     from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
     from deepwmh_tpu.registration.group import (
@@ -127,7 +128,7 @@ def run_train(
         S, T, registration_folder, keep_deformation=True, quick=quick_registration,
         distributed=distributed,
     )
-    reg.launch()
+    reg.launch(batch_pairs=batch_pairs)
 
     # 003: propagate reference labels onto each training subject
     transformed_folder = mkdir(join_path(output_folder, "003_Transformed"))
@@ -204,6 +205,9 @@ def main(argv=None):
     parser.add_argument("--batches-per-epoch", type=int, default=None,
                         help="[Advanced] Override the 150 batches/epoch budget.")
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--batch-pairs", type=int, default=1,
+                        help="[Advanced] Register N same-geometry pairs "
+                        "simultaneously (vmapped; TPU throughput).")
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 
@@ -233,6 +237,7 @@ def main(argv=None):
         run_stages=args.run_stages,
         distributed=args.distributed,
         budget=budget,
+        batch_pairs=args.batch_pairs,
     )
 
 

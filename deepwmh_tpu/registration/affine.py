@@ -221,6 +221,91 @@ def register_affine(
     return np.asarray(mat), float(final_loss)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "iters", "lr", "metric", "mi_bins", "lncc_radius"),
+)
+def _optimize_level_batch(
+    fixed, moving, fixed_spacing, moving_spacing, params0, center,
+    mode, iters, lr, metric, mi_bins, lncc_radius,
+):
+    """vmapped _optimize_level over a leading pair axis: registers B pairs
+    in one XLA program — the TPU answer to the reference's 4-process pool
+    over the |refs| x |train| pair list (ANTs_group_registration.py:272)."""
+    return jax.vmap(
+        lambda f, m, p0, c: _optimize_level(
+            f, m, fixed_spacing, moving_spacing, p0, c,
+            mode=mode, iters=iters, lr=lr, metric=metric,
+            mi_bins=mi_bins, lncc_radius=lncc_radius,
+        )
+    )(fixed, moving, params0, center)
+
+
+def register_affine_batch(
+    fixed_stack,
+    moving_stack,
+    fixed_spacing=(1.0, 1.0, 1.0),
+    moving_spacing=(1.0, 1.0, 1.0),
+    cfg: AffineConfig = None,
+):
+    """Register B (fixed, moving) pairs simultaneously. All pairs share the
+    given spacings (group tasks by shape+spacing). Returns
+    (matrices [B,3,4] numpy, losses [B])."""
+    import dataclasses
+
+    cfg = cfg or AffineConfig()
+    fixed_stack = jnp.asarray(fixed_stack, jnp.float32)
+    moving_stack = jnp.asarray(moving_stack, jnp.float32)
+    B = fixed_stack.shape[0]
+    shr, its = feasible_levels(cfg.shrinks, cfg.iters, fixed_stack.shape[1:])
+    cfg = dataclasses.replace(cfg, shrinks=shr, iters=its)
+
+    fixed_stack = jax.vmap(winsorize_rescale)(fixed_stack)
+    moving_stack = jax.vmap(winsorize_rescale)(moving_stack)
+    fsp = jnp.asarray(fixed_spacing, jnp.float32)
+    msp = jnp.asarray(moving_spacing, jnp.float32)
+
+    centers = jax.vmap(lambda x: _center_of_mass(x, fsp))(fixed_stack)
+    coms_m = jax.vmap(lambda x: _center_of_mass(x, msp))(moving_stack)
+
+    rigid = jnp.zeros((B, 6), jnp.float32).at[:, 3:6].set(coms_m - centers)
+    affine = None
+    losses = jnp.zeros((B,), jnp.float32)
+
+    stages = (["rigid"] if cfg.do_rigid else []) + (
+        ["affine"] if cfg.do_affine else []
+    )
+    for mode in stages:
+        if mode == "affine":
+            if affine is None:
+                Rs = jax.vmap(lambda p: rotation_matrix(p[:3]))(rigid)
+                affine = jnp.concatenate(
+                    [(Rs - jnp.eye(3)[None]).reshape(B, 9), rigid[:, 3:6]], axis=1
+                )
+            params = affine
+        else:
+            params = rigid
+        for shrink, iters in zip(cfg.shrinks, cfg.iters):
+            f = jax.vmap(lambda x: _downsample(x, shrink))(fixed_stack)
+            m = jax.vmap(lambda x: _downsample(x, shrink))(moving_stack)
+            params, losses = _optimize_level_batch(
+                f, m, fsp * shrink, msp * shrink, params, centers,
+                mode=mode, iters=int(iters),
+                lr=float(cfg.lr) if mode == "rigid" else float(cfg.lr) * 0.5,
+                metric=cfg.metric, mi_bins=cfg.mi_bins,
+                lncc_radius=cfg.lncc_radius,
+            )
+        if mode == "rigid":
+            rigid = params
+        else:
+            affine = params
+
+    mode = stages[-1]
+    params = affine if mode == "affine" else rigid
+    mats = jax.vmap(lambda p, c: _params_to_matrix(p, c, mode))(params, centers)
+    return np.asarray(mats), np.asarray(losses)
+
+
 def apply_affine(
     moving, matrix, fixed_shape, fixed_spacing, moving_spacing, order=1
 ):

@@ -159,15 +159,122 @@ class GroupRegistration:
             )
         return paths
 
-    def launch(self, verbose: bool = True):
-        src = dict(self.sources)
-        tgt = dict(self.targets)
+    def launch(self, verbose: bool = True, batch_pairs: int = 1):
+        """batch_pairs > 1 registers same-geometry pairs simultaneously
+        (vmapped optimizer).
+
+        MEASURED (v5e, 96^3, quick config, B=4): 0.67x vs sequential — a
+        single pair already saturates the chip and the vmapped MI scatter
+        lowers poorly, so the default stays sequential. The reference
+        needed a 4-process pool because ANTs is single-core; the TPU
+        equivalent of that scaling is `--distributed a/b` across chips.
+        The batched path remains for backends where it wins."""
+        if batch_pairs > 1:
+            return self._launch_batched(batch_pairs, verbose=verbose)
         n = len(self.tasks)
         for i, (s, t) in enumerate(self.tasks):
             if verbose:
                 print("[%d/%d]" % (i + 1, n), end=" ")
             self.register_pair(s[0], s[1], t[0], t[1], verbose=verbose)
-        _ = (src, tgt)
+
+    def _launch_batched(self, batch_pairs: int, verbose: bool = True):
+        import dataclasses
+
+        from deepwmh_tpu.registration.affine import register_affine_batch
+        from deepwmh_tpu.registration.svf import register_svf_batch
+
+        # group remaining pairs by identical geometry
+        buckets = {}
+        for s, t in self.tasks:
+            paths = self._pair_paths(s[0], t[0])
+            if self._pair_done(paths):
+                if verbose:
+                    print("pair %s: already done, skip" % pair_name(s[0], t[0]))
+                continue
+            f_hdr = nifti.get_nifti_header(t[1])
+            m_hdr = nifti.get_nifti_header(s[1])
+            key = (
+                f_hdr.shape, m_hdr.shape,
+                tuple(round(z, 4) for z in f_hdr.zooms[:3]),
+                tuple(round(z, 4) for z in m_hdr.zooms[:3]),
+            )
+            buckets.setdefault(key, []).append((s, t))
+
+        for (f_shape, m_shape, f_sp, m_sp), pairs in buckets.items():
+            a_shr, a_it = self._feasible_levels(
+                self.affine_cfg.shrinks, self.affine_cfg.iters, f_shape
+            )
+            affine_cfg = dataclasses.replace(
+                self.affine_cfg, shrinks=a_shr, iters=a_it
+            )
+            s_shr, s_it = self._feasible_levels(
+                self.svf_cfg.shrinks, self.svf_cfg.iters, f_shape
+            )
+            svf_cfg = dataclasses.replace(self.svf_cfg, shrinks=s_shr, iters=s_it)
+
+            for i0 in range(0, len(pairs), batch_pairs):
+                chunk = pairs[i0 : i0 + batch_pairs]
+                if verbose:
+                    print(
+                        "batch registering %d pair(s): %s"
+                        % (len(chunk), [pair_name(s[0], t[0]) for s, t in chunk]),
+                        flush=True,
+                    )
+                fixed = np.stack([nifti.load_nifti_simple(t[1]) for _, t in chunk])
+                moving = np.stack([nifti.load_nifti_simple(s[1]) for s, _ in chunk])
+                mats, aff_losses = register_affine_batch(
+                    fixed, moving, f_sp, m_sp, cfg=affine_cfg
+                )
+                moving_on_fixed = np.stack(
+                    [
+                        np.asarray(
+                            apply_affine(
+                                moving[j], mats[j], f_shape, f_sp, m_sp, order=1
+                            )
+                        )
+                        for j in range(len(chunk))
+                    ]
+                )
+                if self.deformable:
+                    disps, svf_losses = register_svf_batch(
+                        fixed, moving_on_fixed, cfg=svf_cfg
+                    )
+                else:
+                    disps, svf_losses = None, [None] * len(chunk)
+
+                for j, (s, t) in enumerate(chunk):
+                    paths = self._pair_paths(s[0], t[0])
+                    f_hdr = nifti.get_nifti_header(t[1])
+                    if self.deformable:
+                        warped = np.asarray(
+                            apply_affine_svf(
+                                moving[j], mats[j], disps[j], f_shape, f_sp, m_sp,
+                                order=1,
+                            )
+                        )
+                    else:
+                        warped = moving_on_fixed[j]
+                    mkdir(paths["dir"])
+                    nifti.save_nifti(warped, f_hdr, paths["image"])
+                    atomic_write_json(
+                        {
+                            "matrix": np.asarray(mats[j]).tolist(),
+                            "fixed_spacing": [float(v) for v in f_sp],
+                            "moving_spacing": [float(v) for v in m_sp],
+                            "fixed_shape": [int(v) for v in f_shape],
+                            "affine_loss": float(aff_losses[j]),
+                            "svf_loss": None
+                            if svf_losses[j] is None
+                            else float(svf_losses[j]),
+                        },
+                        paths["affine"],
+                    )
+                    if self.deformable and self.keep_deformation:
+                        nifti.save_nifti(
+                            np.moveaxis(np.asarray(disps[j]), 0, -1),
+                            f_hdr,
+                            paths["warp"],
+                        )
 
 
 def apply_pair_transforms(

@@ -185,6 +185,50 @@ def register_svf(fixed, moving, cfg: SVFConfig = None):
     return disp, float(loss)
 
 
+def register_svf_batch(fixed_stack, moving_stack, cfg: SVFConfig = None):
+    """Deformable-register B same-grid pairs in one vmapped XLA program.
+    Returns (disp [B,3,D,H,W], losses [B])."""
+    import dataclasses
+
+    from deepwmh_tpu.registration.affine import feasible_levels
+
+    cfg = cfg or SVFConfig()
+    fixed_stack = jnp.asarray(fixed_stack, jnp.float32)
+    moving_stack = jnp.asarray(moving_stack, jnp.float32)
+    shr, its = feasible_levels(cfg.shrinks, cfg.iters, fixed_stack.shape[1:])
+    cfg = dataclasses.replace(cfg, shrinks=shr, iters=its)
+
+    fixed_stack = jax.vmap(winsorize_rescale)(fixed_stack)
+    moving_stack = jax.vmap(winsorize_rescale)(moving_stack)
+
+    v = None
+    losses = None
+    for shrink, iters in zip(cfg.shrinks, cfg.iters):
+        f = jax.vmap(lambda x: _downsample(x, shrink))(fixed_stack)
+        m = jax.vmap(lambda x: _downsample(x, shrink))(moving_stack)
+        if v is None:
+            v = jnp.zeros((f.shape[0], 3) + f.shape[1:], jnp.float32)
+        else:
+            v = jax.vmap(lambda vv: _resize_field(vv, f.shape[1:]))(v)
+        opt = jax.jit(
+            jax.vmap(
+                lambda ff, mm, vv: _optimize_svf_level(
+                    ff, mm, vv, iters=int(iters), lr=float(cfg.lr),
+                    n_squaring=int(cfg.n_squaring),
+                    lncc_radius=int(cfg.lncc_radius),
+                    bending=float(cfg.bending_weight),
+                    sigma=float(cfg.smooth_sigma_vox),
+                )
+            )
+        )
+        v, losses = opt(f, m, v)
+
+    v = jax.vmap(lambda vv: _smooth3(vv, cfg.smooth_sigma_vox))(v)
+    disp_small = jax.vmap(lambda vv: scaling_and_squaring(vv, cfg.n_squaring))(v)
+    disp = jax.vmap(lambda dd: _resize_field(dd, fixed_stack.shape[1:]))(disp_small)
+    return np.asarray(disp), np.asarray(losses)
+
+
 def apply_affine_svf(
     moving,
     matrix,

@@ -119,3 +119,82 @@ def test_apply_affine_svf_identity():
         apply_affine_svf(vol, eye, disp, (32, 32, 32), (1, 1, 1), (1, 1, 1))
     )
     np.testing.assert_allclose(out, vol, atol=1e-4)
+
+
+def test_batched_affine_matches_single():
+    from deepwmh_tpu.registration.affine import register_affine_batch
+
+    fixed = make_brain()
+    mats_shift = []
+    movings = []
+    for shift in (-2.0, 3.0):
+        mat = np.eye(3, 4, dtype=np.float32)
+        mat[0, 3] = -shift
+        movings.append(np.asarray(affine_warp(jnp.asarray(fixed), mat)))
+        mats_shift.append(shift)
+    cfg = AffineConfig(shrinks=(2,), iters=(120,), do_affine=False)
+    mats, losses = register_affine_batch(
+        np.stack([fixed, fixed]), np.stack(movings), cfg=cfg
+    )
+    assert mats.shape == (2, 3, 4)
+    for i, shift in enumerate(mats_shift):
+        assert abs(mats[i, 0, 3] - shift) < 1.0, (i, mats[i, 0, 3], shift)
+
+
+def test_batched_svf_shapes():
+    from deepwmh_tpu.ops.warp import displacement_warp
+    from deepwmh_tpu.registration.svf import register_svf_batch
+
+    fixed = make_brain()
+    zz = np.linspace(0, np.pi, 32)
+    bump = 1.5 * np.sin(zz)[:, None, None] * np.ones((32, 32, 32))
+    disp_true = np.stack([bump, np.zeros_like(bump), np.zeros_like(bump)])
+    moving = np.asarray(
+        displacement_warp(jnp.asarray(fixed), jnp.asarray(disp_true.astype(np.float32)))
+    )
+    cfg = SVFConfig(shrinks=(2,), iters=(60,), lncc_radius=2)
+    disps, losses = register_svf_batch(
+        np.stack([fixed, fixed]), np.stack([moving, moving]), cfg=cfg
+    )
+    assert disps.shape == (2, 3, 32, 32, 32)
+    np.testing.assert_allclose(disps[0], disps[1], atol=1e-4)
+    warped = np.asarray(
+        displacement_warp(jnp.asarray(moving), jnp.asarray(disps[0]))
+    )
+    m = fixed > 50
+    cc_b = np.corrcoef(fixed[m], moving[m])[0, 1]
+    cc_a = np.corrcoef(fixed[m], warped[m])[0, 1]
+    assert cc_a > cc_b
+
+
+def test_group_registration_batched_launch(tmp_path):
+    from deepwmh_tpu.core import nifti
+    from deepwmh_tpu.registration.group import GroupRegistration
+
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape((32, 32, 32))
+    base = make_brain()
+    paths = {}
+    for name, shift in (("S0", 0), ("T0", 1), ("T1", -1)):
+        p = str(tmp_path / (name + ".nii.gz"))
+        nifti.save_nifti(np.roll(base, shift, axis=0), hdr, p)
+        paths[name] = p
+    out = str(tmp_path / "reg")
+    reg = GroupRegistration(
+        [("S0", paths["S0"])],
+        [("T0", paths["T0"]), ("T1", paths["T1"])],
+        out,
+        quick=True,
+    )
+    reg.launch(batch_pairs=2, verbose=False)
+    for t in ("T0", "T1"):
+        assert nifti.try_load_nifti(str(tmp_path / "reg" / ("S0_to_%s.nii.gz" % t)))
+        assert nifti.try_load_nifti(str(tmp_path / "reg" / ("S0_to_%s" % t) / "warp.nii.gz"))
+    # alignment improved
+    warped = nifti.load_nifti_simple(str(tmp_path / "reg" / "S0_to_T0.nii.gz"))
+    tgt = nifti.load_nifti_simple(paths["T0"])
+    src = nifti.load_nifti_simple(paths["S0"])
+    m = tgt > 50
+    assert np.corrcoef(warped[m], tgt[m])[0, 1] > np.corrcoef(src[m], tgt[m])[0, 1]
+    # rerun skips everything (idempotent even in batched mode)
+    reg.launch(batch_pairs=2, verbose=False)
