@@ -43,6 +43,10 @@ class AffineConfig:
     lr: float = 0.05
     do_rigid: bool = True
     do_affine: bool = True
+    # MI sampling fraction (the reference's ANTs command uses MI with 0.25
+    # sampling, ANTs_group_registration.py:85-119): with stride-based
+    # sampling only 1/stride of the fixed voxels are resampled + binned
+    sample_stride: int = 4
 
 
 def _downsample(x, factor: int):
@@ -97,7 +101,9 @@ def _center_of_mass(x, spacing):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "iters", "lr", "metric", "mi_bins", "lncc_radius"),
+    static_argnames=(
+        "mode", "iters", "lr", "metric", "mi_bins", "lncc_radius", "sample_stride",
+    ),
 )
 def _optimize_level(
     fixed,
@@ -112,17 +118,36 @@ def _optimize_level(
     metric: str,
     mi_bins: int,
     lncc_radius: int,
+    sample_stride: int = 1,
 ):
     tx = optax.adam(lr)
 
-    def loss_fn(params):
-        mat = _params_to_matrix(params, center, mode)
-        warped = resample_moving(
-            moving, mat, fixed.shape, fixed_spacing, moving_spacing
-        )
-        if metric == "mi":
-            return -mutual_information(fixed, warped, nbins=mi_bins)
-        return -lncc(fixed, warped, radius=lncc_radius)
+    if metric == "mi" and sample_stride > 1:
+        # strided voxel sampling (ANTs' MI 0.25-sampling role): resample the
+        # moving image and bin the joint histogram only at every
+        # sample_stride-th fixed voxel
+        grid_phys = _phys_grid(fixed.shape, fixed_spacing).reshape(3, -1)
+        grid_phys = grid_phys[:, ::sample_stride]
+        fixed_samp = fixed.reshape(-1)[::sample_stride]
+        msp = jnp.asarray(moving_spacing, jnp.float32).reshape(3, 1)
+
+        def loss_fn(params):
+            mat = _params_to_matrix(params, center, mode)
+            A, t = mat[:, :3], mat[:, 3]
+            mov_vox = (A @ grid_phys + t[:, None]) / msp
+            vals = sample_volume(moving, mov_vox)
+            return -mutual_information(fixed_samp, vals, nbins=mi_bins)
+
+    else:
+
+        def loss_fn(params):
+            mat = _params_to_matrix(params, center, mode)
+            warped = resample_moving(
+                moving, mat, fixed.shape, fixed_spacing, moving_spacing
+            )
+            if metric == "mi":
+                return -mutual_information(fixed, warped, nbins=mi_bins)
+            return -lncc(fixed, warped, radius=lncc_radius)
 
     def step(carry, _):
         params, opt_state = carry
@@ -196,6 +221,9 @@ def register_affine(
         for shrink, iters in zip(cfg.shrinks, cfg.iters):
             f = _downsample(fixed, shrink)
             m = _downsample(moving, shrink)
+            # keep at least ~4k samples so coarse levels don't starve the
+            # 32x32 joint histogram
+            stride = cfg.sample_stride if f.size // cfg.sample_stride >= 4096 else 1
             params, final_loss = _optimize_level(
                 f,
                 m,
@@ -209,6 +237,7 @@ def register_affine(
                 metric=cfg.metric,
                 mi_bins=cfg.mi_bins,
                 lncc_radius=cfg.lncc_radius,
+                sample_stride=int(stride),
             )
         if mode == "rigid":
             rigid_params = params
@@ -223,11 +252,13 @@ def register_affine(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "iters", "lr", "metric", "mi_bins", "lncc_radius"),
+    static_argnames=(
+        "mode", "iters", "lr", "metric", "mi_bins", "lncc_radius", "sample_stride",
+    ),
 )
 def _optimize_level_batch(
     fixed, moving, fixed_spacing, moving_spacing, params0, center,
-    mode, iters, lr, metric, mi_bins, lncc_radius,
+    mode, iters, lr, metric, mi_bins, lncc_radius, sample_stride=1,
 ):
     """vmapped _optimize_level over a leading pair axis: registers B pairs
     in one XLA program — the TPU answer to the reference's 4-process pool
@@ -237,6 +268,7 @@ def _optimize_level_batch(
             f, m, fixed_spacing, moving_spacing, p0, c,
             mode=mode, iters=iters, lr=lr, metric=metric,
             mi_bins=mi_bins, lncc_radius=lncc_radius,
+            sample_stride=sample_stride,
         )
     )(fixed, moving, params0, center)
 
@@ -288,12 +320,17 @@ def register_affine_batch(
         for shrink, iters in zip(cfg.shrinks, cfg.iters):
             f = jax.vmap(lambda x: _downsample(x, shrink))(fixed_stack)
             m = jax.vmap(lambda x: _downsample(x, shrink))(moving_stack)
+            stride = (
+                cfg.sample_stride
+                if f[0].size // cfg.sample_stride >= 4096
+                else 1
+            )
             params, losses = _optimize_level_batch(
                 f, m, fsp * shrink, msp * shrink, params, centers,
                 mode=mode, iters=int(iters),
                 lr=float(cfg.lr) if mode == "rigid" else float(cfg.lr) * 0.5,
                 metric=cfg.metric, mi_bins=cfg.mi_bins,
-                lncc_radius=cfg.lncc_radius,
+                lncc_radius=cfg.lncc_radius, sample_stride=int(stride),
             )
         if mode == "rigid":
             rigid = params
