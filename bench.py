@@ -39,7 +39,6 @@ def make_synthetic_flair(shape=(192, 224, 192), seed=0):
 def main():
     import jax.numpy as jnp
 
-    from deepwmh_tpu.ops.n4 import n4_bias_correction
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
     from deepwmh_tpu.unet.model import UNet3D, init_params
     from deepwmh_tpu.unet.plan import default_plan_1mm_iso

@@ -10,7 +10,6 @@ classes) per subject — exactly the columns the reference.csv contract needs.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

@@ -189,7 +189,9 @@ class LesionAnalyzer:
     def analyze_case(self, case: str, intensity_prior="+", apply_otsu=True) -> AnalysisResult:
         info = self.data_dict[case]
         x_raw, hdr = nifti.load_nifti(info["x"])
-        voxel_size = tuple(nifti.get_nifti_pixdim(info["x"]))
+        # round so float32 header jitter can't defeat the jit cache across
+        # same-protocol cases
+        voxel_size = tuple(round(v, 4) for v in nifti.get_nifti_pixdim(info["x"]))
         patch = patch_size_from_voxel(voxel_size)
 
         refs = np.stack([nifti.load_nifti_simple(p) for p in info["r"]])

@@ -18,7 +18,7 @@ of mass; affine stage: full 3x3 perturbation initialized from the rigid fit.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

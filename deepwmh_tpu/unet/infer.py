@@ -176,6 +176,7 @@ class SlidingWindowPredictor:
         self.patch_size = tuple(int(p) for p in plan.patch_size)
         self.gauss = gaussian_importance_map(self.patch_size)
         self._apply = lambda p, x: model.apply({"params": p}, x)
+        self._case_cache = {}
 
     def predict_volume(self, volume):
         """volume: preprocessed [D,H,W] at plan spacing. Returns softmax
@@ -211,8 +212,6 @@ class SlidingWindowPredictor:
         resample back, so argmax == fg > 0.5.)"""
         data = jnp.asarray(data, jnp.float32)
         key = (data.shape, tuple(round(float(s), 4) for s in spacing), apply_n4)
-        if not hasattr(self, "_case_cache"):
-            self._case_cache = {}
         if key not in self._case_cache:
             self._case_cache[key] = self._build_case_fn(
                 data.shape, tuple(float(s) for s in spacing), apply_n4
