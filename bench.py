@@ -37,6 +37,10 @@ def make_synthetic_flair(shape=(192, 224, 192), seed=0):
 
 
 def main():
+    from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor

@@ -144,6 +144,10 @@ def main(argv=None):
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 
+    from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if len(args.case_names) != len(args.input_images):
         raise SystemExit(
             "Number of input images (%d) must equal number of case names (%d)."

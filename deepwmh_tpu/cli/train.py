@@ -211,6 +211,10 @@ def main(argv=None):
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 
+    from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if not args.skip_integrity_check and not check_system_integrity():
         raise SystemExit(1)
 
