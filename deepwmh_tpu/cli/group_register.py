@@ -49,6 +49,10 @@ def main(argv=None):
                         help="'a/b': run shard a (1-based) of b machines.")
     args = parser.parse_args(argv)
 
+    from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from deepwmh_tpu.registration.group import GroupRegistration
 
     src = load_csv_simple(args.source, key_names=["case", "data"])

@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--quick", action="store_true")
     args = parser.parse_args(argv)
 
+    from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from deepwmh_tpu.registration.priors import propagate_atlas
 
     table = load_csv_simple(args.input_csv, key_names=["case", "flair"])

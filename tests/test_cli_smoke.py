@@ -1,0 +1,84 @@
+"""Smoke tests for every console entry point's argument surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_evaluate_cli(tmp_path, rng):
+    from deepwmh_tpu.cli import evaluate
+    from deepwmh_tpu.core import nifti
+
+    pred = tmp_path / "pred"
+    truth = tmp_path / "truth"
+    os.makedirs(pred)
+    os.makedirs(truth)
+    a = (rng.rand(6, 6, 6) > 0.5).astype(np.float32)
+    nifti.save_nifti_simple(a, str(pred / "c1.nii.gz"))
+    nifti.save_nifti_simple(a, str(truth / "c1.nii.gz"))
+    out = str(tmp_path / "report.json")
+    evaluate.main(["-p", str(pred), "-g", str(truth), "-o", out, "--metrics", "dice"])
+    import json
+
+    report = json.load(open(out))
+    assert report["cases"]["c1"]["dice"] == 1.0
+
+
+def test_dcm2niix_cli(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_dicom import make_series
+
+    from deepwmh_tpu.cli import dcm2niix
+
+    src = tmp_path / "d"
+    os.makedirs(src)
+    make_series(str(src))
+    dcm2niix.main(["-i", str(src), "-o", str(tmp_path / "n")])
+    assert os.path.isfile(str(tmp_path / "n" / "series_000.nii.gz"))
+
+
+def test_install_cli(tmp_path):
+    import jax
+
+    from deepwmh_tpu.cli import install_model
+    from deepwmh_tpu.unet import checkpoint as ckpt
+    from deepwmh_tpu.unet.model import UNet3D, init_params
+    from deepwmh_tpu.unet.plan import Plan
+    from deepwmh_tpu.unet.release import release_model
+
+    plan = Plan(
+        target_spacing=[1.0] * 3, patch_size=[8] * 3, batch_size=1,
+        pool_kernels=[[2, 2, 2]], conv_kernels=[[3, 3, 3]] * 2,
+        base_features=2, max_features=4,
+    )
+    params = init_params(UNet3D(plan=plan), jax.random.PRNGKey(0))
+    ckpt.save_checkpoint(str(tmp_path / "t"), "model_best", params, meta={})
+    tarball = release_model(str(tmp_path / "t"), plan, str(tmp_path / "r"))
+    install_model.main(["-i", tarball, "-o", str(tmp_path / "inst")])
+    assert os.path.isfile(str(tmp_path / "inst" / "plan.json"))
+
+
+def test_group_register_cli_rejects_learned_distributed(tmp_path):
+    from deepwmh_tpu.cli import group_register
+    from deepwmh_tpu.core.manifests import write_csv_simple
+    from deepwmh_tpu.core import nifti
+
+    v = np.zeros((8, 8, 8), np.float32)
+    p = str(tmp_path / "v.nii.gz")
+    nifti.save_nifti_simple(v, p)
+    csv = str(tmp_path / "c.csv")
+    write_csv_simple(csv, {"case": ["a"], "data": [p]})
+    with pytest.raises(SystemExit):
+        group_register.main(
+            ["-s", csv, "-t", csv, "-o", str(tmp_path / "o"),
+             "--learned", "--distributed", "1/2"]
+        )
+
+
+def test_integrity_check():
+    from deepwmh_tpu.cli.integrity import check_system_integrity
+
+    assert check_system_integrity(verbose=False)
