@@ -44,6 +44,8 @@ def label_components(mask, axes=(0, 1, 2), max_iters: int = 4096):
     minimum linear index of their component; `N` (= mask.size) for
     background. `axes` restricts connectivity — (1, 2) labels each [0]-slice
     independently (used for per-slice filtering), all in parallel.
+    `max_iters` bounds the propagation loop (pointer jumping converges in
+    O(log diameter) rounds, so the default is far beyond any real volume).
     """
     m = mask > 0.5
     N = int(m.size)
@@ -65,16 +67,18 @@ def label_components(mask, axes=(0, 1, 2), max_iters: int = 4096):
         return j.reshape(l.shape)
 
     def body(state):
-        l, _ = state
+        l, _, it = state
         l2 = neighbor_min(l)
         l2 = jump(jump(l2))
         changed = jnp.any(l2 != l)
-        return l2, changed
+        return l2, changed, it + 1
 
     def cond(state):
-        return state[1]
+        return state[1] & (state[2] < max_iters)
 
-    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
+    lbl, _, _ = jax.lax.while_loop(
+        cond, body, (lbl0, jnp.bool_(True), jnp.int32(0))
+    )
     return lbl
 
 

@@ -74,9 +74,15 @@ def window_stack(data, kernel_size, pad_value=0.0):
 
 
 def median_filter(data, kernel_size):
-    """scipy median_filter, constant-0 boundary (image_ops.py:181-183)."""
+    """scipy median_filter, constant-0 boundary (image_ops.py:181-183).
+
+    scipy is a RANK filter: it takes the single element at rank n//2, not
+    the mean of the two middle ranks for even window sizes (verified:
+    scipy size=2 on {0,1,4,5} -> 4, numpy median -> 2.5). Sort + take
+    matches scipy for both parities."""
     win = window_stack(data, kernel_size, pad_value=0.0)
-    return jnp.median(win, axis=0)
+    n = win.shape[0]
+    return jnp.sort(win, axis=0)[n // 2]
 
 
 def median_3mm(data, physical_voxel_size):

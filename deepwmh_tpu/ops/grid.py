@@ -83,18 +83,17 @@ def mean_std_grid(data, patch_size, mask=None, order: int = 1):
         mpad = jnp.pad((mask > 0.5).astype(jnp.float32), pad_width)
 
     G = [padded[i] // step[i] for i in range(3)]
-    view = dpad.reshape(G[0], step[0], G[1], step[1], G[2], step[2])
-    cell_sum = view.sum(axis=(1, 3, 5))
-    cell_sq = jnp.square(view).sum(axis=(1, 3, 5))
     if mask is not None:
         mview = mpad.reshape(G[0], step[0], G[1], step[1], G[2], step[2])
         cell_cnt = mview.sum(axis=(1, 3, 5))
-        dm = dpad * mpad
-        dview = dm.reshape(G[0], step[0], G[1], step[1], G[2], step[2])
-        cell_sum = dview.sum(axis=(1, 3, 5))
-        cell_sq = jnp.square(dview).sum(axis=(1, 3, 5))
+        dview = (dpad * mpad).reshape(
+            G[0], step[0], G[1], step[1], G[2], step[2]
+        )
     else:
         cell_cnt = jnp.full(G, float(step[0] * step[1] * step[2]), jnp.float32)
+        dview = dpad.reshape(G[0], step[0], G[1], step[1], G[2], step[2])
+    cell_sum = dview.sum(axis=(1, 3, 5))
+    cell_sq = jnp.square(dview).sum(axis=(1, 3, 5))
 
     psum, psq, pcnt = cell_sum, cell_sq, cell_cnt
     for ax in range(3):

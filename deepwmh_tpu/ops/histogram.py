@@ -121,7 +121,10 @@ def auto_threshold_from_curves(curve_x, curve_rs, cutoff: float = 0.01):
     """
     nbins = curve_x.shape[0]
     iota = jnp.arange(nbins, dtype=jnp.int32)
-    above = curve_rs > cutoff  # [K, nbins]
+    # bin 0 is never inspected (reference scans range(len-1, 0, -1),
+    # lesion_analysis.py:205): a reference whose curve exceeds the cutoff
+    # only in bin 0 is EXCLUDED from the median, not counted as ~0
+    above = (curve_rs > cutoff) & (iota[None, :] > 0)  # [K, nbins]
     last_idx = jnp.max(jnp.where(above, iota[None, :], -1), axis=1)  # [K]
     crossing = jnp.where(last_idx >= 0, curve_x[jnp.maximum(last_idx, 0)], jnp.nan)
     return jnp.nanmedian(crossing)

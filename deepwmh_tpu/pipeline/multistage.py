@@ -175,12 +175,18 @@ class PipelineMultistage:
         )
         return Trainer(plan, cfg, self._train_dir(task), mesh=self.mesh, logger=self.logger)
 
-    def _predictor_for(self, task: str, plan: Plan, checkpoint_name: str, tta: bool):
-        model = UNet3D(plan=plan)
+    def _load_params(self, task: str, plan: Plan, checkpoint_name: str):
         import jax
 
+        model = UNet3D(plan=plan)
         template = init_params(model, jax.random.PRNGKey(0))
-        params, _ = ckpt.load_params_only(self._train_dir(task), checkpoint_name, template)
+        params, _ = ckpt.load_params_only(
+            self._train_dir(task), checkpoint_name, template
+        )
+        return model, params
+
+    def _predictor_for(self, task: str, plan: Plan, checkpoint_name: str, tta: bool):
+        model, params = self._load_params(task, plan, checkpoint_name)
         return SlidingWindowPredictor(model, params, plan, tta=tta)
 
     # ------------------------------------------------------------------ #
@@ -216,9 +222,13 @@ class PipelineMultistage:
             trainer.fit(ds, resume=True)
             self.checkpoints.set_finish("STAGE_2-3_TRAINING_DENOISER")
 
-        # 2-4: per-epoch background softmax over the ensemble window
+        # 2-4: per-epoch background softmax over the ensemble window. ONE
+        # predictor is reused across epochs (params are a runtime argument
+        # of the compiled sweep — rebuilding it would re-trace and
+        # re-compile the identical program every epoch)
         raw_softmax = mkdir(join_path(self.stage2_folder, "003_raw_softmax"))
         if not self.checkpoints.is_finished("STAGE_2-4_RAW_SOFTMAX"):
+            predictor = None
             for epoch in range(B.stage2_epochs - B.ensemble_epochs + 1, B.stage2_epochs + 1):
                 epoch_dir = mkdir(join_path(raw_softmax, "epoch_%04d" % epoch))
                 todo = [
@@ -229,9 +239,13 @@ class PipelineMultistage:
                 if not todo:
                     continue
                 self.log("softmax for epoch %d (%d case(s))" % (epoch, len(todo)))
-                predictor = self._predictor_for(
-                    self.STAGE2_TASK, plan, ckpt.MODEL_EPOCH_FMT % epoch, tta=False
+                model, params = self._load_params(
+                    self.STAGE2_TASK, plan, ckpt.MODEL_EPOCH_FMT % epoch
                 )
+                if predictor is None:
+                    predictor = SlidingWindowPredictor(model, params, plan, tta=False)
+                else:
+                    predictor.params = params
                 for c in todo:
                     img_path = self._case_paths(c)["image"]
                     img, hdr = nifti.load_nifti(img_path)

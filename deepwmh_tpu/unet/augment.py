@@ -47,7 +47,7 @@ def _maybe(key, p):
 def augment_sample(key, image, label, cfg: AugmentConfig = AugmentConfig()):
     """image: [D,H,W] float32 (z-scored), label: [D,H,W] int. Returns the
     augmented pair. Fully traceable; all branches execute and select."""
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)
     shape = image.shape
     center = jnp.array([(s - 1) / 2.0 for s in shape], jnp.float32)
 
@@ -96,7 +96,7 @@ def augment_sample(key, image, label, cfg: AugmentConfig = AugmentConfig()):
     image = jnp.where(_maybe(keys[11], cfg.p_gamma), gamma_img, image)
 
     # --- mirroring ---------------------------------------------------------
-    mkeys = jax.random.split(keys[11], 3)
+    mkeys = jax.random.split(keys[12], 3)
     for ax in range(3):
         flip = _maybe(mkeys[ax], cfg.p_mirror)
         image = jnp.where(flip, jnp.flip(image, ax), image)

@@ -211,10 +211,13 @@ class SlidingWindowPredictor:
         outside jit. (Softmax channel-sums are preserved by the linear
         resample back, so argmax == fg > 0.5.)"""
         data = jnp.asarray(data, jnp.float32)
-        key = (data.shape, tuple(round(float(s), 4) for s in spacing), apply_n4)
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = (data.shape, spacing_r, apply_n4)
         if key not in self._case_cache:
+            # build with the SAME rounded spacing as the cache key, so cases
+            # that collide on the key get identical resampling geometry
             self._case_cache[key] = self._build_case_fn(
-                data.shape, tuple(float(s) for s in spacing), apply_n4
+                data.shape, spacing_r, apply_n4
             )
         return self._case_cache[key](self.params, data)
 

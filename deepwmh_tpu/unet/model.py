@@ -83,6 +83,16 @@ class UNet3D(nn.Module):
 
         # decoder
         outputs = []
+        if P == 0:
+            # degenerate no-pooling plan (tiny volumes): single-scale head
+            logits = nn.Conv(
+                plan.num_classes,
+                kernel_size=(1, 1, 1),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="seg_head_0",
+            )(x)
+            outputs.append(logits.astype(jnp.float32))
         for i in range(P - 1, -1, -1):
             x = nn.ConvTranspose(
                 feats[i],

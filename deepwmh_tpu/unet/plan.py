@@ -107,6 +107,8 @@ def plan_experiment(
     patch = np.minimum(median_shape, 999999).astype(np.float64)
     patch = np.maximum(patch, 4)
     while np.prod(patch) > voxel_budget:
+        if np.all(patch <= 4):  # floor reached on all axes: budget < 64
+            break
         rel = patch / median_shape
         worst = int(np.argmax(rel * patch))
         patch[worst] = max(patch[worst] * 0.9, 4)
@@ -153,7 +155,7 @@ def plan_experiment(
     patch = (np.ceil(patch / stride) * stride).astype(np.int64)
     while np.prod(patch) > voxel_budget * 1.25:  # rounding overshoot guard
         worst = int(np.argmax(patch))
-        if patch[worst] - stride[worst] < stride[worst]:
+        if patch[worst] - stride[worst] < max(stride[worst], 4):
             break
         patch[worst] -= stride[worst]
 

@@ -170,9 +170,11 @@ class Trainer:
             mean_loss = float(jnp.mean(jnp.stack(losses)))
             ema_loss = mean_loss if ema_loss is None else 0.9 * ema_loss + 0.1 * mean_loss
 
-            # online validation: pseudo-Dice on val patches (nnU-Net style)
-            metric = None
-            if val_ds is not None and len(val_ds) > 0 and not cfg.noval:
+            # online validation: pseudo-Dice on val patches (nnU-Net style).
+            # noval: model_best follows model_latest, the reference --noval
+            # contract (DCNN_multistage.py:292)
+            noval_mode = cfg.noval or val_ds is None or len(val_ds) == 0
+            if not noval_mode:
                 dices = []
                 for _ in range(cfg.val_batches):
                     vi, vl = val_ds.sample_batch(np_rng, cfg.batch_size, 0.5)
@@ -180,13 +182,13 @@ class Trainer:
                     dices.append(self._eval_step(params, vi, vl))
                 metric = float(jnp.mean(jnp.stack(dices)))
             else:
-                metric = -ema_loss  # noval: best == lowest smoothed loss
+                metric = float(epoch + 1)  # monotonic: best == latest
 
             meta = {
                 "epoch": epoch + 1,
                 "best_metric": max(best_metric, metric),
                 "train_loss": mean_loss,
-                "val_metric": metric,
+                "val_metric": None if noval_mode else metric,
             }
             ckpt.save_checkpoint(self.out_dir, ckpt.MODEL_LATEST, params, opt_state, meta)
             if cfg.save_every_epoch:

@@ -58,3 +58,14 @@ def test_median_3mm_anisotropic(rng):
     for s in range(x.shape[2]):
         want[:, :, s] = ndi.median_filter(x[:, :, s], size=(3, 3), mode="constant", cval=0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_median_filter_even_kernel_rank_semantics(rng):
+    """scipy is a rank filter (element n//2), NOT numpy's two-middle mean."""
+    x = rng.rand(6, 7, 8).astype(np.float32)
+    got = np.asarray(F.median_filter(jnp.asarray(x), 2))
+    want = ndi.median_filter(x, size=2, mode="constant", cval=0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    got4 = np.asarray(F.median_filter(jnp.asarray(x), (1, 4, 3)))
+    want4 = ndi.median_filter(x, size=(1, 4, 3), mode="constant", cval=0)
+    np.testing.assert_allclose(got4, want4, rtol=1e-6)

@@ -179,3 +179,23 @@ def test_predict_case_with_n4(rng):
     seg, fg = pred.predict_case(data, [1.0, 1.0, 1.0], apply_n4=True)
     assert seg.shape == data.shape
     assert np.isfinite(np.asarray(fg)).all()
+
+
+def test_unet_zero_pool_plan(rng):
+    """Tiny volumes can legitimately plan zero pooling stages."""
+    p = planning.plan_experiment(shapes=[[6, 6, 6]], spacings=[[1.0, 1.0, 1.0]])
+    assert p.num_pools == 0
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(0), patch_size=(6, 6, 6))
+    x = jnp.asarray(rng.rand(1, 6, 6, 6, 1), jnp.float32)
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 6, 6, 6, 2)
+    outs = model.apply({"params": params}, x, deep_supervision=True)
+    assert len(outs) == 1
+
+
+def test_plan_tiny_budget_terminates():
+    p = planning.plan_experiment(
+        shapes=[[32, 32, 32]], spacings=[[1.0, 1.0, 1.0]], voxel_budget=50
+    )
+    assert min(p.patch_size) >= 4
