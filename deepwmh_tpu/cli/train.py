@@ -82,6 +82,14 @@ def run_train(
     training_dataset = load_csv_simple(training_csv, key_names=["case", "desc", "flair"])
     if not check_dataset(reference_dataset) or not check_dataset(training_dataset):
         raise SystemExit(1)
+    # the cohorts share one preprocessing folder keyed by case name: a name
+    # in both CSVs would silently alias the wrong image
+    overlap = set(reference_dataset["case"]) & set(training_dataset["case"])
+    if overlap:
+        raise SystemExit(
+            "case name(s) appear in BOTH reference and training CSVs: %s — "
+            "rename one side." % sorted(overlap)
+        )
     print(
         "reference cases: %d, training cases: %d"
         % (len(reference_dataset["case"]), len(training_dataset["case"]))
@@ -129,6 +137,29 @@ def run_train(
         distributed=distributed,
     )
     reg.launch(batch_pairs=batch_pairs)
+
+    # barrier: with --distributed a/b this shard only registered part of the
+    # pair list; continue only when every pair's artifacts exist
+    all_pairs = [
+        (s, t) for s in reference_dataset["case"] for t in training_dataset["case"]
+    ]
+    missing = [
+        pair_name(s, t)
+        for s, t in all_pairs
+        if not os.path.isfile(
+            join_path(registration_folder, pair_name(s, t), "affine.json")
+        )
+    ]
+    if missing:
+        print(
+            "[!] %d/%d registration pair(s) not finished yet (e.g. %s)."
+            % (len(missing), len(all_pairs), missing[0])
+        )
+        print(
+            "    Run the remaining shards (see run_registration.sh), then "
+            "re-run this command to continue."
+        )
+        raise SystemExit(2)
 
     # 003: propagate reference labels onto each training subject
     transformed_folder = mkdir(join_path(output_folder, "003_Transformed"))

@@ -201,7 +201,7 @@ def _serialize_header(hdr: NiftiHeader, datatype: int) -> bytes:
     raw = bytearray(_HDR_SIZE)
     e = "<"
     struct.pack_into(e + "i", raw, 0, _HDR_SIZE)
-    raw[39] = ord("r")  # dim_info: none; regular flag at byte 38 per spec ('r')
+    raw[38] = ord("r")  # 'regular' flag at byte 38; byte 39 (dim_info) stays 0
     struct.pack_into(e + "8h", raw, 40, *[int(d) for d in hdr.dim])
     np_dtype = np.dtype(_DTYPES[datatype])
     struct.pack_into(e + "2h", raw, 70, datatype, np_dtype.itemsize * 8)

@@ -76,7 +76,7 @@ def write_xlsx(path: str, sheets: dict) -> None:
     names = list(sheets.keys())
     wb_sheets = "".join(
         '<sheet name="%s" sheetId="%d" r:id="rId%d"/>'
-        % (escape(n), i + 1, i + 1)
+        % (escape(n, {'"': "&quot;"}), i + 1, i + 1)
         for i, n in enumerate(names)
     )
     workbook = (

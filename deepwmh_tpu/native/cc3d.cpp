@@ -119,7 +119,9 @@ void component_sizes_3d(const uint8_t *mask, int32_t D, int32_t H, int32_t W,
 // gzip helpers (zlib) for the NIfTI codec
 // ---------------------------------------------------------------------- //
 
-// Inflate a gzip stream. Returns decompressed size, or -1 on error,
+// Inflate a gzip stream (including MULTI-MEMBER files as produced by
+// pigz/bgzip: after each Z_STREAM_END, remaining input starts a new
+// member). Returns total decompressed size, -1 on corrupt/truncated input,
 // or -2 if out_capacity is too small.
 int64_t gzip_inflate(const uint8_t *src, int64_t src_len, uint8_t *dst,
                      int64_t dst_capacity) {
@@ -130,14 +132,32 @@ int64_t gzip_inflate(const uint8_t *src, int64_t src_len, uint8_t *dst,
   zs.avail_in = (uInt)src_len;
   zs.next_out = dst;
   zs.avail_out = (uInt)dst_capacity;
-  int ret = inflate(&zs, Z_FINISH);
-  int64_t out = (int64_t)zs.total_out;
-  bool out_full = (zs.avail_out == 0);
-  inflateEnd(&zs);
-  if (ret == Z_STREAM_END) return out;
-  // Z_OK / Z_BUF_ERROR with a full output buffer both mean "need more space"
-  if (ret == Z_BUF_ERROR || (ret == Z_OK && out_full)) return -2;
-  return -1;
+  int64_t total = 0;
+  for (;;) {
+    int ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret == Z_STREAM_END) {
+      total = (int64_t)(dst_capacity - zs.avail_out);
+      if (zs.avail_in == 0) {
+        inflateEnd(&zs);
+        return total;
+      }
+      // another gzip member follows
+      if (inflateReset2(&zs, 16 + MAX_WBITS) != Z_OK) {
+        inflateEnd(&zs);
+        return -1;
+      }
+      continue;
+    }
+    if (ret == Z_OK || ret == Z_BUF_ERROR) {
+      bool out_full = (zs.avail_out == 0);
+      inflateEnd(&zs);
+      // only a FULL output buffer means "need more space"; otherwise the
+      // input is truncated/corrupt
+      return out_full ? -2 : -1;
+    }
+    inflateEnd(&zs);
+    return -1;
+  }
 }
 
 // Deflate to gzip. Returns compressed size or -1.

@@ -296,6 +296,20 @@ def apply_pair_transforms(
     else:
         disp = np.zeros((3,) + fixed_shape, np.float32)
 
+    # donor header: the pair's registered image carries the true target
+    # geometry (falling back to a synthesized header would write an sform
+    # inconsistent with pixdim and misalign external overlays)
+    pair_image = pair_dir.rstrip("/\\") + ".nii.gz"
+    if os.path.isfile(pair_image):
+        hdr = nifti.get_nifti_header(pair_image)
+    else:
+        hdr = nifti.NiftiHeader()
+        hdr.set_shape(fixed_shape)
+        hdr.set_zooms(tuple(f_sp))
+        hdr.srow = np.concatenate(
+            [np.diag([f_sp[0], f_sp[1], f_sp[2]]), np.zeros((3, 1))], axis=1
+        )
+
     for in_file, out_file in zip(in_files, out_files):
         if nifti.try_load_nifti(out_file):
             continue
@@ -306,9 +320,5 @@ def apply_pair_transforms(
                 order=order,
             )
         )
-        # donor header: the fixed grid (any registered image of this pair)
-        hdr = nifti.NiftiHeader()
-        hdr.set_shape(fixed_shape)
-        hdr.set_zooms(tuple(f_sp))
         os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
         nifti.save_nifti(out, hdr, out_file)

@@ -22,6 +22,8 @@ which factors into the standard [affine, warp] form with
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from deepwmh_tpu.core import nifti
@@ -137,7 +139,13 @@ class LearnedGroupRegistration:
                 pair = pair_name(s_name, t_name)
                 pair_dir = mkdir(join_path(self.output_folder, pair))
                 out_img = join_path(self.output_folder, pair + ".nii.gz")
-                if nifti.try_load_nifti(out_img):
+                # resume probe must cover ALL pair artifacts (a crash between
+                # the image and json writes must not orphan the pair)
+                if (
+                    nifti.try_load_nifti(out_img)
+                    and os.path.isfile(join_path(pair_dir, "affine.json"))
+                    and nifti.try_load_nifti(join_path(pair_dir, "warp.nii.gz"))
+                ):
                     continue
                 if verbose:
                     print("registering %s" % pair, flush=True)

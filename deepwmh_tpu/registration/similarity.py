@@ -36,12 +36,12 @@ def soft_joint_histogram(a, b, nbins: int = 32, mask=None):
 
     pa = jnp.clip(a, 0.0, 1.0) * (nbins - 1)
     pb = jnp.clip(b, 0.0, 1.0) * (nbins - 1)
-    la = jnp.floor(pa)
-    lb = jnp.floor(pb)
-    fa = pa - la
-    fb = pb - lb
-    ia = jnp.clip(la.astype(jnp.int32), 0, nbins - 2)
-    ib = jnp.clip(lb.astype(jnp.int32), 0, nbins - 2)
+    ia = jnp.clip(jnp.floor(pa).astype(jnp.int32), 0, nbins - 2)
+    ib = jnp.clip(jnp.floor(pb).astype(jnp.int32), 0, nbins - 2)
+    # fractions re-derived from the CLIPPED base bin so exact-1.0 samples
+    # land in bin nbins-1 (fa=1) instead of being folded into nbins-2
+    fa = pa - ia.astype(jnp.float32)
+    fb = pb - ib.astype(jnp.float32)
 
     hist = jnp.zeros((nbins, nbins), jnp.float32)
     for da, wa in ((0, 1 - fa), (1, fa)):

@@ -185,6 +185,24 @@ def register_svf(fixed, moving, cfg: SVFConfig = None):
     return disp, float(loss)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "lr", "n_squaring", "lncc_radius", "bending", "sigma"),
+)
+def _optimize_svf_level_batch(
+    fixed, moving, v0, iters, lr, n_squaring, lncc_radius, bending, sigma
+):
+    """Module-level jitted vmap so repeated same-shape chunks reuse the
+    compiled program (a fresh jit(vmap(lambda...)) per call would recompile
+    every chunk)."""
+    return jax.vmap(
+        lambda ff, mm, vv: _optimize_svf_level(
+            ff, mm, vv, iters=iters, lr=lr, n_squaring=n_squaring,
+            lncc_radius=lncc_radius, bending=bending, sigma=sigma,
+        )
+    )(fixed, moving, v0)
+
+
 def register_svf_batch(fixed_stack, moving_stack, cfg: SVFConfig = None):
     """Deformable-register B same-grid pairs in one vmapped XLA program.
     Returns (disp [B,3,D,H,W], losses [B])."""
@@ -210,18 +228,11 @@ def register_svf_batch(fixed_stack, moving_stack, cfg: SVFConfig = None):
             v = jnp.zeros((f.shape[0], 3) + f.shape[1:], jnp.float32)
         else:
             v = jax.vmap(lambda vv: _resize_field(vv, f.shape[1:]))(v)
-        opt = jax.jit(
-            jax.vmap(
-                lambda ff, mm, vv: _optimize_svf_level(
-                    ff, mm, vv, iters=int(iters), lr=float(cfg.lr),
-                    n_squaring=int(cfg.n_squaring),
-                    lncc_radius=int(cfg.lncc_radius),
-                    bending=float(cfg.bending_weight),
-                    sigma=float(cfg.smooth_sigma_vox),
-                )
-            )
+        v, losses = _optimize_svf_level_batch(
+            f, m, v, iters=int(iters), lr=float(cfg.lr),
+            n_squaring=int(cfg.n_squaring), lncc_radius=int(cfg.lncc_radius),
+            bending=float(cfg.bending_weight), sigma=float(cfg.smooth_sigma_vox),
         )
-        v, losses = opt(f, m, v)
 
     v = jax.vmap(lambda vv: _smooth3(vv, cfg.smooth_sigma_vox))(v)
     disp_small = jax.vmap(lambda vv: scaling_and_squaring(vv, cfg.n_squaring))(v)

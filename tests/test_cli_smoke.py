@@ -82,3 +82,52 @@ def test_integrity_check():
     from deepwmh_tpu.cli.integrity import check_system_integrity
 
     assert check_system_integrity(verbose=False)
+
+
+def test_train_rejects_cross_cohort_case_collision(tmp_path, rng):
+    from deepwmh_tpu.cli.train import run_train
+    from deepwmh_tpu.core import nifti
+    from deepwmh_tpu.core.manifests import write_csv_simple
+
+    v = (rng.rand(8, 8, 8) * 100).astype(np.float32)
+    p = str(tmp_path / "x.nii.gz")
+    nifti.save_nifti_simple(v, p)
+    write_csv_simple(str(tmp_path / "ref.csv"), {
+        "case": ["sub01"], "desc": ["h"], "flair": [p], "label1": [p], "label2": [p],
+    })
+    write_csv_simple(str(tmp_path / "train.csv"), {
+        "case": ["sub01"], "desc": ["p"], "flair": [p],
+    })
+    with pytest.raises(SystemExit, match="BOTH"):
+        run_train(str(tmp_path / "ref.csv"), str(tmp_path / "train.csv"),
+                  str(tmp_path / "out"), skip_bfc=True)
+
+
+def test_train_distributed_barrier(tmp_path, rng):
+    """A lone shard must stop cleanly before label propagation."""
+    from deepwmh_tpu.cli.train import run_train
+    from deepwmh_tpu.core import nifti
+    from deepwmh_tpu.core.manifests import write_csv_simple
+
+    g = np.meshgrid(*[np.linspace(-1, 1, 16)] * 3, indexing="ij")
+    brain = (np.sqrt(sum(a**2 for a in g)) < 0.8).astype(np.float32)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape((16, 16, 16))
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    paths = {}
+    for n in ("R0", "T0", "T1"):
+        p = str(tmp_path / (n + ".nii.gz"))
+        nifti.save_nifti(brain * 200 + 5 * rng.rand(16, 16, 16), hdr, p)
+        paths[n] = p
+    write_csv_simple(str(tmp_path / "ref.csv"), {
+        "case": ["R0"], "desc": ["h"], "flair": [paths["R0"]],
+        "label1": [paths["R0"]], "label2": [paths["R0"]],
+    })
+    write_csv_simple(str(tmp_path / "train.csv"), {
+        "case": ["T0", "T1"], "desc": ["p", "p"],
+        "flair": [paths["T0"], paths["T1"]],
+    })
+    with pytest.raises(SystemExit) as exc:
+        run_train(str(tmp_path / "ref.csv"), str(tmp_path / "train.csv"),
+                  str(tmp_path / "out"), skip_bfc=True, distributed="1/2")
+    assert exc.value.code == 2  # "finish the other shards first"

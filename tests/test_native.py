@@ -47,3 +47,33 @@ def test_gzip_inflate_grows_buffer(rng):
     compressed = gzip.compress(payload)
     back = native.gzip_inflate_host(compressed, 1024)
     assert back == payload
+
+
+def test_gzip_multimember(rng):
+    """pigz/bgzip emit multi-member gzip files; all members must inflate."""
+    a, b = rng.bytes(50000), rng.bytes(30000)
+    blob = gzip.compress(a) + gzip.compress(b)
+    out = native.gzip_inflate_host(blob, len(a) + len(b))
+    assert out == a + b
+
+
+def test_gzip_truncated_input_fails_fast(rng):
+    payload = rng.bytes(200000)
+    blob = gzip.compress(payload)[: len(payload) // 4]  # truncated mid-stream
+    out = native.gzip_inflate_host(blob, len(payload))
+    assert out is None  # corrupt, NOT retried with ever-larger buffers
+
+
+def test_nifti_multimember_gz_roundtrip(tmp_path, rng):
+    """A bgzip-style multi-member .nii.gz must load through the native path."""
+    from deepwmh_tpu.core import nifti
+
+    data = rng.rand(10, 10, 10).astype(np.float32)
+    p = str(tmp_path / "v.nii.gz")
+    nifti.save_nifti_simple(data, p)
+    raw = gzip.decompress(open(p, "rb").read())
+    half = len(raw) // 2
+    with open(p, "wb") as f:
+        f.write(gzip.compress(raw[:half]) + gzip.compress(raw[half:]))
+    out = nifti.load_nifti_simple(p)
+    np.testing.assert_allclose(out, data)
