@@ -80,3 +80,22 @@ def test_resample_nifti(tmp_path, rng):
     out, ohdr = nifti.load_nifti(dst)
     assert out.shape == (16, 16, 16)
     np.testing.assert_allclose(ohdr.zooms[:3], (1.0, 1.0, 1.0), rtol=1e-6)
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isfile("/root/reference/examples/Brain_label.nii.gz"),
+    reason="reference example data not mounted",
+)
+def test_interop_reads_nibabel_written_file():
+    """Our from-scratch codec must read a real nibabel-written NIfTI (the
+    reference's 4-class example label volume)."""
+    data, hdr = nifti.load_nifti("/root/reference/examples/Brain_label.nii.gz")
+    assert data.ndim == 3
+    classes = set(np.unique(data.astype(np.int32)))
+    assert classes.issubset({0, 1, 2, 3})
+    assert 1 in classes and 2 in classes and 3 in classes
+    pixdim = nifti.get_nifti_pixdim("/root/reference/examples/Brain_label.nii.gz")
+    assert all(0.1 < v < 10 for v in pixdim)

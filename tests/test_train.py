@@ -139,3 +139,38 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, jax.device_count()))
+
+
+def test_trainer_actually_learns(tmp_path):
+    """End-to-end learning check: a tiny U-Net must segment bright synthetic
+    blobs after a short real training run (not just run without crashing)."""
+    plan = micro_plan()
+    cfg = TrainConfig(
+        epochs=8,
+        batches_per_epoch=8,
+        batch_size=2,
+        lr=0.05,
+        augment=False,
+        noval=False,
+        seed=1,
+        val_batches=4,
+    )
+    ds = blob_dataset((8, 8, 8), n_cases=3)
+    val = blob_dataset((8, 8, 8), n_cases=1)
+    trainer = Trainer(plan, cfg, str(tmp_path / "learn"), )
+    params, best = trainer.fit(ds, val, resume=False)
+    assert best > 0.5, "val dice after training too low: %.3f" % best
+
+    # the trained model segments a fresh blob volume correctly
+    import jax
+
+    rng_np = np.random.RandomState(9)
+    img = rng_np.rand(8, 8, 8).astype(np.float32)
+    lbl = np.zeros((8, 8, 8), np.uint8)
+    lbl[2:6, 2:6, 2:6] = 1
+    img += 3.0 * lbl
+    logits = trainer.model.apply({"params": params}, jnp.asarray(img)[None, ..., None])
+    pred = np.asarray(jnp.argmax(logits, -1))[0]
+    inter = ((pred > 0.5) & (lbl > 0.5)).sum()
+    dice = 2 * inter / max((pred > 0.5).sum() + lbl.sum(), 1)
+    assert dice > 0.5, "trained model dice %.3f" % dice
