@@ -139,16 +139,14 @@ def run_train(
     reg.launch(batch_pairs=batch_pairs)
 
     # barrier: with --distributed a/b this shard only registered part of the
-    # pair list; continue only when every pair's artifacts exist
+    # pair list; continue only when every pair's FULL artifact set (warped
+    # image + affine.json + warp.nii.gz) loads cleanly — affine.json alone
+    # would let a pair with a lost warp sail through into label propagation
     all_pairs = [
         (s, t) for s in reference_dataset["case"] for t in training_dataset["case"]
     ]
     missing = [
-        pair_name(s, t)
-        for s, t in all_pairs
-        if not os.path.isfile(
-            join_path(registration_folder, pair_name(s, t), "affine.json")
-        )
+        pair_name(s, t) for s, t in all_pairs if not reg.pair_complete(s, t)
     ]
     if missing:
         print(

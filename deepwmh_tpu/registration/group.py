@@ -142,22 +142,35 @@ class GroupRegistration:
 
         mkdir(paths["dir"])
         nifti.save_nifti(warped, f_hdr, paths["image"])
-        atomic_write_json(
-            {
-                "matrix": np.asarray(matrix).tolist(),
-                "fixed_spacing": [float(v) for v in f_sp],
-                "moving_spacing": [float(v) for v in m_sp],
-                "fixed_shape": [int(v) for v in fixed.shape],
-                "affine_loss": float(aff_loss),
-                "svf_loss": None if svf_loss is None else float(svf_loss),
-            },
-            paths["affine"],
-        )
         if self.deformable and self.keep_deformation:
             nifti.save_nifti(
                 np.moveaxis(np.asarray(disp), 0, -1), f_hdr, paths["warp"]
             )
+        # affine.json is written LAST: it is the cheap atomic marker, so its
+        # presence implies the image (and warp, when kept) are complete — a
+        # kill mid-pair can never half-pass later _pair_done probes
+        atomic_write_json(
+            self._pair_meta(matrix, f_sp, m_sp, fixed.shape, aff_loss, svf_loss),
+            paths["affine"],
+        )
         return paths
+
+    def _pair_meta(self, matrix, f_sp, m_sp, f_shape, aff_loss, svf_loss):
+        return {
+            "matrix": np.asarray(matrix).tolist(),
+            "fixed_spacing": [float(v) for v in f_sp],
+            "moving_spacing": [float(v) for v in m_sp],
+            "fixed_shape": [int(v) for v in f_shape],
+            "affine_loss": float(aff_loss),
+            "svf_loss": None if svf_loss is None else float(svf_loss),
+            "deformable": bool(self.deformable),
+            "warp_kept": bool(self.deformable and self.keep_deformation),
+        }
+
+    def pair_complete(self, s_case: str, t_case: str) -> bool:
+        """Full completeness probe for one pair (image + affine + warp when
+        deformation is kept) — the contract distributed barriers must use."""
+        return self._pair_done(self._pair_paths(s_case, t_case))
 
     def launch(self, verbose: bool = True, batch_pairs: int = 1):
         """batch_pairs > 1 registers same-geometry pairs simultaneously
@@ -256,25 +269,20 @@ class GroupRegistration:
                         warped = moving_on_fixed[j]
                     mkdir(paths["dir"])
                     nifti.save_nifti(warped, f_hdr, paths["image"])
-                    atomic_write_json(
-                        {
-                            "matrix": np.asarray(mats[j]).tolist(),
-                            "fixed_spacing": [float(v) for v in f_sp],
-                            "moving_spacing": [float(v) for v in m_sp],
-                            "fixed_shape": [int(v) for v in f_shape],
-                            "affine_loss": float(aff_losses[j]),
-                            "svf_loss": None
-                            if svf_losses[j] is None
-                            else float(svf_losses[j]),
-                        },
-                        paths["affine"],
-                    )
                     if self.deformable and self.keep_deformation:
                         nifti.save_nifti(
                             np.moveaxis(np.asarray(disps[j]), 0, -1),
                             f_hdr,
                             paths["warp"],
                         )
+                    # marker last — see register_pair
+                    atomic_write_json(
+                        self._pair_meta(
+                            mats[j], f_sp, m_sp, f_shape,
+                            aff_losses[j], svf_losses[j],
+                        ),
+                        paths["affine"],
+                    )
 
 
 def apply_pair_transforms(
@@ -293,7 +301,18 @@ def apply_pair_transforms(
 
     if nifti.try_load_nifti(warp_path):
         disp = np.moveaxis(nifti.load_nifti_simple(warp_path), -1, 0)
+    elif meta.get("warp_kept", meta.get("svf_loss") is not None):
+        # A deformable pair whose warp is missing/corrupt must NOT silently
+        # degrade label propagation to affine-only: the degraded labels would
+        # be cached forever by try_load_nifti resume probes downstream.
+        raise RuntimeError(
+            "pair %s: warp.nii.gz is missing or unreadable but the pair was "
+            "registered deformably (affine.json says warp_kept) — delete "
+            "%s and re-run registration for this pair." % (pair_dir, pair_dir)
+        )
     else:
+        # affine-only registration (deformable=False): zero displacement is
+        # the correct composed transform, not a fallback
         disp = np.zeros((3,) + fixed_shape, np.float32)
 
     # donor header: the pair's registered image carries the true target
