@@ -7,6 +7,19 @@ preprocessing and Gaussian sliding-window 3D U-Net inference with full
 8-way mirror TTA — the same semantics as the reference's DeepWMH_predict
 (deepwmh/main/predict.py:16-17,153-156).
 
+Also reported inside the same JSON line (round-2 coverage of all three hot
+paths + utilization):
+  mfu                      model-FLOPs utilization of the fused case program
+                           (XLA cost_analysis FLOPs / wall / chip bf16 peak)
+  stages                   median seconds for N4 / preprocess / sweep /
+                           resample-back, timed as separate jitted programs
+  registration_pairs_per_min  artifact-to-artifact all-pairs deformable
+                           registration throughput (GroupRegistration, quick
+                           config, bench-shape volumes) — the reference's
+                           dominant training-prep cost (train.py:184-185)
+  nll_cases_per_min        stage-1 NLL anomaly analysis throughput (K=4
+                           registered references, one jitted program)
+
 Baseline: BASELINE.md target of <10 s/volume => 6 volumes/min/chip.
 Prints ONE JSON line.
 """
@@ -14,15 +27,30 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
+import statistics
+import tempfile
 import time
 
 import jax
 import numpy as np
 
 BASELINE_VOL_PER_MIN = 6.0  # 10 s/volume target from BASELINE.md
+BENCH_SHAPE = (192, 224, 192)
+
+# peak dense bf16 TFLOP/s per chip by device kind (public spec sheets)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
-def make_synthetic_flair(shape=(192, 224, 192), seed=0):
+def make_synthetic_flair(shape=BENCH_SHAPE, seed=0):
     rng = np.random.RandomState(seed)
     zz, yy, xx = np.meshgrid(
         np.linspace(-1, 1, shape[0]),
@@ -36,12 +64,197 @@ def make_synthetic_flair(shape=(192, 224, 192), seed=0):
     return head * (400 + 150 * tex) + 30 * rng.rand(*shape).astype(np.float32)
 
 
+def _median_time(fn, reps=3):
+    """Median wall time of fn() over `reps` calls (fn must block)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
+def bench_headline(predictor, vol, spacing):
+    import jax.numpy as jnp
+
+    def full_pipeline(raw):
+        return predictor.predict_case(jnp.asarray(raw), spacing, apply_n4=True)
+
+    seg, fg = full_pipeline(vol)  # warmup / compile
+    jax.block_until_ready(fg)
+
+    n_runs = 4
+
+    def run_block():
+        outs = [full_pipeline(vol) for _ in range(n_runs)]
+        jax.block_until_ready(outs)
+
+    per_volume = _median_time(run_block, reps=3) / n_runs
+    return per_volume
+
+
+def bench_mfu(predictor, vol, spacing, per_volume):
+    """FLOPs of the fused case program (XLA cost analysis) / wall / peak."""
+    import jax.numpy as jnp
+
+    spacing_r = tuple(round(float(s), 4) for s in spacing)
+    key = (vol.shape, spacing_r, True)
+    case_fn = predictor._case_cache[key]  # built by bench_headline
+    try:
+        compiled = case_fn.lower(predictor.params, jnp.asarray(vol)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca["flops"])
+    except Exception:
+        return None, None
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16.get(kind, 197e12)
+    return flops / per_volume / peak, flops
+
+
+def bench_stages(predictor, vol, spacing):
+    """Per-stage medians, each stage its own jitted program."""
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.ops.n4 import n4_bias_correction
+    from deepwmh_tpu.unet.infer import accumulate_patches, patch_positions
+    from deepwmh_tpu.unet.preprocess import (
+        pad_to,
+        padded_shape,
+        preprocess_case,
+        resample_to_shape,
+    )
+
+    plan = predictor.plan
+    patch_size = predictor.patch_size
+    raw = jnp.asarray(vol)
+
+    n4_fn = jax.jit(n4_bias_correction)
+    pre_fn = jax.jit(lambda v: preprocess_case(v, spacing, plan))
+
+    corrected = n4_fn(raw)
+    jax.block_until_ready(corrected)
+    pre = pre_fn(corrected)
+    jax.block_until_ready(pre)
+
+    target = padded_shape(pre.shape, patch_size)
+    padded = pad_to(pre, target)
+    pos, pos_w = patch_positions(target, patch_size, predictor.step_fraction)
+    from deepwmh_tpu.unet.infer import ALL_FLIPS
+
+    def sweep(params, v):
+        acc, wt = accumulate_patches(
+            params, v, pos, pos_w, predictor.gauss, predictor._apply,
+            patch_size, int(plan.num_classes), ALL_FLIPS,
+        )
+        return acc / jnp.maximum(wt, 1e-8)[..., None]
+
+    sweep_fn = jax.jit(sweep)
+    probs = sweep_fn(predictor.params, padded)
+    jax.block_until_ready(probs)
+
+    res_shape = pre.shape
+    orig_shape = vol.shape
+
+    def back(p):
+        fg = p[: res_shape[0], : res_shape[1], : res_shape[2], 1]
+        fg_orig = resample_to_shape(fg, orig_shape, order=1)
+        return (fg_orig > 0.5).astype(jnp.uint8)
+
+    back_fn = jax.jit(back)
+    jax.block_until_ready(back_fn(probs))
+
+    stages = {
+        "n4": _median_time(lambda: jax.block_until_ready(n4_fn(raw))),
+        "preprocess": _median_time(lambda: jax.block_until_ready(pre_fn(corrected))),
+        "sweep": _median_time(
+            lambda: jax.block_until_ready(sweep_fn(predictor.params, padded))
+        ),
+        "resample_back": _median_time(lambda: jax.block_until_ready(back_fn(probs))),
+    }
+    return {k: round(v, 3) for k, v in stages.items()}
+
+
+def bench_registration():
+    """Artifact-to-artifact all-pairs registration, bench-shape volumes."""
+    from deepwmh_tpu.core import nifti
+    from deepwmh_tpu.registration.group import GroupRegistration
+
+    shape = BENCH_SHAPE
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(shape)
+    hdr.set_zooms((1.0, 1.0, 1.0))
+
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+
+    def head(seed, shift):
+        rr = np.sqrt((g[0] - shift) ** 2 + g[1] ** 2 + g[2] ** 2)
+        tex = np.random.RandomState(seed).rand(*shape).astype(np.float32)
+        return ((rr < 0.8) * (300 + 100 * tex)).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        srcs, tgts = [], []
+        for i in range(1):
+            p = os.path.join(tmp, "src%d.nii.gz" % i)
+            nifti.save_nifti(head(i, 0.04), hdr, p)
+            srcs.append(("S%d" % i, p))
+        for i in range(2):
+            p = os.path.join(tmp, "tgt%d.nii.gz" % i)
+            nifti.save_nifti(head(100 + i, 0.0), hdr, p)
+            tgts.append(("T%d" % i, p))
+
+        # compile warmup on one pair in a throwaway folder
+        warm = GroupRegistration(
+            srcs, tgts[:1], os.path.join(tmp, "warm"), quick=True
+        )
+        warm.launch(verbose=False)
+
+        reg = GroupRegistration(srcs, tgts, os.path.join(tmp, "reg"), quick=True)
+        t0 = time.time()
+        reg.launch(verbose=False)
+        dt = time.time() - t0
+        n = len(srcs) * len(tgts)
+        return n / dt * 60.0
+
+
+def bench_nll():
+    """Stage-1 NLL anomaly analysis: one case vs K=4 registered refs."""
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.pipeline.analysis import nll_analysis_core
+
+    shape = BENCH_SHAPE
+    K = 4
+    rng = np.random.RandomState(0)
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    brain = (np.sqrt(sum(a**2 for a in g)) < 0.8).astype(np.float32)
+    x = jnp.asarray(brain * (300 + 30 * rng.randn(*shape)), jnp.float32)
+    refs = jnp.asarray(
+        np.stack([brain * (300 + 30 * rng.randn(*shape)) for _ in range(K)]),
+        jnp.float32,
+    )
+    l1 = jnp.asarray(np.stack([brain] * K), jnp.float32)
+    l2 = jnp.asarray(np.stack([brain] * K), jnp.float32)
+
+    def run():
+        out = nll_analysis_core(
+            x, refs, l1, l2,
+            patch_size=(50, 50, 50), voxel_size=(1.0, 1.0, 1.0),
+            num_label_classes=4,
+        )
+        jax.block_until_ready(out)
+
+    run()  # compile
+    per_case = _median_time(run)
+    return 60.0 / per_case
+
+
 def main():
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
     from deepwmh_tpu.unet.model import UNet3D, init_params
@@ -55,23 +268,13 @@ def main():
     vol = make_synthetic_flair()
     spacing = [1.0, 1.0, 1.0]
 
-    def full_pipeline(raw):
-        # one fused jit: N4 -> preprocess -> sliding window -> resample back
-        return predictor.predict_case(jnp.asarray(raw), spacing, apply_n4=True)
-
-    # warmup / compile
-    seg, fg = full_pipeline(vol)
-    jax.block_until_ready(fg)
-
-    # throughput measurement: dispatch all volumes asynchronously (JAX
-    # queues the fused programs; transfers overlap compute) and block once
-    n_runs = 6
-    t0 = time.time()
-    outs = [full_pipeline(vol) for _ in range(n_runs)]
-    jax.block_until_ready(outs)
-    per_volume = (time.time() - t0) / n_runs
-
+    per_volume = bench_headline(predictor, vol, spacing)
     vol_per_min = 60.0 / per_volume
+    mfu, flops = bench_mfu(predictor, vol, spacing, per_volume)
+    stages = bench_stages(predictor, vol, spacing)
+    reg_pairs_per_min = bench_registration()
+    nll_cases_per_min = bench_nll()
+
     print(
         json.dumps(
             {
@@ -79,6 +282,12 @@ def main():
                 "value": round(vol_per_min, 3),
                 "unit": "volumes/min/chip",
                 "vs_baseline": round(vol_per_min / BASELINE_VOL_PER_MIN, 3),
+                "mfu": None if mfu is None else round(mfu, 4),
+                "model_flops_per_volume": None if flops is None else flops,
+                "device_kind": jax.devices()[0].device_kind,
+                "stages_seconds": stages,
+                "registration_pairs_per_min_per_chip": round(reg_pairs_per_min, 2),
+                "nll_cases_per_min_per_chip": round(nll_cases_per_min, 2),
             }
         )
     )

@@ -39,6 +39,47 @@ def sample_volume(vol, coords, order: int = 1, cval: float = 0.0):
     )
 
 
+def sample_channels(vols, coords, cval: float = 0.0):
+    """Trilinearly sample C volumes [C,D,H,W] at SHARED coords [3, ...].
+
+    Floor indices and trilinear weights are computed once and each of the 8
+    corners is a single take() on the flattened [C, D*H*W] layout — ~8
+    gathers total for all channels instead of 8 per channel per call. This
+    is the hot sampler inside velocity-field scaling-and-squaring (3-channel
+    fields resampled 2^K times per optimizer step)."""
+    vols = vols.astype(jnp.float32)
+    c = vols.shape[0]
+    d, h, w = vols.shape[1:]
+    out_shape = coords.shape[1:]
+    cf = coords.reshape(3, -1)
+    i0 = jnp.floor(cf).astype(jnp.int32)
+    f = cf - i0.astype(jnp.float32)
+
+    flat = vols.reshape(c, -1)
+    sizes = (d, h, w)
+    out = jnp.zeros((c, cf.shape[1]), jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                off = (dz, dy, dx)
+                idx = [i0[i] + off[i] for i in range(3)]
+                valid = (
+                    (idx[0] >= 0) & (idx[0] < d)
+                    & (idx[1] >= 0) & (idx[1] < h)
+                    & (idx[2] >= 0) & (idx[2] < w)
+                )
+                ic = [jnp.clip(idx[i], 0, sizes[i] - 1) for i in range(3)]
+                lin = (ic[0] * h + ic[1]) * w + ic[2]
+                wgt = (
+                    (f[0] if dz else 1.0 - f[0])
+                    * (f[1] if dy else 1.0 - f[1])
+                    * (f[2] if dx else 1.0 - f[2])
+                )
+                vals = jnp.where(valid[None, :], flat[:, lin], cval)
+                out = out + wgt[None, :] * vals
+    return out.reshape((c,) + tuple(out_shape))
+
+
 def affine_warp(vol, matrix, out_shape=None, order: int = 1, cval: float = 0.0, center=None):
     """Resample `vol` through a 3x4 (or 4x4) affine.
 
@@ -90,7 +131,7 @@ def compose_disp(disp_outer, disp_inner):
     inner then outer."""
     grid = identity_grid(disp_inner.shape[1:])
     coords = grid + disp_inner
-    moved = jnp.stack([sample_volume(disp_outer[i], coords) for i in range(3)])
+    moved = sample_channels(disp_outer, coords)
     return disp_inner + moved
 
 

@@ -33,7 +33,7 @@ from deepwmh_tpu.registration.similarity import (
 )
 
 
-@dataclass
+@dataclass(frozen=True)  # hashable: used as a static jit argument
 class AffineConfig:
     metric: str = "mi"  # 'mi' or 'lncc'
     mi_bins: int = 32
@@ -175,38 +175,24 @@ def feasible_levels(shrinks, iters, shape, min_dim: int = 8):
     return tuple(out_s), tuple(out_i)
 
 
-def register_affine(
-    fixed,
-    moving,
-    fixed_spacing=(1.0, 1.0, 1.0),
-    moving_spacing=(1.0, 1.0, 1.0),
-    cfg: AffineConfig = None,
-):
-    """Returns (matrix 3x4 numpy, final_loss): fixed phys -> moving phys."""
-    import dataclasses
-
-    cfg = cfg or AffineConfig()
-    shr, its = feasible_levels(cfg.shrinks, cfg.iters, fixed.shape)
-    cfg = dataclasses.replace(cfg, shrinks=shr, iters=its)
-    fixed = winsorize_rescale(jnp.asarray(fixed, jnp.float32))
-    moving = winsorize_rescale(jnp.asarray(moving, jnp.float32))
-    fsp = jnp.asarray(fixed_spacing, jnp.float32)
-    msp = jnp.asarray(moving_spacing, jnp.float32)
+def _affine_core(fixed, moving, fsp, msp, cfg: AffineConfig):
+    """The FULL rigid+affine pyramid as one traceable function: winsorize,
+    center-of-mass init, every level's Adam loop — so a registration is a
+    single device dispatch when jitted (eager per-level dispatch through a
+    remote-TPU tunnel costs ~1s/pair in RPC latency alone)."""
+    fixed = winsorize_rescale(fixed)
+    moving = winsorize_rescale(moving)
 
     center = _center_of_mass(fixed, fsp)
     com_m = _center_of_mass(moving, msp)
 
-    # center-of-mass translation init
     rigid_params = jnp.zeros((6,), jnp.float32).at[3:6].set(com_m - center)
     affine_params = None
     final_loss = jnp.float32(0.0)
 
-    stages = []
-    if cfg.do_rigid:
-        stages.append("rigid")
-    if cfg.do_affine:
-        stages.append("affine")
-
+    stages = (["rigid"] if cfg.do_rigid else []) + (
+        ["affine"] if cfg.do_affine else []
+    )
     for mode in stages:
         if mode == "affine":
             if affine_params is None:
@@ -247,30 +233,47 @@ def register_affine(
     mode = stages[-1]
     params = affine_params if mode == "affine" else rigid_params
     mat = _params_to_matrix(params, center, mode)
-    return np.asarray(mat), float(final_loss)
+    return mat, final_loss
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mode", "iters", "lr", "metric", "mi_bins", "lncc_radius", "sample_stride",
-    ),
-)
-def _optimize_level_batch(
-    fixed, moving, fixed_spacing, moving_spacing, params0, center,
-    mode, iters, lr, metric, mi_bins, lncc_radius, sample_stride=1,
-):
-    """vmapped _optimize_level over a leading pair axis: registers B pairs
-    in one XLA program — the TPU answer to the reference's 4-process pool
-    over the |refs| x |train| pair list (ANTs_group_registration.py:272)."""
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _affine_core_jit(fixed, moving, fsp, msp, cfg: AffineConfig):
+    return _affine_core(fixed, moving, fsp, msp, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _affine_core_batch_jit(fixed, moving, fsp, msp, cfg: AffineConfig):
     return jax.vmap(
-        lambda f, m, p0, c: _optimize_level(
-            f, m, fixed_spacing, moving_spacing, p0, c,
-            mode=mode, iters=iters, lr=lr, metric=metric,
-            mi_bins=mi_bins, lncc_radius=lncc_radius,
-            sample_stride=sample_stride,
-        )
-    )(fixed, moving, params0, center)
+        lambda f, m: _affine_core(f, m, fsp, msp, cfg)
+    )(fixed, moving)
+
+
+def _hashable_cfg(cfg, shape):
+    import dataclasses
+
+    shr, its = feasible_levels(cfg.shrinks, cfg.iters, shape)
+    return dataclasses.replace(
+        cfg, shrinks=tuple(shr), iters=tuple(its)
+    )
+
+
+def register_affine(
+    fixed,
+    moving,
+    fixed_spacing=(1.0, 1.0, 1.0),
+    moving_spacing=(1.0, 1.0, 1.0),
+    cfg: AffineConfig = None,
+):
+    """Returns (matrix 3x4 numpy, final_loss): fixed phys -> moving phys."""
+    cfg = _hashable_cfg(cfg or AffineConfig(), fixed.shape)
+    mat, loss = _affine_core_jit(
+        jnp.asarray(fixed, jnp.float32),
+        jnp.asarray(moving, jnp.float32),
+        jnp.asarray(fixed_spacing, jnp.float32),
+        jnp.asarray(moving_spacing, jnp.float32),
+        cfg,
+    )
+    return np.asarray(mat), float(loss)
 
 
 def register_affine_batch(
@@ -280,66 +283,19 @@ def register_affine_batch(
     moving_spacing=(1.0, 1.0, 1.0),
     cfg: AffineConfig = None,
 ):
-    """Register B (fixed, moving) pairs simultaneously. All pairs share the
-    given spacings (group tasks by shape+spacing). Returns
-    (matrices [B,3,4] numpy, losses [B])."""
-    import dataclasses
-
-    cfg = cfg or AffineConfig()
-    fixed_stack = jnp.asarray(fixed_stack, jnp.float32)
-    moving_stack = jnp.asarray(moving_stack, jnp.float32)
-    B = fixed_stack.shape[0]
-    shr, its = feasible_levels(cfg.shrinks, cfg.iters, fixed_stack.shape[1:])
-    cfg = dataclasses.replace(cfg, shrinks=shr, iters=its)
-
-    fixed_stack = jax.vmap(winsorize_rescale)(fixed_stack)
-    moving_stack = jax.vmap(winsorize_rescale)(moving_stack)
-    fsp = jnp.asarray(fixed_spacing, jnp.float32)
-    msp = jnp.asarray(moving_spacing, jnp.float32)
-
-    centers = jax.vmap(lambda x: _center_of_mass(x, fsp))(fixed_stack)
-    coms_m = jax.vmap(lambda x: _center_of_mass(x, msp))(moving_stack)
-
-    rigid = jnp.zeros((B, 6), jnp.float32).at[:, 3:6].set(coms_m - centers)
-    affine = None
-    losses = jnp.zeros((B,), jnp.float32)
-
-    stages = (["rigid"] if cfg.do_rigid else []) + (
-        ["affine"] if cfg.do_affine else []
+    """Register B (fixed, moving) pairs simultaneously in ONE device program
+    (vmap of the full pyramid) — the TPU answer to the reference's 4-process
+    pool over the |refs| x |train| pair list (ANTs_group_registration.py:272).
+    All pairs share the given spacings (group tasks by shape+spacing).
+    Returns (matrices [B,3,4] numpy, losses [B])."""
+    cfg = _hashable_cfg(cfg or AffineConfig(), fixed_stack.shape[1:])
+    mats, losses = _affine_core_batch_jit(
+        jnp.asarray(fixed_stack, jnp.float32),
+        jnp.asarray(moving_stack, jnp.float32),
+        jnp.asarray(fixed_spacing, jnp.float32),
+        jnp.asarray(moving_spacing, jnp.float32),
+        cfg,
     )
-    for mode in stages:
-        if mode == "affine":
-            if affine is None:
-                Rs = jax.vmap(lambda p: rotation_matrix(p[:3]))(rigid)
-                affine = jnp.concatenate(
-                    [(Rs - jnp.eye(3)[None]).reshape(B, 9), rigid[:, 3:6]], axis=1
-                )
-            params = affine
-        else:
-            params = rigid
-        for shrink, iters in zip(cfg.shrinks, cfg.iters):
-            f = jax.vmap(lambda x: _downsample(x, shrink))(fixed_stack)
-            m = jax.vmap(lambda x: _downsample(x, shrink))(moving_stack)
-            stride = (
-                cfg.sample_stride
-                if f[0].size // cfg.sample_stride >= 4096
-                else 1
-            )
-            params, losses = _optimize_level_batch(
-                f, m, fsp * shrink, msp * shrink, params, centers,
-                mode=mode, iters=int(iters),
-                lr=float(cfg.lr) if mode == "rigid" else float(cfg.lr) * 0.5,
-                metric=cfg.metric, mi_bins=cfg.mi_bins,
-                lncc_radius=cfg.lncc_radius, sample_stride=int(stride),
-            )
-        if mode == "rigid":
-            rigid = params
-        else:
-            affine = params
-
-    mode = stages[-1]
-    params = affine if mode == "affine" else rigid
-    mats = jax.vmap(lambda p, c: _params_to_matrix(p, c, mode))(params, centers)
     return np.asarray(mats), np.asarray(losses)
 
 

@@ -16,19 +16,58 @@ Artifact layout per pair (consumed by the training pipeline):
 
 from __future__ import annotations
 
+import functools
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from deepwmh_tpu.core import nifti
 from deepwmh_tpu.core.artifacts import atomic_write_json, join_path, load_json, mkdir
-from deepwmh_tpu.registration.affine import AffineConfig, register_affine, apply_affine
-from deepwmh_tpu.registration.svf import SVFConfig, apply_affine_svf, register_svf
+from deepwmh_tpu.registration.affine import AffineConfig, _affine_core, resample_moving
+from deepwmh_tpu.registration.svf import SVFConfig, _svf_core, apply_affine_svf
 
 
 def pair_name(source_case: str, target_case: str) -> str:
     return "%s_to_%s" % (source_case, target_case)
+
+
+def _pair_core(fixed, moving, fsp, msp, acfg, scfg, deformable):
+    """One pair end-to-end ON DEVICE: affine pyramid -> resample -> SVF
+    pyramid -> final fused [affine, warp] resample. A single XLA program per
+    pair geometry; the round-1 design dispatched ~5 programs + intermediate
+    host transfers per pair, and through a remote-TPU tunnel the RPC latency
+    and f32 wire bytes dominated the actual compute by >100x."""
+    fixed = fixed.astype(jnp.float32)
+    moving = moving.astype(jnp.float32)
+    mat, aff_loss = _affine_core(fixed, moving, fsp, msp, acfg)
+    moving_on_fixed = resample_moving(moving, mat, fixed.shape, fsp, msp, order=1)
+    if deformable:
+        disp, svf_loss = _svf_core(fixed, moving_on_fixed, scfg)
+        warped = apply_affine_svf(
+            moving, mat, disp, fixed.shape, fsp, msp, order=1
+        )
+        # f16 over the wire: warp fields carry ~1e-3 voxel quantization at
+        # typical magnitudes, far below trilinear resampling error; halves
+        # the dominant tunnel download
+        disp16 = disp.astype(jnp.float16)
+    else:
+        disp16, svf_loss = None, None
+        warped = moving_on_fixed
+    return mat, aff_loss, disp16, svf_loss, warped.astype(jnp.float16)
+
+
+@functools.partial(jax.jit, static_argnames=("acfg", "scfg", "deformable"))
+def _pair_core_jit(fixed, moving, fsp, msp, acfg, scfg, deformable=True):
+    return _pair_core(fixed, moving, fsp, msp, acfg, scfg, deformable)
+
+
+@functools.partial(jax.jit, static_argnames=("acfg", "scfg", "deformable"))
+def _pair_core_batch_jit(fixed, moving, fsp, msp, acfg, scfg, deformable=True):
+    return jax.vmap(
+        lambda f, m: _pair_core(f, m, fsp, msp, acfg, scfg, deformable)
+    )(fixed, moving)
 
 
 class GroupRegistration:
@@ -61,7 +100,9 @@ class GroupRegistration:
             self.svf_cfg = SVFConfig(shrinks=(4,), iters=(80,))
         elif large_deformation:
             self.affine_cfg = AffineConfig(shrinks=(8, 4, 2), iters=(200, 120, 60))
-            self.svf_cfg = SVFConfig(shrinks=(4, 2), iters=(160, 80))
+            self.svf_cfg = SVFConfig(
+                shrinks=(4, 2), iters=(160, 80), n_squaring=4
+            )
         else:
             self.affine_cfg = AffineConfig()
             self.svf_cfg = SVFConfig()
@@ -102,6 +143,41 @@ class GroupRegistration:
 
         return feasible_levels(cfg_shrinks, cfg_iters, shape, min_dim)
 
+    def _pair_cfgs(self, fixed_shape):
+        import dataclasses
+
+        a_shr, a_it = self._feasible_levels(
+            self.affine_cfg.shrinks, self.affine_cfg.iters, fixed_shape
+        )
+        affine_cfg = dataclasses.replace(self.affine_cfg, shrinks=a_shr, iters=a_it)
+        s_shr, s_it = self._feasible_levels(
+            self.svf_cfg.shrinks, self.svf_cfg.iters, fixed_shape
+        )
+        svf_cfg = dataclasses.replace(self.svf_cfg, shrinks=s_shr, iters=s_it)
+        return affine_cfg, svf_cfg
+
+    def _write_pair(self, paths, f_hdr, f_sp, m_sp, f_shape,
+                    matrix, aff_loss, disp16, svf_loss, warped16):
+        mkdir(paths["dir"])
+        nifti.save_nifti(np.asarray(warped16, np.float32), f_hdr, paths["image"])
+        if disp16 is not None and self.keep_deformation:
+            nifti.save_nifti(
+                np.moveaxis(np.asarray(disp16, np.float32), 0, -1),
+                f_hdr,
+                paths["warp"],
+            )
+        # affine.json is written LAST: it is the cheap atomic marker, so its
+        # presence implies the image (and warp, when kept) are complete — a
+        # kill mid-pair can never half-pass later _pair_done probes
+        atomic_write_json(
+            self._pair_meta(
+                np.asarray(matrix), f_sp, m_sp, f_shape,
+                float(aff_loss),
+                None if svf_loss is None else float(svf_loss),
+            ),
+            paths["affine"],
+        )
+
     def register_pair(self, s_case, s_path, t_case, t_path, verbose=True):
         paths = self._pair_paths(s_case, t_case)
         if self._pair_done(paths):
@@ -115,44 +191,20 @@ class GroupRegistration:
         moving, _ = nifti.load_nifti(s_path)
         f_sp = nifti.get_nifti_pixdim(t_path)
         m_sp = nifti.get_nifti_pixdim(s_path)
+        affine_cfg, svf_cfg = self._pair_cfgs(fixed.shape)
 
-        import dataclasses
-
-        a_shr, a_it = self._feasible_levels(
-            self.affine_cfg.shrinks, self.affine_cfg.iters, fixed.shape
+        # f16 upload: FLAIR intensities carry <= 12 significant bits; halves
+        # the tunnel upload with no effect on MI binning / LNCC
+        out = _pair_core_jit(
+            jnp.asarray(fixed, jnp.float16),
+            jnp.asarray(moving, jnp.float16),
+            jnp.asarray(f_sp, jnp.float32),
+            jnp.asarray(m_sp, jnp.float32),
+            affine_cfg,
+            svf_cfg,
+            deformable=self.deformable,
         )
-        affine_cfg = dataclasses.replace(self.affine_cfg, shrinks=a_shr, iters=a_it)
-        s_shr, s_it = self._feasible_levels(
-            self.svf_cfg.shrinks, self.svf_cfg.iters, fixed.shape
-        )
-        svf_cfg = dataclasses.replace(self.svf_cfg, shrinks=s_shr, iters=s_it)
-
-        matrix, aff_loss = register_affine(fixed, moving, f_sp, m_sp, cfg=affine_cfg)
-        moving_on_fixed = np.asarray(
-            apply_affine(moving, matrix, fixed.shape, f_sp, m_sp, order=1)
-        )
-        if self.deformable:
-            disp, svf_loss = register_svf(fixed, moving_on_fixed, cfg=svf_cfg)
-            warped = np.asarray(
-                apply_affine_svf(moving, matrix, disp, fixed.shape, f_sp, m_sp, order=1)
-            )
-        else:
-            disp, svf_loss = None, None
-            warped = moving_on_fixed
-
-        mkdir(paths["dir"])
-        nifti.save_nifti(warped, f_hdr, paths["image"])
-        if self.deformable and self.keep_deformation:
-            nifti.save_nifti(
-                np.moveaxis(np.asarray(disp), 0, -1), f_hdr, paths["warp"]
-            )
-        # affine.json is written LAST: it is the cheap atomic marker, so its
-        # presence implies the image (and warp, when kept) are complete — a
-        # kill mid-pair can never half-pass later _pair_done probes
-        atomic_write_json(
-            self._pair_meta(matrix, f_sp, m_sp, fixed.shape, aff_loss, svf_loss),
-            paths["affine"],
-        )
+        self._write_pair(paths, f_hdr, f_sp, m_sp, fixed.shape, *out)
         return paths
 
     def _pair_meta(self, matrix, f_sp, m_sp, f_shape, aff_loss, svf_loss):
@@ -173,36 +225,30 @@ class GroupRegistration:
         return self._pair_done(self._pair_paths(s_case, t_case))
 
     def launch(self, verbose: bool = True, batch_pairs: int = 1):
-        """batch_pairs > 1 registers same-geometry pairs simultaneously
-        (vmapped optimizer).
+        """Register all remaining pairs as a three-stage pipeline: threaded
+        NIfTI prefetch -> one fused XLA program per chunk -> threaded
+        artifact writes. The workload is host-gzip + wire bound (device
+        compute of a quick-config pair is <1s), so the pipeline overlaps all
+        three; this is the TPU answer to the reference's 4-process ANTs pool
+        (ANTs_group_registration.py:272).
 
-        MEASURED (v5e, 96^3, quick config, B=4): 0.67x vs sequential — a
-        single pair already saturates the chip and the vmapped MI scatter
-        lowers poorly, so the default stays sequential. The reference
-        needed a 4-process pool because ANTs is single-core; the TPU
-        equivalent of that scaling is `--distributed a/b` across chips.
-        The batched path remains for backends where it wins."""
-        if batch_pairs > 1:
-            return self._launch_batched(batch_pairs, verbose=verbose)
-        n = len(self.tasks)
-        for i, (s, t) in enumerate(self.tasks):
-            if verbose:
-                print("[%d/%d]" % (i + 1, n), end=" ")
-            self.register_pair(s[0], s[1], t[0], t[1], verbose=verbose)
+        batch_pairs > 1 fuses same-geometry pairs into one vmapped program.
+        MEASURED (v5e behind a tunnel, 96^3 quick): B=1 29 pairs/min vs B=4
+        20 pairs/min end-to-end — batching the compute scales ~3.4x on
+        device but the wire bytes don't shrink, so B=1 is the default;
+        prefer batch_pairs=4 on a local (untunneled) TPU host."""
+        return self._launch_batched(max(1, batch_pairs), verbose=verbose)
 
     def _launch_batched(self, batch_pairs: int, verbose: bool = True):
-        import dataclasses
-
-        from deepwmh_tpu.registration.affine import register_affine_batch
-        from deepwmh_tpu.registration.svf import register_svf_batch
+        from concurrent.futures import ThreadPoolExecutor
 
         # group remaining pairs by identical geometry
         buckets = {}
+        n_skip = 0
         for s, t in self.tasks:
             paths = self._pair_paths(s[0], t[0])
             if self._pair_done(paths):
-                if verbose:
-                    print("pair %s: already done, skip" % pair_name(s[0], t[0]))
+                n_skip += 1
                 continue
             f_hdr = nifti.get_nifti_header(t[1])
             m_hdr = nifti.get_nifti_header(s[1])
@@ -212,77 +258,87 @@ class GroupRegistration:
                 tuple(round(z, 4) for z in m_hdr.zooms[:3]),
             )
             buckets.setdefault(key, []).append((s, t))
+        if verbose and n_skip:
+            print("%d pair(s) already done, skipped" % n_skip, flush=True)
 
+        chunks = []  # (chunk, f_shape, f_sp, m_sp, affine_cfg, svf_cfg)
         for (f_shape, m_shape, f_sp, m_sp), pairs in buckets.items():
-            a_shr, a_it = self._feasible_levels(
-                self.affine_cfg.shrinks, self.affine_cfg.iters, f_shape
-            )
-            affine_cfg = dataclasses.replace(
-                self.affine_cfg, shrinks=a_shr, iters=a_it
-            )
-            s_shr, s_it = self._feasible_levels(
-                self.svf_cfg.shrinks, self.svf_cfg.iters, f_shape
-            )
-            svf_cfg = dataclasses.replace(self.svf_cfg, shrinks=s_shr, iters=s_it)
-
+            affine_cfg, svf_cfg = self._pair_cfgs(f_shape)
             for i0 in range(0, len(pairs), batch_pairs):
-                chunk = pairs[i0 : i0 + batch_pairs]
+                chunks.append(
+                    (pairs[i0 : i0 + batch_pairs], f_shape, f_sp, m_sp,
+                     affine_cfg, svf_cfg)
+                )
+
+        def load_chunk(chunk):
+            # gzip decompression releases the GIL; stack to f16 for the wire
+            fixed = np.stack(
+                [nifti.load_nifti_simple(t[1]) for _, t in chunk]
+            ).astype(np.float16)
+            moving = np.stack(
+                [nifti.load_nifti_simple(s[1]) for s, _ in chunk]
+            ).astype(np.float16)
+            return fixed, moving
+
+        def write_one(paths, f_hdr, f_sp, m_sp, f_shape, outs_j):
+            self._write_pair(paths, f_hdr, f_sp, m_sp, f_shape, *outs_j)
+
+        done = 0
+        total = sum(len(c[0]) for c in chunks)
+        write_futures = []
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            load_future = pool.submit(load_chunk, chunks[0][0]) if chunks else None
+            for ci, (chunk, f_shape, f_sp, m_sp, acfg, scfg) in enumerate(chunks):
+                fixed, moving = load_future.result()
+                if ci + 1 < len(chunks):
+                    load_future = pool.submit(load_chunk, chunks[ci + 1][0])
                 if verbose:
                     print(
-                        "batch registering %d pair(s): %s"
-                        % (len(chunk), [pair_name(s[0], t[0]) for s, t in chunk]),
+                        "[%d/%d] registering %s"
+                        % (
+                            done + len(chunk), total,
+                            [pair_name(s[0], t[0]) for s, t in chunk],
+                        ),
                         flush=True,
                     )
-                fixed = np.stack([nifti.load_nifti_simple(t[1]) for _, t in chunk])
-                moving = np.stack([nifti.load_nifti_simple(s[1]) for s, _ in chunk])
-                mats, aff_losses = register_affine_batch(
-                    fixed, moving, f_sp, m_sp, cfg=affine_cfg
-                )
-                moving_on_fixed = np.stack(
-                    [
-                        np.asarray(
-                            apply_affine(
-                                moving[j], mats[j], f_shape, f_sp, m_sp, order=1
-                            )
-                        )
-                        for j in range(len(chunk))
-                    ]
-                )
-                if self.deformable:
-                    disps, svf_losses = register_svf_batch(
-                        fixed, moving_on_fixed, cfg=svf_cfg
+                done += len(chunk)
+                fsp_j = jnp.asarray(f_sp, jnp.float32)
+                msp_j = jnp.asarray(m_sp, jnp.float32)
+                if len(chunk) == 1:
+                    outs = _pair_core_jit(
+                        jnp.asarray(fixed[0]), jnp.asarray(moving[0]),
+                        fsp_j, msp_j, acfg, scfg, deformable=self.deformable,
                     )
+                    outs = jax.tree_util.tree_map(lambda x: x[None], outs)
                 else:
-                    disps, svf_losses = None, [None] * len(chunk)
-
+                    outs = _pair_core_batch_jit(
+                        jnp.asarray(fixed), jnp.asarray(moving),
+                        fsp_j, msp_j, acfg, scfg, deformable=self.deformable,
+                    )
+                mats, aff_losses, disps16, svf_losses, warpeds16 = outs
                 for j, (s, t) in enumerate(chunk):
                     paths = self._pair_paths(s[0], t[0])
                     f_hdr = nifti.get_nifti_header(t[1])
-                    if self.deformable:
-                        warped = np.asarray(
-                            apply_affine_svf(
-                                moving[j], mats[j], disps[j], f_shape, f_sp, m_sp,
-                                order=1,
-                            )
-                        )
-                    else:
-                        warped = moving_on_fixed[j]
-                    mkdir(paths["dir"])
-                    nifti.save_nifti(warped, f_hdr, paths["image"])
-                    if self.deformable and self.keep_deformation:
-                        nifti.save_nifti(
-                            np.moveaxis(np.asarray(disps[j]), 0, -1),
-                            f_hdr,
-                            paths["warp"],
-                        )
-                    # marker last — see register_pair
-                    atomic_write_json(
-                        self._pair_meta(
-                            mats[j], f_sp, m_sp, f_shape,
-                            aff_losses[j], svf_losses[j],
-                        ),
-                        paths["affine"],
+                    outs_j = (
+                        mats[j], aff_losses[j],
+                        None if disps16 is None else disps16[j],
+                        None if svf_losses is None else svf_losses[j],
+                        warpeds16[j],
                     )
+                    write_futures.append(
+                        pool.submit(
+                            write_one, paths, f_hdr, f_sp, m_sp, f_shape, outs_j
+                        )
+                    )
+                # fail fast: surface any completed write error before
+                # dispatching more work
+                for f in [f for f in write_futures if f.done()]:
+                    f.result()
+                write_futures = [f for f in write_futures if not f.done()]
+            # barrier: launch() returns only when every artifact is durably
+            # written (the pair_complete contract)
+            for f in write_futures:
+                f.result()
 
 
 def apply_pair_transforms(

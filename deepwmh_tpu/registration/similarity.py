@@ -11,6 +11,7 @@ LNCC uses box-filter local moments via cumulative sums.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -23,12 +24,20 @@ def winsorize_rescale(x, lo_q=0.005, hi_q=0.995):
     return jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)
 
 
-def soft_joint_histogram(a, b, nbins: int = 32, mask=None):
+def soft_joint_histogram(a, b, nbins: int = 32, mask=None, chunk: int = 1 << 21):
     """Differentiable joint histogram of two [0,1] volumes.
 
     Each sample contributes linearly to its two nearest bins per image
     (triangular Parzen window), so gradients flow to the intensities.
     Returns p_ab [nbins, nbins] (normalized).
+
+    Binning is DENSE compare-reduce, not scatter-add: the triangular weight
+    of sample n in bin k is relu(1 - |p_n - k|) (identical to the two-bin
+    linear split), so the histogram is W_a @ W_b^T — one [nbins, N] x
+    [N, nbins] matmul that maps onto the MXU and vmaps to a batched matmul.
+    Scatter-adds lower poorly on TPU, catastrophically so under vmap
+    (measured 0.67x batched-vs-sequential in round 1). Samples are chunked
+    (scan + remat) so the [nbins, N] weight matrices stay bounded in HBM.
     """
     a = a.reshape(-1)
     b = b.reshape(-1)
@@ -36,17 +45,28 @@ def soft_joint_histogram(a, b, nbins: int = 32, mask=None):
 
     pa = jnp.clip(a, 0.0, 1.0) * (nbins - 1)
     pb = jnp.clip(b, 0.0, 1.0) * (nbins - 1)
-    ia = jnp.clip(jnp.floor(pa).astype(jnp.int32), 0, nbins - 2)
-    ib = jnp.clip(jnp.floor(pb).astype(jnp.int32), 0, nbins - 2)
-    # fractions re-derived from the CLIPPED base bin so exact-1.0 samples
-    # land in bin nbins-1 (fa=1) instead of being folded into nbins-2
-    fa = pa - ia.astype(jnp.float32)
-    fb = pb - ib.astype(jnp.float32)
+    bins = jnp.arange(nbins, dtype=jnp.float32)
 
-    hist = jnp.zeros((nbins, nbins), jnp.float32)
-    for da, wa in ((0, 1 - fa), (1, fa)):
-        for db, wb in ((0, 1 - fb), (1, fb)):
-            hist = hist.at[ia + da, ib + db].add(w * wa * wb)
+    def hist_chunk(pa_c, pb_c, w_c):
+        wa = jnp.maximum(0.0, 1.0 - jnp.abs(pa_c[None, :] - bins[:, None]))
+        wb = jnp.maximum(0.0, 1.0 - jnp.abs(pb_c[None, :] - bins[:, None]))
+        return wa @ (wb * w_c[None, :]).T
+
+    n = pa.shape[0]
+    if n <= chunk:
+        hist = hist_chunk(pa, pb, w)
+    else:
+        pad = (-n) % chunk
+        pa_p = jnp.pad(pa, (0, pad)).reshape(-1, chunk)
+        pb_p = jnp.pad(pb, (0, pad)).reshape(-1, chunk)
+        w_p = jnp.pad(w, (0, pad)).reshape(-1, chunk)  # pad weight 0 = no-op
+
+        def body(h, xs):
+            return h + jax.checkpoint(hist_chunk)(*xs), None
+
+        hist, _ = jax.lax.scan(
+            body, jnp.zeros((nbins, nbins), jnp.float32), (pa_p, pb_p, w_p)
+        )
     total = jnp.maximum(jnp.sum(hist), 1e-8)
     return hist / total
 
@@ -61,19 +81,19 @@ def mutual_information(a, b, nbins: int = 32, mask=None):
 
 
 def _box_sum(x, radius: int):
-    """Separable box-filter sum with zero boundary (window = 2r+1)."""
+    """Separable box-filter sum with zero boundary (window = 2r+1).
+
+    One reduce_window HLO per axis (SAME padding pads with the init value 0,
+    i.e. the zero boundary): far fewer ops than the cumsum/take formulation
+    and it lowers to the TPU's native windowed reduction, forward and grad.
+    """
+    k = 2 * radius + 1
     for ax in range(x.ndim):
-        c = jnp.cumsum(x, axis=ax)
-        n = x.shape[ax]
-        idx_hi = jnp.clip(jnp.arange(n) + radius, 0, n - 1)
-        idx_lo = jnp.arange(n) - radius - 1
-        hi = jnp.take(c, idx_hi, axis=ax)
-        lo = jnp.where(
-            (idx_lo >= 0).reshape([-1 if a == ax else 1 for a in range(x.ndim)]),
-            jnp.take(c, jnp.clip(idx_lo, 0, n - 1), axis=ax),
-            0.0,
+        dims = [1] * x.ndim
+        dims[ax] = k
+        x = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, tuple(dims), (1,) * x.ndim, "SAME"
         )
-        x = hi - lo
     return x
 
 
