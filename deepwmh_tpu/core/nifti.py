@@ -262,9 +262,13 @@ def load_nifti(path, return_type="float32", force_RAS=False, nan=None):
     data = np.frombuffer(raw, dtype=np_dtype, count=count, offset=vox_offset)
     data = data.reshape(shape, order="F")
     slope, inter = hdr.scl_slope, hdr.scl_inter
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        if slope == 0.0:
-            slope = 1.0
+    # NIfTI-1 spec (and nibabel get_fdata, which the reference uses): slope 0
+    # (or non-finite) means "no scaling" — BOTH slope and inter are ignored;
+    # applying only the intercept would shift intensities vs the reference
+    if (
+        np.isfinite(slope) and np.isfinite(inter)
+        and slope != 0.0 and (slope != 1.0 or inter != 0.0)
+    ):
         data = data.astype(np.float64) * slope + inter
     if nan is not None:
         data = np.nan_to_num(data, nan=nan)

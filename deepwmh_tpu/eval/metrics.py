@@ -100,9 +100,29 @@ def binary_component_dice(pred, truth, threshold: float = 0.5):
     return out
 
 
+def _eval_one(pred_path, truth_path, metrics):
+    from deepwmh_tpu.core import nifti
+
+    pred = nifti.load_nifti_simple(pred_path)
+    truth = nifti.load_nifti_simple(truth_path)
+    row = {}
+    for m in metrics:
+        if m == "dice":
+            row[m] = hard_dice_binary(pred, truth)
+        elif m == "precision_recall":
+            row["precision"], row["recall"] = voxel_precision_recall(pred, truth)
+        elif m == "instance_f1":
+            row[m] = instance_f1(pred, truth)
+        else:
+            raise ValueError("unknown metric %r" % m)
+    return row
+
+
 class PairedEvaluation:
-    """Evaluate (prediction file, truth file) pairs with named methods
-    (reference metrics.py PairedEvaluation, :175-262)."""
+    """Evaluate (prediction file, truth file) pairs with named methods —
+    the reference's PairedEvaluation with both serial and PARALLEL modes
+    (deepwmh/analysis/metrics.py:175-262). Parallelism is a thread pool:
+    the work is gzip decompression (releases the GIL) + numpy reductions."""
 
     def __init__(self):
         self.pairs = []
@@ -110,25 +130,47 @@ class PairedEvaluation:
     def add_pair(self, name: str, pred_path: str, truth_path: str):
         self.pairs.append((name, pred_path, truth_path))
 
-    def run(self, metrics=("dice",)) -> dict:
-        from deepwmh_tpu.core import nifti
+    def run(self, metrics=("dice",), num_workers: int = 1) -> dict:
+        if num_workers > 1:
+            from deepwmh_tpu.utils.parallel import run_parallel
 
-        results = {}
-        for name, pred_path, truth_path in self.pairs:
-            pred = nifti.load_nifti_simple(pred_path)
-            truth = nifti.load_nifti_simple(truth_path)
-            row = {}
-            for m in metrics:
-                if m == "dice":
-                    row[m] = hard_dice_binary(pred, truth)
-                elif m == "precision_recall":
-                    row["precision"], row["recall"] = voxel_precision_recall(pred, truth)
-                elif m == "instance_f1":
-                    row[m] = instance_f1(pred, truth)
-                else:
-                    raise ValueError("unknown metric %r" % m)
-            results[name] = row
-        return results
+            rows = run_parallel(
+                lambda args: _eval_one(args[0], args[1], metrics),
+                [(p, t) for _, p, t in self.pairs],
+                num_workers=num_workers,
+            )
+            return {name: row for (name, _, _), row in zip(self.pairs, rows)}
+        return {
+            name: _eval_one(p, t, metrics) for name, p, t in self.pairs
+        }
+
+
+class BinaryDiceEvaluation:
+    """The reference experiments' evaluation harness
+    (deepwmh/analysis/metrics.py:264-298, used by
+    experiments/010_OASIS3/run_Siemens_Biograph_mMR.py:282-289): register
+    named *methods* as case -> file mappings, then compare any two methods
+    with voxel-wise hard Dice across the subject list."""
+
+    def __init__(self, subject_list):
+        self.subjects = list(subject_list)
+        self.methods = {}
+
+    def add_method(self, name: str, path_fn):
+        """path_fn: case name -> prediction/annotation file path."""
+        self.methods[name] = path_fn
+
+    def get_subject_list(self):
+        return list(self.subjects)
+
+    def run_eval(self, method_a: str, method_b: str, num_workers: int = 4):
+        """Per-subject Dice of method_a vs method_b (order irrelevant)."""
+        fa, fb = self.methods[method_a], self.methods[method_b]
+        ev = PairedEvaluation()
+        for case in self.subjects:
+            ev.add_pair(case, fa(case), fb(case))
+        res = ev.run(metrics=("dice",), num_workers=num_workers)
+        return [res[case]["dice"] for case in self.subjects]
 
 
 def summarize(results: dict) -> dict:

@@ -59,7 +59,8 @@ def boxplot_compare(groups, labels, save_file, paired_pairs=None, method="wilcox
     requested pairs of group indices (reference boxplot_2x)."""
     plt = _plt()
     fig, ax = plt.subplots(figsize=(1.6 * len(groups) + 2, 5), dpi=120)
-    ax.boxplot(groups, labels=labels, showfliers=True)
+    ax.boxplot(groups, showfliers=True)
+    ax.set_xticks(range(1, len(labels) + 1), labels)
     top = max(float(np.max(g)) for g in groups if len(g))
     step = 0.08 * max(top, 1e-6)
     y = top + step

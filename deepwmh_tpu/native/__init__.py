@@ -15,8 +15,21 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libdeepwmh_native.so")
+_STAMP_PATH = _LIB_PATH + ".srchash"
 _lib = None
 _tried = False
+
+
+def _src_hash() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in ("cc3d.cpp", "Makefile"):
+        p = os.path.join(_HERE, name)
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
 
 
 def _build() -> bool:
@@ -25,8 +38,27 @@ def _build() -> bool:
             ["make", "-s"], cwd=_HERE, check=True,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=120,
         )
-        return os.path.isfile(_LIB_PATH)
+        if os.path.isfile(_LIB_PATH):
+            with open(_STAMP_PATH, "w") as f:
+                f.write(_src_hash())
+            return True
+        return False
     except Exception:
+        return False
+
+
+def _lib_current() -> bool:
+    """Content-hash staleness check: mtimes are useless after a fresh git
+    clone (identical checkout times) and a stale or wrong-platform binary
+    would otherwise load silently. The library is only trusted when its
+    build stamp matches the current source hash — the binary itself is NOT
+    committed (gitignored), so every machine builds its own."""
+    if not os.path.isfile(_LIB_PATH) or not os.path.isfile(_STAMP_PATH):
+        return False
+    try:
+        with open(_STAMP_PATH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
         return False
 
 
@@ -36,10 +68,7 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    src = os.path.join(_HERE, "cc3d.cpp")
-    if not os.path.isfile(_LIB_PATH) or (
-        os.path.isfile(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-    ):
+    if not _lib_current():
         if not _build():
             return None
     try:

@@ -44,10 +44,14 @@ class ShardedSlidingWindowPredictor:
         self.step_fraction = step_fraction
         self.patch_size = tuple(int(p) for p in plan.patch_size)
         self.gauss = gaussian_importance_map(self.patch_size)
-        self._apply = lambda p, x: model.apply({"params": p}, x)
-        self._compiled = {}
+        from deepwmh_tpu.utils.misc import BoundedCache
 
-    def _build(self, vol_shape, n_pos):
+        self._apply = lambda p, x: model.apply({"params": p}, x)
+        self._compiled = BoundedCache(maxsize=8)
+
+    def _build(self):
+        # shapes are carried by the jitted call's arguments; the cache key
+        # in predict_volume is what distinguishes compilations
         flips = ALL_FLIPS if self.tta else NO_FLIPS
         C = int(self.plan.num_classes)
         patch_size = self.patch_size
@@ -83,6 +87,6 @@ class ShardedSlidingWindowPredictor:
         )
         key = (target, int(pos.shape[0]))
         if key not in self._compiled:
-            self._compiled[key] = self._build(target, pos.shape[0])
+            self._compiled[key] = self._build()
         probs = self._compiled[key](self.params, vol, pos, pos_w)
         return probs[: orig[0], : orig[1], : orig[2]]

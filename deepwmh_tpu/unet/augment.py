@@ -80,11 +80,15 @@ def augment_sample(key, image, label, cfg: AugmentConfig = AugmentConfig()):
     image = jnp.where(_maybe(keys[7], cfg.p_brightness), image * b, image)
 
     # --- contrast (scale about mean, preserve range) -----------------------
+    # nnU-Net's ContrastAugmentationTransform defaults to preserve_range=True:
+    # the adjusted image is clamped back to the pre-transform [min, max]
     c = jax.random.uniform(
         keys[8], (), minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1]
     )
     mn = image.mean()
-    image = jnp.where(_maybe(keys[9], cfg.p_contrast), (image - mn) * c + mn, image)
+    pre_lo, pre_hi = image.min(), image.max()
+    contrasted = jnp.clip((image - mn) * c + mn, pre_lo, pre_hi)
+    image = jnp.where(_maybe(keys[9], cfg.p_contrast), contrasted, image)
 
     # --- gamma (on min-max normalized intensities) --------------------------
     g = jax.random.uniform(

@@ -175,8 +175,10 @@ class SlidingWindowPredictor:
         self.step_fraction = step_fraction
         self.patch_size = tuple(int(p) for p in plan.patch_size)
         self.gauss = gaussian_importance_map(self.patch_size)
+        from deepwmh_tpu.utils.misc import BoundedCache
+
         self._apply = lambda p, x: model.apply({"params": p}, x)
-        self._case_cache = {}
+        self._case_cache = BoundedCache(maxsize=8)
 
     def predict_volume(self, volume):
         """volume: preprocessed [D,H,W] at plan spacing. Returns softmax

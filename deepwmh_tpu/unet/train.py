@@ -195,7 +195,13 @@ class Trainer:
                 ckpt.save_checkpoint(
                     self.out_dir, ckpt.MODEL_EPOCH_FMT % (epoch + 1), params, meta=meta
                 )
-            if metric > best_metric:
+            if noval_mode:
+                # model_best == model_latest by construction: track the
+                # metric but write model_best ONCE at the end of the run
+                # instead of rewriting it every epoch (pure wasted ckpt IO
+                # over a 50-epoch stage-2 run)
+                best_metric = metric
+            elif metric > best_metric:
                 best_metric = metric
                 ckpt.save_checkpoint(self.out_dir, ckpt.MODEL_BEST, params, meta=meta)
             self.log(
@@ -203,6 +209,10 @@ class Trainer:
                 % (epoch + 1, cfg.epochs, mean_loss, metric, best_metric, timer.elapsed())
             )
 
-        if not ckpt.checkpoint_exists(self.out_dir, ckpt.MODEL_BEST):
-            ckpt.save_checkpoint(self.out_dir, ckpt.MODEL_BEST, params, meta={"epoch": cfg.epochs})
+        noval_mode = cfg.noval or val_ds is None or len(val_ds) == 0
+        if noval_mode or not ckpt.checkpoint_exists(self.out_dir, ckpt.MODEL_BEST):
+            ckpt.save_checkpoint(
+                self.out_dir, ckpt.MODEL_BEST, params,
+                meta={"epoch": cfg.epochs, "best_metric": best_metric},
+            )
         return params, best_metric

@@ -44,3 +44,35 @@ def minibar(progress: float, width: int = 30, msg: str = "") -> str:
     filled = int(progress * width)
     return "[%s%s] %3d%% %s" % ("#" * filled, "-" * (width - filled),
                                 int(progress * 100), msg)
+
+
+class BoundedCache:
+    """A tiny LRU mapping for compiled-program caches.
+
+    Sliding-window predictors compile one program per (volume shape,
+    spacing) key; a long heterogeneous cohort would otherwise accumulate
+    compiled executables without bound (each holds device memory for its
+    constants). Eviction drops the least-recently-used entry past maxsize.
+    """
+
+    def __init__(self, maxsize: int = 8):
+        from collections import OrderedDict
+
+        self.maxsize = int(maxsize)
+        self._d = OrderedDict()
+
+    def __contains__(self, key):
+        return key in self._d
+
+    def __len__(self):
+        return len(self._d)
+
+    def __getitem__(self, key):
+        self._d.move_to_end(key)
+        return self._d[key]
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
