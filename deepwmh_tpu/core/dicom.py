@@ -1,23 +1,40 @@
 """Minimal DICOM series -> NIfTI conversion.
 
 Replaces the dcm2niix adapter (deepwmh/external_tools/dcm2niix.py:5-77) for
-the common MRI case: uncompressed single-frame DICOM series (implicit or
-explicit VR little endian). Slices are grouped by SeriesInstanceUID, sorted
-along the slice normal (ImageOrientationPatient x ImagePositionPatient),
-stacked, rescaled (RescaleSlope/Intercept) and written as NIfTI with an
-LPS->RAS sform affine. Compressed transfer syntaxes raise a clear error —
-off the hot path, exotic encodings are out of scope.
+the common MRI case: single-frame DICOM series in implicit/explicit VR
+little endian, Deflated explicit VR (zlib), or RLE Lossless (PS3.5 Annex G
+PackBits segments). Slices are grouped by SeriesInstanceUID, sorted along
+the slice normal (ImageOrientationPatient x ImagePositionPatient), stacked,
+rescaled (RescaleSlope/Intercept) and written as NIfTI with an LPS->RAS
+sform affine. JPEG-family transfer syntaxes raise an actionable error
+naming the syntax (an image codec is out of scope off the hot path).
 """
 
 from __future__ import annotations
 
 import os
 import struct
+import zlib
 
 import numpy as np
 
 EXPLICIT_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_LE = "1.2.840.10008.1.2"
+DEFLATED_LE = "1.2.840.10008.1.2.1.99"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+
+# syntaxes we can name in errors (actionable message instead of a raw UID)
+_KNOWN_COMPRESSED = {
+    "1.2.840.10008.1.2.4.50": "JPEG Baseline (Process 1)",
+    "1.2.840.10008.1.2.4.51": "JPEG Extended (Process 2&4)",
+    "1.2.840.10008.1.2.4.57": "JPEG Lossless (Process 14)",
+    "1.2.840.10008.1.2.4.70": "JPEG Lossless SV1",
+    "1.2.840.10008.1.2.4.80": "JPEG-LS Lossless",
+    "1.2.840.10008.1.2.4.81": "JPEG-LS Near-Lossless",
+    "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
+    "1.2.840.10008.1.2.4.91": "JPEG 2000",
+    "1.2.840.10008.1.2.2": "Explicit VR Big Endian (retired)",
+}
 
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
@@ -45,13 +62,70 @@ class DicomError(ValueError):
     pass
 
 
+def _parse_fragments(buf, offset):
+    """Parse an encapsulated pixel-data item sequence (PS3.5 A.4): Basic
+    Offset Table item + fragment items, ended by a sequence delimiter.
+    Returns (fragments list WITHOUT the offset table, offset past the
+    delimiter)."""
+    fragments = []
+    first = True
+    n = len(buf)
+    while offset + 8 <= n:
+        group, elem = struct.unpack_from("<HH", buf, offset)
+        (length,) = struct.unpack_from("<I", buf, offset + 4)
+        offset += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):  # sequence delimiter
+            return fragments, offset
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise DicomError(
+                "malformed encapsulated pixel data: tag (%04x,%04x)"
+                % (group, elem)
+            )
+        item = buf[offset : offset + length]
+        offset += length
+        if first:
+            first = False  # Basic Offset Table (possibly empty) — drop it
+        else:
+            fragments.append(item)
+    raise DicomError("encapsulated pixel data missing sequence delimiter")
+
+
+def _skip_undefined_sequence(buf, offset):
+    """Skip an undefined-length SQ: items may themselves be undefined-length
+    (ended by an item delimiter); the sequence ends with (FFFE,E0DD)."""
+    n = len(buf)
+    depth = 1
+    while offset + 8 <= n:
+        group, elem = struct.unpack_from("<HH", buf, offset)
+        (length,) = struct.unpack_from("<I", buf, offset + 4)
+        offset += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            depth -= 1
+            if depth == 0:
+                return offset
+        elif (group, elem) == (0xFFFE, 0xE000):
+            if length == 0xFFFFFFFF:
+                depth += 1  # undefined-length item: scan its delimiters too
+            else:
+                offset += length
+        elif (group, elem) == (0xFFFE, 0xE00D):
+            pass  # item delimiter of an undefined-length item
+        else:
+            raise DicomError(
+                "malformed sequence: tag (%04x,%04x)" % (group, elem)
+            )
+    raise DicomError("undefined-length sequence missing delimiter")
+
+
 def _parse_elements(buf, offset, explicit, stop_at_pixels=True):
-    """Yield (tag, value_bytes) for top-level elements; SQ contents are
-    skipped (not needed for volume assembly)."""
+    """Yield (tag, value) for top-level elements. SQ contents are skipped
+    (not needed for volume assembly); encapsulated (undefined-length) pixel
+    data yields a LIST of fragment bytes instead of raw bytes."""
     n = len(buf)
     while offset + 8 <= n:
         group, elem = struct.unpack_from("<HH", buf, offset)
         offset += 4
+        vr = b""
         if explicit:
             vr = buf[offset : offset + 2]
             if vr in _LONG_VRS:
@@ -64,10 +138,15 @@ def _parse_elements(buf, offset, explicit, stop_at_pixels=True):
             (length,) = struct.unpack_from("<I", buf, offset)
             offset += 4
         if length == 0xFFFFFFFF:
-            raise DicomError(
-                "undefined-length element (%04x,%04x): compressed or sequenced "
-                "pixel data is not supported" % (group, elem)
-            )
+            if (group, elem) == (0x7FE0, 0x0010):
+                fragments, offset = _parse_fragments(buf, offset)
+                yield (group, elem), fragments
+                if stop_at_pixels:
+                    return
+                continue
+            # undefined-length SQ (or UN parsed as such): skip its items
+            offset = _skip_undefined_sequence(buf, offset)
+            continue
         value = buf[offset : offset + length]
         offset += length
         yield (group, elem), value
@@ -94,10 +173,23 @@ def read_dicom(path: str) -> dict:
         meta_end = _element_end(buf, meta_end, explicit=True)
 
     syntax = fields.get("transfer_syntax", b"").decode("ascii", "ignore").strip("\x00 ")
+    fields["transfer_syntax_uid"] = syntax
     if syntax == IMPLICIT_LE:
         explicit = False
-    elif syntax in (EXPLICIT_LE, ""):
+    elif syntax in (EXPLICIT_LE, RLE_LOSSLESS, ""):
+        explicit = True  # RLE datasets are explicit VR LE outside PixelData
+    elif syntax == DEFLATED_LE:
+        # the whole post-meta dataset is one raw zlib-deflate stream
+        buf = zlib.decompress(buf[meta_end:], -15)
+        meta_end = 0
         explicit = True
+    elif syntax in _KNOWN_COMPRESSED:
+        raise DicomError(
+            "%s: compressed transfer syntax %s (%s) is not decodable here — "
+            "convert the series with dcm2niix or re-export as Explicit VR "
+            "Little Endian (supported: uncompressed LE, Deflated, RLE "
+            "Lossless)" % (path, _KNOWN_COMPRESSED[syntax], syntax)
+        )
     else:
         raise DicomError("%s: unsupported transfer syntax %r" % (path, syntax))
 
@@ -105,6 +197,56 @@ def read_dicom(path: str) -> dict:
         if tag in TAGS:
             fields[TAGS[tag]] = value
     return fields
+
+
+def _rle_decode_segment(data: bytes) -> bytes:
+    """PackBits decode of one RLE segment (DICOM PS3.5 Annex G.3.1)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # copy the next h+1 bytes literally
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat the next byte 257-h times
+            if i < n:
+                out += data[i : i + 1] * (257 - h)
+                i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _rle_decode_frame(fragment, rows, cols, bits, signed):
+    """One RLE Lossless frame (PS3.5 Annex G): a 64-byte header of up to 15
+    little-endian segment offsets, then PackBits segments — one segment per
+    byte plane of the composite pixel code, MSB plane first."""
+    if len(fragment) < 64:
+        raise DicomError("RLE frame shorter than its 64-byte header")
+    n_seg = struct.unpack_from("<I", fragment, 0)[0]
+    offsets = struct.unpack_from("<15I", fragment, 4)[:n_seg]
+    npix = rows * cols
+    planes = []
+    for k in range(n_seg):
+        start = offsets[k]
+        end = offsets[k + 1] if k + 1 < n_seg else len(fragment)
+        seg = _rle_decode_segment(fragment[start:end])
+        if len(seg) < npix:
+            raise DicomError(
+                "RLE segment %d: %d bytes < %d pixels" % (k, len(seg), npix)
+            )
+        planes.append(np.frombuffer(seg, np.uint8, count=npix))
+    if bits == 8:
+        if n_seg != 1:
+            raise DicomError("RLE: %d segments for 8-bit pixels" % n_seg)
+        pix = planes[0]
+        return pix.view(np.int8) if signed else pix
+    if bits == 16:
+        if n_seg != 2:
+            raise DicomError("RLE: %d segments for 16-bit pixels" % n_seg)
+        pix = (planes[0].astype(np.uint16) << 8) | planes[1]
+        return pix.view(np.int16) if signed else pix
+    raise DicomError("RLE: unsupported bits_allocated=%d" % bits)
 
 
 def _element_end(buf, offset, explicit):
@@ -152,9 +294,24 @@ def series_to_volume(paths):
             dt = np.int8 if signed else np.uint8
         else:
             raise DicomError("%s: unsupported bits_allocated=%d" % (p, bits))
-        pix = np.frombuffer(f["pixel_data"], dtype=dt, count=rows * cols).reshape(
-            rows, cols
-        )
+        if isinstance(f["pixel_data"], list):  # encapsulated (RLE) fragments
+            if f.get("transfer_syntax_uid") != RLE_LOSSLESS:
+                raise DicomError(
+                    "%s: encapsulated pixel data in syntax %r is not "
+                    "decodable here" % (p, f.get("transfer_syntax_uid"))
+                )
+            if len(f["pixel_data"]) != 1:
+                raise DicomError(
+                    "%s: multi-frame RLE (%d fragments) not supported"
+                    % (p, len(f["pixel_data"]))
+                )
+            pix = _rle_decode_frame(
+                f["pixel_data"][0], rows, cols, bits, signed
+            ).reshape(rows, cols)
+        else:
+            pix = np.frombuffer(
+                f["pixel_data"], dtype=dt, count=rows * cols
+            ).reshape(rows, cols)
         slope = _ds(f.get("rescale_slope", b"1"), [1.0])[0]
         inter = _ds(f.get("rescale_intercept", b"0"), [0.0])[0]
         img = pix.astype(np.float32) * slope + inter

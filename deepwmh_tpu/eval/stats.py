@@ -141,13 +141,17 @@ class VisualScoreEvaluation:
 
     Build: shuffle (case, method) preview entries with a hidden key, emit a
     rating sheet the rater fills in; Unblind: join scores back to methods.
-    CSV is used instead of xlsx (no openpyxl in the target environment).
+    Sheets are .xlsx via the in-house core.xlsx codec — matching the
+    reference's xlsx rating workflow (metrics.py:584-647) — with CSV as a
+    fallback format (fmt="csv").
     """
 
-    def __init__(self, output_folder: str, seed: int = 0):
+    def __init__(self, output_folder: str, seed: int = 0, fmt: str = "xlsx"):
+        assert fmt in ("xlsx", "csv")
         self.folder = output_folder
         os.makedirs(output_folder, exist_ok=True)
         self.seed = seed
+        self.fmt = fmt
         self.entries = []  # (case, method, preview_path)
 
     def add_entry(self, case: str, method: str, preview_path: str):
@@ -156,31 +160,61 @@ class VisualScoreEvaluation:
     def make_blinded_sheet(self):
         rng = np.random.RandomState(self.seed)
         order = rng.permutation(len(self.entries))
-        key_path = os.path.join(self.folder, "unblind_key.csv")
-        sheet_path = os.path.join(self.folder, "rating_sheet.csv")
-        with open(key_path, "w", newline="") as kf, open(sheet_path, "w", newline="") as sf:
-            kw = csv.writer(kf)
-            sw = csv.writer(sf)
-            kw.writerow(["blind_id", "case", "method"])
-            sw.writerow(["blind_id", "preview", "score"])
-            for blind_id, idx in enumerate(order):
-                case, method, preview = self.entries[idx]
-                kw.writerow([blind_id, case, method])
-                sw.writerow([blind_id, preview, ""])
+        key_rows = [["blind_id", "case", "method"]]
+        sheet_rows = [["blind_id", "preview", "score"]]
+        for blind_id, idx in enumerate(order):
+            case, method, preview = self.entries[idx]
+            key_rows.append([blind_id, case, method])
+            sheet_rows.append([blind_id, preview, ""])
+
+        if self.fmt == "xlsx":
+            from deepwmh_tpu.core.xlsx import write_xlsx
+
+            key_path = os.path.join(self.folder, "unblind_key.xlsx")
+            sheet_path = os.path.join(self.folder, "rating_sheet.xlsx")
+            write_xlsx(key_path, {"key": key_rows})
+            write_xlsx(sheet_path, {"rating": sheet_rows})
+        else:
+            key_path = os.path.join(self.folder, "unblind_key.csv")
+            sheet_path = os.path.join(self.folder, "rating_sheet.csv")
+            with open(key_path, "w", newline="") as kf:
+                csv.writer(kf).writerows(key_rows)
+            with open(sheet_path, "w", newline="") as sf:
+                csv.writer(sf).writerows(sheet_rows)
         return sheet_path, key_path
+
+    @staticmethod
+    def _read_rows(path):
+        if path.endswith(".xlsx"):
+            from deepwmh_tpu.core.xlsx import read_xlsx
+
+            sheets = read_xlsx(path)
+            rows = next(iter(sheets.values()))
+        else:
+            with open(path) as f:
+                rows = list(csv.reader(f))
+        header = [str(h) for h in rows[0]]
+        # pad short rows: an empty trailing cell (unrated score) may be
+        # absent from the stored sheet row entirely
+        padded = [list(r) + [""] * (len(header) - len(r)) for r in rows[1:]]
+        return [dict(zip(header, r)) for r in padded]
 
     @staticmethod
     def unblind(sheet_path: str, key_path: str) -> dict:
         """Returns {method: [scores]} after the rater filled the sheet."""
-        key = {}
-        with open(key_path) as f:
-            for row in csv.DictReader(f):
-                key[row["blind_id"]] = (row["case"], row["method"])
+
+        def _id(v):
+            return str(int(float(v))) if v not in ("", None) else ""
+
+        key = {
+            _id(row["blind_id"]): (row["case"], row["method"])
+            for row in VisualScoreEvaluation._read_rows(key_path)
+        }
         out = {}
-        with open(sheet_path) as f:
-            for row in csv.DictReader(f):
-                if row["score"] == "":
-                    continue
-                _case, method = key[row["blind_id"]]
-                out.setdefault(method, []).append(float(row["score"]))
+        for row in VisualScoreEvaluation._read_rows(sheet_path):
+            score = row.get("score", "")
+            if score in ("", None):
+                continue
+            _case, method = key[_id(row["blind_id"])]
+            out.setdefault(method, []).append(float(score))
         return out

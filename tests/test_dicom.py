@@ -97,3 +97,111 @@ def test_non_dicom_rejected(tmp_path):
 
     with pytest.raises(DicomError):
         read_dicom(p)
+
+
+# ---------------------------------------------------------------------------
+# compressed transfer syntaxes
+# ---------------------------------------------------------------------------
+
+def _rle_encode_segment(data: bytes) -> bytes:
+    """Independent PackBits encoder (literal-runs only — valid, if not
+    minimal, PackBits output) for round-trip testing the decoder."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    if len(out) % 2:
+        out.append(128)  # pad to even length with a no-op byte
+    return bytes(out)
+
+
+def _write_body(pixel_element: bytes, rows, cols, instance, ipp,
+                series_uid="9.8.7") -> bytes:
+    body = b""
+    body += _el_explicit(0x0008, 0x0018, b"UI", b"9.8.7.%d" % instance)
+    body += _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode())
+    body += _el_explicit(0x0020, 0x0013, b"IS", str(instance).encode())
+    body += _el_explicit(0x0020, 0x0032, b"DS",
+                         ("%g\\%g\\%g" % tuple(ipp)).encode())
+    body += _el_explicit(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0")
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _el_explicit(0x0028, 0x0030, b"DS", b"2\\2")
+    body += _el_explicit(0x0018, 0x0050, b"DS", b"3")
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    return body + pixel_element
+
+
+def write_rle_dicom(path, pixel: np.ndarray, ipp, instance):
+    """RLE Lossless: 64-byte header + MSB/LSB byte-plane PackBits segments,
+    wrapped in an encapsulated item sequence."""
+    rows, cols = pixel.shape
+    flat = pixel.astype("<u2").reshape(-1)
+    hi = (flat >> 8).astype(np.uint8).tobytes()
+    lo = (flat & 0xFF).astype(np.uint8).tobytes()
+    seg_hi = _rle_encode_segment(hi)
+    seg_lo = _rle_encode_segment(lo)
+    header = struct.pack("<16I", 2, 64, 64 + len(seg_hi), *([0] * 13))
+    frame = header + seg_hi + seg_lo
+    if len(frame) % 2:
+        frame += b"\x00"
+    # encapsulation: empty Basic Offset Table item + one fragment + delimiter
+    encaps = struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    pixel_el = struct.pack(
+        "<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF
+    ) + encaps
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.5\x00")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta
+                + _write_body(pixel_el, rows, cols, instance, ipp))
+
+
+def test_rle_lossless_series(tmp_path):
+    import zlib  # noqa: F401  (parallel to the deflated test below)
+
+    rng = np.random.RandomState(3)
+    vol = (rng.rand(8, 10, 4) * 4000).astype(np.uint16)
+    for i in range(4):
+        write_rle_dicom(
+            str(tmp_path / ("rle%02d.dcm" % i)), vol[:, :, i],
+            ipp=(0, 0, 3.0 * i), instance=i + 1,
+        )
+    paths = [str(tmp_path / f) for f in sorted(os.listdir(tmp_path))]
+    got, spacing, _ = series_to_volume(paths)
+    np.testing.assert_allclose(got, vol.astype(np.float32))
+    np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+
+
+def test_deflated_series(tmp_path):
+    import zlib
+
+    rng = np.random.RandomState(4)
+    pixel = (rng.rand(6, 7) * 2000).astype(np.uint16)
+    pixel_el = _el_explicit(0x7FE0, 0x0010, b"OW", pixel.astype("<u2").tobytes())
+    body = _write_body(pixel_el, 6, 7, 1, (0, 0, 0))
+    co = zlib.compressobj(wbits=-15)
+    deflated = co.compress(body) + co.flush()
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1.99\x00")
+    p = str(tmp_path / "deflated.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + deflated)
+    f = read_dicom(p)
+    got = np.frombuffer(f["pixel_data"], "<u2").reshape(6, 7)
+    np.testing.assert_array_equal(got, pixel)
+
+
+def test_jpeg_syntax_actionable_error(tmp_path):
+    import pytest
+
+    from deepwmh_tpu.core.dicom import DicomError
+
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.90\x00")
+    p = str(tmp_path / "jpeg2000.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta)
+    with pytest.raises(DicomError, match="JPEG 2000.*dcm2niix"):
+        read_dicom(p)

@@ -88,8 +88,8 @@ def test_stats_plots(tmp_path, rng):
     assert os.path.getsize(f2) > 1000
 
 
-def test_visual_score_harness(tmp_path):
-    ev = VisualScoreEvaluation(str(tmp_path / "vs"), seed=1)
+def test_visual_score_harness_csv(tmp_path):
+    ev = VisualScoreEvaluation(str(tmp_path / "vs"), seed=1, fmt="csv")
     ev.add_entry("c1", "ours", "p1.gif")
     ev.add_entry("c1", "baseline", "p2.gif")
     ev.add_entry("c2", "ours", "p3.gif")
@@ -107,6 +107,39 @@ def test_visual_score_harness(tmp_path):
     scores = VisualScoreEvaluation.unblind(sheet, key)
     assert sorted(scores.keys()) == ["baseline", "ours"]
     assert len(scores["ours"]) == 2
+
+
+def test_visual_score_harness_xlsx_roundtrip(tmp_path):
+    """xlsx is the default sheet format (the reference's rating workflow,
+    metrics.py:584-647), written and read by the in-house core.xlsx codec."""
+    from deepwmh_tpu.core.xlsx import read_xlsx, write_xlsx
+
+    ev = VisualScoreEvaluation(str(tmp_path / "vs"), seed=1)
+    ev.add_entry("c1", "ours", "p1.gif")
+    ev.add_entry("c1", "baseline", "p2.gif")
+    ev.add_entry("c2", "ours", "p3.gif")
+    ev.add_entry("c2", "baseline", "p4.gif")
+    sheet, key = ev.make_blinded_sheet()
+    assert sheet.endswith(".xlsx") and key.endswith(".xlsx")
+
+    # rater fills scores into the xlsx (c2/baseline left unrated)
+    rows = read_xlsx(sheet)["rating"]
+    key_rows = read_xlsx(key)["key"]
+    method_of = {str(int(float(r[0]))): r[2] for r in key_rows[1:]}
+    n_rated = 0
+    for r in rows[1:]:
+        bid = str(int(float(r[0])))
+        if method_of[bid] == "baseline" and n_rated >= 1:
+            continue  # leave one unrated
+        while len(r) < 3:
+            r.append("")
+        r[2] = 3.0 if method_of[bid] == "ours" else 1.0
+        n_rated += 1
+    write_xlsx(sheet, {"rating": rows})
+
+    scores = VisualScoreEvaluation.unblind(sheet, key)
+    assert scores["ours"] == [3.0, 3.0]
+    assert scores["baseline"] == [1.0]
 
 
 def test_misc_utils():
