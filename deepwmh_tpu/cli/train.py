@@ -244,6 +244,11 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    # multi-host pods: DEEPWMH_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID
+    from deepwmh_tpu.parallel.mesh import init_distributed_from_env
+
+    init_distributed_from_env()
+
     if not args.skip_integrity_check and not check_system_integrity():
         raise SystemExit(1)
 

@@ -45,6 +45,29 @@ def init_distributed(coordinator: str = None, num_processes: int = None,
     return True
 
 
+def init_distributed_from_env() -> bool:
+    """CLI hook: initialize jax.distributed when the environment carries the
+    multi-host contract (mirrors the reference's env-var configuration
+    style, SURVEY.md §5):
+
+      DEEPWMH_COORDINATOR   host:port of process 0
+      DEEPWMH_NUM_PROCESSES total process count
+      DEEPWMH_PROCESS_ID    this process's rank
+
+    Returns True when distributed mode was initialized. Tested end-to-end
+    with 2 CPU processes + gloo collectives in tests/test_distributed.py."""
+    import os
+
+    num = os.environ.get("DEEPWMH_NUM_PROCESSES")
+    if not num:
+        return False
+    return init_distributed(
+        coordinator=os.environ.get("DEEPWMH_COORDINATOR", "127.0.0.1:12355"),
+        num_processes=int(num),
+        process_id=int(os.environ.get("DEEPWMH_PROCESS_ID", "0")),
+    )
+
+
 def device_info() -> dict:
     import jax
 
