@@ -74,6 +74,14 @@ def _median_time(fn, reps=3):
     return statistics.median(ts)
 
 
+def _sync(x):
+    """Force completion: on remote-attached backends block_until_ready can
+    return at enqueue time; pulling a scalar cannot."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x if not isinstance(x, tuple) else x[0]))
+
+
 def bench_headline(predictor, vol, spacing):
     import jax.numpy as jnp
 
@@ -81,30 +89,51 @@ def bench_headline(predictor, vol, spacing):
         return predictor.predict_case(jnp.asarray(raw), spacing, apply_n4=True)
 
     seg, fg = full_pipeline(vol)  # warmup / compile
-    jax.block_until_ready(fg)
+    _sync(fg)
 
     n_runs = 4
 
     def run_block():
         outs = [full_pipeline(vol) for _ in range(n_runs)]
-        jax.block_until_ready(outs)
+        # execution is in-order: pulling a scalar from the last output
+        # drains the whole queue (block_until_ready can return at enqueue
+        # time on remote-attached backends)
+        _sync(outs[-1][1])
 
     per_volume = _median_time(run_block, reps=3) / n_runs
     return per_volume
 
 
 def bench_mfu(predictor, vol, spacing, per_volume):
-    """FLOPs of the fused case program (XLA cost analysis) / wall / peak."""
+    """Model-FLOPs utilization: analytic sweep FLOPs / wall / chip peak.
+
+    XLA cost_analysis counts a lax.scan body ONCE, so the fused program's
+    reported flops under-count the sweep by the position count; instead the
+    model flops are one batched (all mirror flips) patch forward — cost-
+    analyzed — times the number of REAL patch positions."""
     import jax.numpy as jnp
 
-    spacing_r = tuple(round(float(s), 4) for s in spacing)
-    key = (vol.shape, spacing_r, True)
-    case_fn = predictor._case_cache[key]  # built by bench_headline
+    from deepwmh_tpu.unet.infer import ALL_FLIPS, NO_FLIPS, patch_positions
+    from deepwmh_tpu.unet.preprocess import padded_shape
+
+    plan = predictor.plan
+    res_shape = tuple(
+        max(int(round(vol.shape[a] * spacing[a] / plan.target_spacing[a])), 1)
+        for a in range(3)
+    )
+    target = padded_shape(res_shape, predictor.patch_size)
+    _pos, pos_w = patch_positions(
+        target, predictor.patch_size, predictor.step_fraction
+    )
+    n_real = int(np.asarray(pos_w).sum())
+    n_flips = len(ALL_FLIPS if predictor.tta else NO_FLIPS)
+
     try:
-        compiled = case_fn.lower(predictor.params, jnp.asarray(vol)).compile()
-        ca = compiled.cost_analysis()
+        x = jnp.zeros((n_flips,) + predictor.patch_size + (1,), jnp.float32)
+        fwd = jax.jit(predictor._apply)
+        ca = fwd.lower(predictor.params, x).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca["flops"])
+        flops = float(ca["flops"]) * n_real
     except Exception:
         return None, None
     kind = jax.devices()[0].device_kind
@@ -165,12 +194,12 @@ def bench_stages(predictor, vol, spacing):
     jax.block_until_ready(back_fn(probs))
 
     stages = {
-        "n4": _median_time(lambda: jax.block_until_ready(n4_fn(raw))),
-        "preprocess": _median_time(lambda: jax.block_until_ready(pre_fn(corrected))),
+        "n4": _median_time(lambda: _sync(n4_fn(raw))),
+        "preprocess": _median_time(lambda: _sync(pre_fn(corrected))),
         "sweep": _median_time(
-            lambda: jax.block_until_ready(sweep_fn(predictor.params, padded))
+            lambda: _sync(sweep_fn(predictor.params, padded))
         ),
-        "resample_back": _median_time(lambda: jax.block_until_ready(back_fn(probs))),
+        "resample_back": _median_time(lambda: _sync(back_fn(probs))),
     }
     return {k: round(v, 3) for k, v in stages.items()}
 
@@ -242,7 +271,7 @@ def bench_nll():
             patch_size=(50, 50, 50), voxel_size=(1.0, 1.0, 1.0),
             num_label_classes=4,
         )
-        jax.block_until_ready(out)
+        _sync(out[0])
 
     run()  # compile
     per_case = _median_time(run)

@@ -65,16 +65,15 @@ def instance_confusion(pred, truth, threshold: float = 0.5):
     t = np.asarray(truth) > threshold
     p_lbl, p_n = _label_np(p)
     t_lbl, t_n = _label_np(t)
-    tp = fp = 0
-    for i in range(1, p_n + 1):
-        if t[p_lbl == i].any():
-            tp += 1
-        else:
-            fp += 1
-    fn = 0
-    for j in range(1, t_n + 1):
-        if not p[t_lbl == j].any():
-            fn += 1
+    # one bincount pass over the overlap voxels instead of a Python loop of
+    # full-volume scans per component — O(voxels) total, not
+    # O(components x voxels) (round-1 weak item; the reference is the slow
+    # form, metrics.py:46-76)
+    p_hit = np.bincount(p_lbl[t].ravel(), minlength=p_n + 1)[1:] > 0
+    tp = int(p_hit.sum())
+    fp = p_n - tp
+    t_hit = np.bincount(t_lbl[p].ravel(), minlength=t_n + 1)[1:] > 0
+    fn = t_n - int(t_hit.sum())
     return tp, fp, fn
 
 
@@ -91,13 +90,12 @@ def binary_component_dice(pred, truth, threshold: float = 0.5):
     p = np.asarray(pred) > threshold
     t = np.asarray(truth) > threshold
     t_lbl, t_n = _label_np(t)
-    out = []
-    for j in range(1, t_n + 1):
-        comp = t_lbl == j
-        pd = np.logical_and(p, comp)
-        dice = 2.0 * pd.sum() / max(comp.sum() + pd.sum(), 1)
-        out.append((int(comp.sum()), float(dice)))
-    return out
+    # vectorized: component sizes and per-component intersections in two
+    # bincount passes (pd == p AND component, so |pd| is the intersection)
+    sizes = np.bincount(t_lbl.ravel(), minlength=t_n + 1)[1:]
+    inter = np.bincount(t_lbl[p].ravel(), minlength=t_n + 1)[1:]
+    dice = 2.0 * inter / np.maximum(sizes + inter, 1)
+    return [(int(s), float(d)) for s, d in zip(sizes, dice)]
 
 
 def _eval_one(pred_path, truth_path, metrics):

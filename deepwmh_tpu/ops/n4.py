@@ -96,7 +96,8 @@ def _smooth_field(residual, mask, n_control):
     return out
 
 
-def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE):
+def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE,
+             hist_stride: int = 4):
     """Histogram sharpening: returns E[u|v] per voxel (the expected
     bias-free log intensity)."""
     vmin = jnp.min(jnp.where(mask > 0.5, v, jnp.inf))
@@ -108,10 +109,15 @@ def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE):
     # compare-reduce rather than a scatter-add: 1M updates all colliding
     # into 200 bins serialize TPU scatters, while sum-over-voxels per bin
     # chunk is pure VPU work that XLA fuses without materializing [N, B].
+    # The histogram is SAMPLED at every hist_stride-th voxel: at a working
+    # resolution of ~1M voxels that still leaves >1000 samples per bin for
+    # a Wiener-smoothed 200-bin density, and the binning (run 150 times) is
+    # the dominant N4 cost — measured 2.7s -> ~1s per volume at stride 4
+    # with no visible change to the corrected output.
     pos = (v - vmin) / jnp.maximum(width, 1e-30)
     pos = jnp.clip(pos, 0.0, float(nbins - 1))
-    pos_flat = pos.reshape(-1)
-    w = mask.reshape(-1)
+    pos_flat = pos.reshape(-1)[::hist_stride]
+    w = mask.reshape(-1)[::hist_stride]
     CHUNK = 25
     parts = []
     for b0 in range(0, nbins, CHUNK):
@@ -121,9 +127,6 @@ def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE):
         )
         parts.append(jnp.sum(tri * w[:, None], axis=0))
     hist = jnp.concatenate(parts)
-    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nbins - 1)
-    hi = jnp.clip(lo + 1, 0, nbins - 1)
-    frac = pos - jnp.floor(pos)
 
     # Wiener deconvolution with a Gaussian of given FWHM (in bin units)
     pad_n = nbins * 2
@@ -147,13 +150,36 @@ def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE):
     num = jnp.real(jnp.fft.ifft(jnp.fft.fft(ufu_pad) * G))[:nbins]
     den = jnp.real(jnp.fft.ifft(jnp.fft.fft(fu_pad) * G))[:nbins]
     e_u = num / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
-    # fall back to the identity map where the density vanishes
-    e_u = jnp.where(den > 1e-8, e_u, u_bins)
+    # fall back to the identity map where the density vanishes — a SMOOTH
+    # blend rather than a hard switch: the switch only fires in near-empty
+    # tail bins, and a discontinuity there would make the Chebyshev
+    # projection below ring across the whole map
+    blend = jnp.clip(den / (1e-4 * jnp.max(den) + 1e-30), 0.0, 1.0)
+    e_u = blend * e_u + (1.0 - blend) * u_bins
 
-    # map voxels through E[u|v] with linear interpolation
-    e_lo = e_u[lo]
-    e_hi = e_u[hi]
-    return e_lo * (1 - frac) + e_hi * frac
+    # Map voxels through E[u|v]. A per-voxel table lookup (e_u[lo], e_u[hi])
+    # is 2 gathers/voxel from a 200-entry table — measured 19 ms of the
+    # ~21 ms N4 iteration on v5e (TPU gathers serialize). Instead the table
+    # (a SMOOTH function of intensity: Wiener-reconvolved density ratio) is
+    # least-squares projected onto a Chebyshev basis — one [K+1,nbins] @
+    # [nbins] matmul per iteration with a precomputed pseudoinverse — and
+    # evaluated per voxel with a fused Clenshaw recurrence: pure VPU FMAs,
+    # zero gathers. K=24 tracks the exact interpolated map to ~2e-4 of the
+    # intensity range at the median and ~2e-3 at the 99th percentile; the
+    # max (~5e-3) sits at near-empty tail bins where the mapped value is
+    # inconsequential (test_ops_n4_brain.py::test_sharpen_poly_map).
+    K = 24
+    xb = np.linspace(-1.0, 1.0, nbins)
+    T = np.polynomial.chebyshev.chebvander(xb, K)  # [nbins, K+1]
+    P = jnp.asarray(np.linalg.pinv(T), jnp.float32)  # [K+1, nbins] constant
+    coef = P @ e_u
+
+    xs = pos / (nbins - 1) * 2.0 - 1.0  # bin position -> [-1, 1]
+    b1 = jnp.zeros_like(xs)
+    b2 = jnp.zeros_like(xs)
+    for k in range(K, 0, -1):
+        b1, b2 = coef[k] + 2.0 * xs * b1 - b2, b1
+    return coef[0] + xs * b1 - b2
 
 
 @functools.partial(

@@ -96,7 +96,12 @@ def accumulate_patches(params, volume, positions, pos_weights, gauss, apply_fn, 
     marked device-varying under shard_map)."""
     D, H, W = volume.shape
     C = num_classes
-    acc = jnp.zeros((D, H, W, C), jnp.float32)
+    # binary case: accumulate ONLY the fg channel and reconstruct
+    # bg = wt - fg at the end (softmax channels sum to 1, and the identity
+    # survives the callers' psum because it is linear) — halves the
+    # read-modify-write traffic of the accumulator update slices
+    fg_only = C == 2
+    acc = jnp.zeros((D, H, W) if fg_only else (D, H, W, C), jnp.float32)
     wt = jnp.zeros((D, H, W), jnp.float32)
     if varying_axis is not None:
         acc = jax.lax.pvary(acc, (varying_axis,))
@@ -128,26 +133,39 @@ def accumulate_patches(params, volume, positions, pos_weights, gauss, apply_fn, 
         pos = (pos[0], pos[1], pos[2])
         patch = jax.lax.dynamic_slice(volume, pos, patch_size)
         # skip the (expensive) forward entirely for zero-weight padding
+        out_shape = patch_size if fg_only else patch_size + (C,)
+
+        def fwd_branch(p):
+            probs = forward(p)
+            return probs[..., 1] if fg_only else probs
+
         def zeros_branch(p):
-            z = jnp.zeros(patch_size + (C,), jnp.float32)
+            z = jnp.zeros(out_shape, jnp.float32)
             if varying_axis is not None:
                 z = jax.lax.pvary(z, (varying_axis,))
             return z
 
-        probs = jax.lax.cond(w > 0, forward, zeros_branch, patch)
+        probs = jax.lax.cond(w > 0, fwd_branch, zeros_branch, patch)
         g = gauss * w  # w=0 for padded positions: no contribution
-        contrib = g[..., None] * probs
-        cur = jax.lax.dynamic_slice(
-            acc, (pos[0], pos[1], pos[2], 0), patch_size + (C,)
-        )
-        acc = jax.lax.dynamic_update_slice(
-            acc, cur + contrib, (pos[0], pos[1], pos[2], 0)
-        )
+        if fg_only:
+            contrib = g * probs
+            cur = jax.lax.dynamic_slice(acc, pos, patch_size)
+            acc = jax.lax.dynamic_update_slice(acc, cur + contrib, pos)
+        else:
+            contrib = g[..., None] * probs
+            cur = jax.lax.dynamic_slice(
+                acc, (pos[0], pos[1], pos[2], 0), patch_size + (C,)
+            )
+            acc = jax.lax.dynamic_update_slice(
+                acc, cur + contrib, (pos[0], pos[1], pos[2], 0)
+            )
         cur_w = jax.lax.dynamic_slice(wt, pos, patch_size)
         wt = jax.lax.dynamic_update_slice(wt, cur_w + g, pos)
         return (acc, wt), None
 
     (acc, wt), _ = jax.lax.scan(body, (acc, wt), (positions, pos_weights))
+    if fg_only:
+        acc = jnp.stack([wt - acc, acc], axis=-1)
     return acc, wt
 
 

@@ -80,3 +80,59 @@ def test_brain_extract_phantom():
     inter = (mask > 0.5) & head
     dice = 2 * inter.sum() / ((mask > 0.5).sum() + head.sum())
     assert dice > 0.8
+
+
+def test_sharpen_poly_map():
+    """The Chebyshev-projected E[u|v] map matches an exact numpy
+    recomputation (histogram + Wiener sharpening + LINEAR table
+    interpolation) to ~1e-3 of the intensity range."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.ops.n4 import FWHM, NBINS, WIENER_NOISE, _sharpen
+
+    rng = np.random.RandomState(0)
+    shape = (48, 56, 48)
+    v = rng.randn(*shape).astype(np.float32) * 0.4 + 5.0
+    mask = (rng.rand(*shape) > 0.2).astype(np.float32)
+
+    got = np.asarray(jax.jit(_sharpen)(jnp.asarray(v), jnp.asarray(mask)))
+
+    # exact numpy recomputation with gather-based linear interpolation
+    nbins = NBINS
+    vm = v[mask > 0.5]
+    vmin, vmax = vm.min(), vm.max()
+    width = (vmax - vmin) / (nbins - 1)
+    pos = np.clip((v - vmin) / width, 0, nbins - 1)
+    pos_s = pos.reshape(-1)[::4]
+    w_s = mask.reshape(-1)[::4]
+    centers = np.arange(nbins)
+    tri = np.maximum(1 - np.abs(pos_s[:, None] - centers[None, :]), 0)
+    hist = (tri * w_s[:, None]).sum(0)
+
+    pad_n = nbins * 2
+    sigma_i = FWHM / (2 * np.sqrt(2 * np.log(2)))
+    offs = (np.arange(pad_n) + pad_n // 2) % pad_n - pad_n // 2
+    g = np.exp(-0.5 * (offs * width / sigma_i) ** 2)
+    g = g / g.sum()
+    F = np.fft.fft(np.pad(hist, (0, pad_n - nbins)))
+    G = np.fft.fft(g)
+    fu = np.maximum(np.real(np.fft.ifft(F * np.conj(G) / (np.abs(G) ** 2 + WIENER_NOISE)))[:nbins], 0)
+    u_bins = vmin + np.arange(nbins) * width
+    num = np.real(np.fft.ifft(np.fft.fft(np.pad(fu * u_bins, (0, pad_n - nbins))) * G))[:nbins]
+    den = np.real(np.fft.ifft(np.fft.fft(np.pad(fu, (0, pad_n - nbins))) * G))[:nbins]
+    e_u = num / np.where(np.abs(den) > 1e-12, den, 1e-12)
+    blend = np.clip(den / (1e-4 * den.max() + 1e-30), 0.0, 1.0)
+    e_u = blend * e_u + (1.0 - blend) * u_bins
+    lo = np.clip(np.floor(pos).astype(int), 0, nbins - 1)
+    hi = np.clip(lo + 1, 0, nbins - 1)
+    frac = pos - np.floor(pos)
+    want = e_u[lo] * (1 - frac) + e_u[hi] * frac
+
+    err = np.abs(got - want)[mask > 0.5] / (vmax - vmin)
+    # the polynomial tracks the map tightly where the data lives; the max
+    # sits at near-empty tail bins (<0.3% histogram mass) where the mapped
+    # value barely matters (residuals are cell-averaged and iterated 150x)
+    assert np.median(err) < 5e-4, "median %.2e" % np.median(err)
+    assert np.quantile(err, 0.99) < 3e-3, "p99 %.2e" % np.quantile(err, 0.99)
+    assert err.max() < 1.5e-2, "max %.2e" % err.max()
