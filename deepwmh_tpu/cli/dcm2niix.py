@@ -1,8 +1,10 @@
 """dcm2niix_py — recursive DICOM -> NIfTI conversion CLI.
 
 Counterpart of the reference adapter (deepwmh/external_tools/dcm2niix.py:5-77)
-without the external dcm2niix binary: supports uncompressed single-frame
-little-endian series (the common MRI export case).
+without the external dcm2niix binary: supports single-frame series in
+uncompressed little endian, Deflated, RLE Lossless, and the JPEG family
+(Baseline, Extended 12-bit, Lossless Process 14/SV1 — decoded by the
+from-scratch codec in core/jpegcodec.py).
 """
 
 from __future__ import annotations

@@ -2,12 +2,14 @@
 
 Replaces the dcm2niix adapter (deepwmh/external_tools/dcm2niix.py:5-77) for
 the common MRI case: single-frame DICOM series in implicit/explicit VR
-little endian, Deflated explicit VR (zlib), or RLE Lossless (PS3.5 Annex G
-PackBits segments). Slices are grouped by SeriesInstanceUID, sorted along
-the slice normal (ImageOrientationPatient x ImagePositionPatient), stacked,
-rescaled (RescaleSlope/Intercept) and written as NIfTI with an LPS->RAS
-sform affine. JPEG-family transfer syntaxes raise an actionable error
-naming the syntax (an image codec is out of scope off the hot path).
+little endian, Deflated explicit VR (zlib), RLE Lossless (PS3.5 Annex G
+PackBits segments), and the JPEG family decoded by the from-scratch codec
+in core/jpegcodec.py — JPEG Baseline (.50), Extended 12-bit (.51), and
+Lossless Process 14 / SV1 (.57/.70). Slices are grouped by
+SeriesInstanceUID, sorted along the slice normal (ImageOrientationPatient x
+ImagePositionPatient), stacked, rescaled (RescaleSlope/Intercept) and
+written as NIfTI with an LPS->RAS sform affine. JPEG-LS and JPEG 2000
+raise an actionable error naming the syntax.
 """
 
 from __future__ import annotations
@@ -23,12 +25,16 @@ IMPLICIT_LE = "1.2.840.10008.1.2"
 DEFLATED_LE = "1.2.840.10008.1.2.1.99"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+_JPEG_SYNTAXES = {
+    JPEG_BASELINE, JPEG_EXTENDED, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+}
+
 # syntaxes we can name in errors (actionable message instead of a raw UID)
 _KNOWN_COMPRESSED = {
-    "1.2.840.10008.1.2.4.50": "JPEG Baseline (Process 1)",
-    "1.2.840.10008.1.2.4.51": "JPEG Extended (Process 2&4)",
-    "1.2.840.10008.1.2.4.57": "JPEG Lossless (Process 14)",
-    "1.2.840.10008.1.2.4.70": "JPEG Lossless SV1",
     "1.2.840.10008.1.2.4.80": "JPEG-LS Lossless",
     "1.2.840.10008.1.2.4.81": "JPEG-LS Near-Lossless",
     "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
@@ -176,8 +182,8 @@ def read_dicom(path: str) -> dict:
     fields["transfer_syntax_uid"] = syntax
     if syntax == IMPLICIT_LE:
         explicit = False
-    elif syntax in (EXPLICIT_LE, RLE_LOSSLESS, ""):
-        explicit = True  # RLE datasets are explicit VR LE outside PixelData
+    elif syntax in (EXPLICIT_LE, RLE_LOSSLESS, "") or syntax in _JPEG_SYNTAXES:
+        explicit = True  # encapsulated datasets are explicit VR LE outside PixelData
     elif syntax == DEFLATED_LE:
         # the whole post-meta dataset is one raw zlib-deflate stream
         buf = zlib.decompress(buf[meta_end:], -15)
@@ -188,7 +194,8 @@ def read_dicom(path: str) -> dict:
             "%s: compressed transfer syntax %s (%s) is not decodable here — "
             "convert the series with dcm2niix or re-export as Explicit VR "
             "Little Endian (supported: uncompressed LE, Deflated, RLE "
-            "Lossless)" % (path, _KNOWN_COMPRESSED[syntax], syntax)
+            "Lossless, JPEG Baseline/Extended/Lossless)" % (
+                path, _KNOWN_COMPRESSED[syntax], syntax)
         )
     else:
         raise DicomError("%s: unsupported transfer syntax %r" % (path, syntax))
@@ -294,20 +301,43 @@ def series_to_volume(paths):
             dt = np.int8 if signed else np.uint8
         else:
             raise DicomError("%s: unsupported bits_allocated=%d" % (p, bits))
-        if isinstance(f["pixel_data"], list):  # encapsulated (RLE) fragments
-            if f.get("transfer_syntax_uid") != RLE_LOSSLESS:
+        if isinstance(f["pixel_data"], list):  # encapsulated fragments
+            syn = f.get("transfer_syntax_uid")
+            if syn == RLE_LOSSLESS:
+                if len(f["pixel_data"]) != 1:
+                    raise DicomError(
+                        "%s: multi-frame RLE (%d fragments) not supported"
+                        % (p, len(f["pixel_data"]))
+                    )
+                pix = _rle_decode_frame(
+                    f["pixel_data"][0], rows, cols, bits, signed
+                ).reshape(rows, cols)
+            elif syn in _JPEG_SYNTAXES:
+                # a single-frame image may span several fragments (PS3.5
+                # A.4): concatenate them into one JPEG stream
+                from deepwmh_tpu.core import jpegcodec
+
+                stream = b"".join(f["pixel_data"])
+                try:
+                    pix, _prec = jpegcodec.decode(stream)
+                except jpegcodec.JpegError as e:
+                    raise DicomError("%s: JPEG decode failed: %s" % (p, e))
+                if pix.ndim != 2:
+                    pix = pix[..., 0]  # MRI is monochrome; drop extra planes
+                if pix.shape != (rows, cols):
+                    raise DicomError(
+                        "%s: JPEG frame %s != Rows/Columns (%d, %d)"
+                        % (p, pix.shape, rows, cols)
+                    )
+                if signed:
+                    pix = pix.astype(np.int32).astype(
+                        np.int16 if bits == 16 else np.int8
+                    )
+            else:
                 raise DicomError(
                     "%s: encapsulated pixel data in syntax %r is not "
-                    "decodable here" % (p, f.get("transfer_syntax_uid"))
+                    "decodable here" % (p, syn)
                 )
-            if len(f["pixel_data"]) != 1:
-                raise DicomError(
-                    "%s: multi-frame RLE (%d fragments) not supported"
-                    % (p, len(f["pixel_data"]))
-                )
-            pix = _rle_decode_frame(
-                f["pixel_data"][0], rows, cols, bits, signed
-            ).reshape(rows, cols)
         else:
             pix = np.frombuffer(
                 f["pixel_data"], dtype=dt, count=rows * cols
