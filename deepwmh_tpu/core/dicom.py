@@ -4,12 +4,13 @@ Replaces the dcm2niix adapter (deepwmh/external_tools/dcm2niix.py:5-77) for
 the common MRI case: single-frame DICOM series in implicit/explicit VR
 little endian, Deflated explicit VR (zlib), RLE Lossless (PS3.5 Annex G
 PackBits segments), and the JPEG family decoded by the from-scratch codec
-in core/jpegcodec.py — JPEG Baseline (.50), Extended 12-bit (.51), and
-Lossless Process 14 / SV1 (.57/.70). Slices are grouped by
-SeriesInstanceUID, sorted along the slice normal (ImageOrientationPatient x
-ImagePositionPatient), stacked, rescaled (RescaleSlope/Intercept) and
-written as NIfTI with an LPS->RAS sform affine. JPEG-LS and JPEG 2000
-raise an actionable error naming the syntax.
+in core/jpegcodec.py — JPEG Baseline (.50), Extended 12-bit (.51),
+Lossless Process 14 / SV1 (.57/.70) — plus JPEG-LS (.80/.81) via the T.87
+codec in core/jlscodec.py. Slices are grouped by SeriesInstanceUID, sorted
+along the slice normal (ImageOrientationPatient x ImagePositionPatient),
+stacked, rescaled (RescaleSlope/Intercept) and written as NIfTI with an
+LPS->RAS sform affine. JPEG 2000 raises an actionable error naming the
+syntax.
 """
 
 from __future__ import annotations
@@ -29,14 +30,15 @@ JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 _JPEG_SYNTAXES = {
     JPEG_BASELINE, JPEG_EXTENDED, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
 }
+_JPEG_LS_SYNTAXES = {JPEG_LS_LOSSLESS, JPEG_LS_NEAR}
 
 # syntaxes we can name in errors (actionable message instead of a raw UID)
 _KNOWN_COMPRESSED = {
-    "1.2.840.10008.1.2.4.80": "JPEG-LS Lossless",
-    "1.2.840.10008.1.2.4.81": "JPEG-LS Near-Lossless",
     "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
     "1.2.840.10008.1.2.4.91": "JPEG 2000",
     "1.2.840.10008.1.2.2": "Explicit VR Big Endian (retired)",
@@ -182,7 +184,11 @@ def read_dicom(path: str) -> dict:
     fields["transfer_syntax_uid"] = syntax
     if syntax == IMPLICIT_LE:
         explicit = False
-    elif syntax in (EXPLICIT_LE, RLE_LOSSLESS, "") or syntax in _JPEG_SYNTAXES:
+    elif (
+        syntax in (EXPLICIT_LE, RLE_LOSSLESS, "")
+        or syntax in _JPEG_SYNTAXES
+        or syntax in _JPEG_LS_SYNTAXES
+    ):
         explicit = True  # encapsulated datasets are explicit VR LE outside PixelData
     elif syntax == DEFLATED_LE:
         # the whole post-meta dataset is one raw zlib-deflate stream
@@ -312,15 +318,20 @@ def series_to_volume(paths):
                 pix = _rle_decode_frame(
                     f["pixel_data"][0], rows, cols, bits, signed
                 ).reshape(rows, cols)
-            elif syn in _JPEG_SYNTAXES:
+            elif syn in _JPEG_SYNTAXES or syn in _JPEG_LS_SYNTAXES:
                 # a single-frame image may span several fragments (PS3.5
-                # A.4): concatenate them into one JPEG stream
-                from deepwmh_tpu.core import jpegcodec
-
+                # A.4): concatenate them into one codestream
                 stream = b"".join(f["pixel_data"])
                 try:
-                    pix, _prec = jpegcodec.decode(stream)
-                except jpegcodec.JpegError as e:
+                    if syn in _JPEG_LS_SYNTAXES:
+                        from deepwmh_tpu.core import jlscodec
+
+                        pix, _prec = jlscodec.decode(stream)
+                    else:
+                        from deepwmh_tpu.core import jpegcodec
+
+                        pix, _prec = jpegcodec.decode(stream)
+                except ValueError as e:  # JpegError / JlsError
                     raise DicomError("%s: JPEG decode failed: %s" % (p, e))
                 if pix.ndim != 2:
                     pix = pix[..., 0]  # MRI is monochrome; drop extra planes
