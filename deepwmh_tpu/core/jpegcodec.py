@@ -69,7 +69,7 @@ class JpegError(ValueError):
 # ---------------------------------------------------------------------------
 
 
-def _huff_lut(bits, values):
+def _huff_lut_np(bits, values):
     """16-bit-peek decode LUT: lut[p] = (symbol << 5) | code_length, 0 when
     no code is a prefix of p. bits = 16 counts, values = symbols in code
     order (canonical JPEG Huffman, T.81 Annex C)."""
@@ -86,7 +86,12 @@ def _huff_lut(bits, values):
         if code > (1 << length):
             raise JpegError("invalid Huffman table (code overflow)")
         code <<= 1
-    return lut.tolist()  # Python list indexing beats ndarray scalar indexing
+    return lut
+
+
+def _huff_lut(bits, values):
+    # Python list indexing beats ndarray scalar indexing in the bit loops
+    return _huff_lut_np(bits, values).tolist()
 
 
 def _huff_codes(bits, values):
@@ -453,17 +458,11 @@ def _decode_lossless(st):
     return np.moveaxis(out, 0, -1), precision
 
 
-def _decode_lossless_sv1_fast(st):
-    """Vectorized reconstruction for the dominant DICOM case: 1 component,
-    predictor 1 (Ra), no restart intervals. The Huffman pass is serial; the
-    prediction pass becomes two cumsums."""
-    precision = st["precision"]
-    height, width = st["height"], st["width"]
-    (sel, _psv, _se, _ah, pt), entropy = st["scans"][0]
-    td = sel[0][1]
-    lut = _huff_lut(*st["huff_dc"][td])
-    br = _BitReader(_unstuff(entropy))
-    n = height * width
+def _decode_diffs_py(data: bytes, lut_np: np.ndarray, n: int) -> np.ndarray:
+    """Serial Huffman pass in Python — fallback when the native kernel
+    (native/jpegl.cpp) is unavailable."""
+    lut = lut_np.tolist()
+    br = _BitReader(data)
     diffs = np.empty(n, np.int64)
     dec = br.decode
     get = br.get
@@ -476,15 +475,69 @@ def _decode_lossless_sv1_fast(st):
             diffs[i] = 32768
         else:
             diffs[i] = ext(get(s), s)
-    d = diffs.reshape(height, width)
-    # first column: predicted from the sample above (Rb); row 0 col 0 from
-    # the default. With predictor Ra everything else is a row prefix sum.
-    col0 = np.cumsum(d[:, 0]) + (1 << (precision - pt - 1))
-    d = d.copy()
-    d[:, 0] = col0
-    out = np.cumsum(d, axis=1) & 0xFFFF
+    return diffs
+
+
+def _decode_lossless_1comp_fast(st):
+    """Fast path for the dominant DICOM case: 1 component, no restart
+    intervals. The serial Huffman pass runs in native code when available
+    (native/jpegl.cpp, ~100x Python); reconstruction is two numpy cumsums
+    for predictor 1 (SV1) or the native sequential kernel otherwise."""
+    precision = st["precision"]
+    height, width = st["height"], st["width"]
+    (sel, psv, _se, _ah, pt), entropy = st["scans"][0]
+    td = sel[0][1]
+    lut_np = _huff_lut_np(*st["huff_dc"][td])
+    data = _unstuff(entropy)
+    n = height * width
+    default = 1 << (precision - pt - 1)
+
+    diffs = None
+    try:
+        from deepwmh_tpu import native
+
+        diffs = native.jpegl_decode_diffs_host(data, lut_np, n)
+    except Exception:
+        diffs = None
+    if diffs is None:
+        diffs = _decode_diffs_py(data, lut_np, n)
+
+    if psv == 1:
+        d = diffs.reshape(height, width).copy()
+        # first column: predicted from the sample above (Rb); row 0 col 0
+        # from the default. With predictor Ra the rest is a row prefix sum.
+        d[:, 0] = np.cumsum(d[:, 0]) + default
+        out = np.cumsum(d, axis=1) & 0xFFFF
+    else:
+        out = None
+        try:
+            from deepwmh_tpu import native
+
+            out = native.jpegl_reconstruct_host(diffs, height, width, psv, default)
+        except Exception:
+            out = None
+        if out is None:
+            out = _reconstruct_py(diffs.reshape(height, width), psv, default)
     out = (out << pt).astype(np.uint16 if precision > 8 else np.uint8)
     return out, precision
+
+
+def _reconstruct_py(d, psv, default):
+    h, w = d.shape
+    out = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            if y == 0:
+                pred = default if x == 0 else int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                pred = _predict(
+                    int(out[y, x - 1]), int(out[y - 1, x]),
+                    int(out[y - 1, x - 1]), psv,
+                )
+            out[y, x] = (pred + int(d[y, x])) & 0xFFFF
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -611,9 +664,9 @@ def decode(data: bytes):
     else uint16."""
     st = _parse_stream(bytes(data))
     if st["sof"] == SOF3:
-        (sel, psv, _se, _ah, _pt), _ = st["scans"][0]
-        if len(sel) == 1 and psv == 1 and st["ri"] == 0:
-            return _decode_lossless_sv1_fast(st)
+        (sel, _psv, _se, _ah, _pt), _ = st["scans"][0]
+        if len(sel) == 1 and st["ri"] == 0:
+            return _decode_lossless_1comp_fast(st)
         return _decode_lossless(st)
     return _decode_dct(st)
 

@@ -1,4 +1,4 @@
-"""ctypes loader for the native host kernels (cc3d.cpp).
+"""ctypes loader for the native host kernels (cc3d.cpp, jpegl.cpp).
 
 Builds the shared library on first use when a toolchain is available and
 falls back to pure-Python/JAX implementations otherwise — the framework
@@ -24,7 +24,7 @@ def _src_hash() -> str:
     import hashlib
 
     h = hashlib.sha256()
-    for name in ("cc3d.cpp", "Makefile"):
+    for name in ("cc3d.cpp", "jpegl.cpp", "Makefile"):
         p = os.path.join(_HERE, name)
         if os.path.isfile(p):
             with open(p, "rb") as f:
@@ -96,6 +96,16 @@ def get_lib():
     lib.gzip_deflate.restype = ctypes.c_int64
     lib.gzip_deflate.argtypes = [
         i8p, ctypes.c_int64, i8p, ctypes.c_int64, ctypes.c_int32,
+    ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.jpegl_decode_diffs.restype = ctypes.c_int64
+    lib.jpegl_decode_diffs.argtypes = [
+        i8p, ctypes.c_int64, i32p, ctypes.c_int64, i64p,
+    ]
+    lib.jpegl_reconstruct.restype = None
+    lib.jpegl_reconstruct.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, i64p,
     ]
     _lib = lib
     return _lib
@@ -173,3 +183,41 @@ def gzip_deflate_host(data: bytes, level: int = 4):
     if n < 0:
         return None
     return dst[:n].tobytes()
+
+
+def jpegl_decode_diffs_host(data: bytes, lut: np.ndarray, n: int):
+    """Lossless-JPEG Huffman pass: n prediction differences from unstuffed
+    entropy bytes using a 16-bit-peek LUT (int32[65536], symbol<<5|len).
+    Returns int64[n] or None when the native lib is unavailable / the
+    stream is invalid."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    lut = np.ascontiguousarray(lut, np.int32)
+    out = np.empty(int(n), np.int64)
+    got = lib.jpegl_decode_diffs(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if got != n:
+        return None
+    return out
+
+
+def jpegl_reconstruct_host(diffs: np.ndarray, h: int, w: int, psv: int,
+                           default_pred: int):
+    """Sequential predictor reconstruction (T.81 H.1.2.1, no restarts).
+    Returns int64[h, w] or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(diffs, np.int64).reshape(-1)
+    out = np.empty(int(h) * int(w), np.int64)
+    lib.jpegl_reconstruct(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), int(h), int(w),
+        int(psv), int(default_pred),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out.reshape(int(h), int(w))

@@ -79,15 +79,37 @@ def test_lossless_row_unaligned_restart_rejected():
         jc.encode_lossless(img, restart_interval=7)
 
 
-def test_lossless_sv1_fast_path_matches_general():
-    """The vectorized SV1 path and the general serial decoder must agree."""
+@pytest.mark.parametrize("predictor", [1, 4, 7])
+def test_lossless_fast_path_matches_general(predictor):
+    """The fast single-component path (native or numpy) and the general
+    serial decoder must agree exactly."""
     img = _mri_like((33, 47), 4095, seed=9).astype(np.uint16)
-    enc = jc.encode_lossless(img, predictor=1, precision=12)
+    enc = jc.encode_lossless(img, predictor=predictor, precision=12)
     st = jc._parse_stream(enc)
-    fast, _ = jc._decode_lossless_sv1_fast(st)
+    fast, _ = jc._decode_lossless_1comp_fast(st)
     slow, _ = jc._decode_lossless(st)
     np.testing.assert_array_equal(fast, slow)
     np.testing.assert_array_equal(fast, img)
+
+
+def test_python_diff_decode_matches_native():
+    """When the native kernel is present, its Huffman pass must agree with
+    the pure-Python bit loop on the same stream."""
+    from deepwmh_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    img = _mri_like((29, 41), 65535, seed=14).astype(np.uint16)
+    enc = jc.encode_lossless(img, predictor=1, precision=16)
+    st = jc._parse_stream(enc)
+    (sel, _psv, _se, _ah, _pt), entropy = st["scans"][0]
+    lut = jc._huff_lut_np(*st["huff_dc"][sel[0][1]])
+    data = jc._unstuff(entropy)
+    n = img.size
+    d_native = native.jpegl_decode_diffs_host(data, lut, n)
+    d_py = jc._decode_diffs_py(data, lut, n)
+    assert d_native is not None
+    np.testing.assert_array_equal(d_native, d_py)
 
 
 @pytest.mark.parametrize("precision", [8, 12])
