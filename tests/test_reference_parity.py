@@ -235,3 +235,93 @@ def test_pure_ops_match_reference(ref_modules):
     got = np.asarray(tpu_nll(x, np.stack(refs), min_std=0.03, side="+"))
     want = ref_la.nll(x, refs, min_std=0.03, side="+")
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_morphology_ops_match_reference(ref_modules):
+    """Golden checks of the remaining pure image ops vs the reference
+    implementations themselves (image_ops.py:23-421)."""
+    ref_ops, _ = ref_modules
+    rng = np.random.RandomState(2)
+    mask = (rng.rand(18, 20, 16) > 0.72).astype(np.float32)
+
+    from deepwmh_tpu.ops.components import (
+        average_contiguous_labels,
+        component_filtering,
+        remove_3mm_sparks,
+        remove_sparks,
+    )
+
+    got = np.asarray(remove_sparks(mask, min_volume=3))
+    want = ref_ops.remove_sparks(mask.copy(), min_volume=3)
+    np.testing.assert_array_equal(got, want)
+
+    for voxel in [(1.0, 1.0, 1.0), (0.9, 0.9, 6.0)]:  # iso + thick-slice
+        got = np.asarray(remove_3mm_sparks(mask, voxel))
+        want = ref_ops.remove_3mm_sparks(mask.copy(), list(voxel))
+        np.testing.assert_array_equal(got, want, err_msg=str(voxel))
+
+    from deepwmh_tpu.ops.filters import median_3mm
+
+    data = (rng.rand(14, 15, 13) * 50).astype(np.float32)
+    for voxel in [(2.0, 2.0, 2.0), (1.0, 1.0, 5.0)]:
+        got = np.asarray(median_3mm(data, voxel))
+        want = ref_ops.median_3mm(data.copy(), list(voxel))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(voxel))
+
+    # brain-shaped blob + speckle: per-slice largest-component cleanup
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in (20, 22, 18)], indexing="ij")
+    brain = (np.sqrt(sum(a**2 for a in g)) < 0.75).astype(np.float32)
+    speckle = (rng.rand(20, 22, 18) > 0.97).astype(np.float32)
+    noisy = np.clip(brain + speckle, 0, 1)
+    for voxel in [(1.0, 1.0, 1.0), (1.0, 1.0, 4.0)]:
+        got = np.asarray(component_filtering(noisy, voxel))
+        want = ref_ops.component_filtering(noisy.copy(), list(voxel))
+        np.testing.assert_array_equal(got, want, err_msg=str(voxel))
+
+    labels = [
+        rng.randint(0, 4, (10, 11, 9)).astype(np.float32) for _ in range(5)
+    ]
+    got = np.asarray(average_contiguous_labels(np.stack(labels), num_classes=4))
+    want = ref_ops.average_contiguous_labels([l.copy() for l in labels])
+    np.testing.assert_array_equal(got, want)
+
+    from deepwmh_tpu.ops.stats import group_mean, group_std
+
+    stack = [rng.rand(9, 8, 7).astype(np.float32) * 10 for _ in range(4)]
+    masks = [(rng.rand(9, 8, 7) > 0.3).astype(np.float32) for _ in range(4)]
+    np.testing.assert_allclose(
+        np.asarray(group_mean(np.stack(stack), np.stack(masks))),
+        ref_ops.group_mean([s.copy() for s in stack], masks=[m.copy() for m in masks]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(group_std(np.stack(stack), np.stack(masks))),
+        ref_ops.group_std([s.copy() for s in stack], masks=[m.copy() for m in masks]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_metric_formulas_match_reference():
+    """hard_dice_binary and voxel_precision_recall are pure formulas
+    (reference metrics.py:26-44) — compare without importing the module
+    (its top-level imports need statsmodels): the formulas are asserted
+    against a literal re-statement here, then our implementations against
+    that. The reference's inst_confusion_matrix (metrics.py:46-76) loops
+    component ids 0..max-1 (including background, excluding the last
+    component); ours implements the stated semantics instead, so only the
+    voxel-level metrics are compared exactly."""
+    rng = np.random.RandomState(3)
+    t = (rng.rand(15, 14, 13) > 0.8).astype(np.float32)
+    p = (rng.rand(15, 14, 13) > 0.8).astype(np.float32)
+
+    from deepwmh_tpu.eval.metrics import hard_dice_binary, voxel_precision_recall
+
+    want_dice = 2 * np.sum(t * p) / (np.sum(t) + np.sum(p) + 0.000001)
+    assert abs(hard_dice_binary(t, p) - want_dice) < 1e-6
+
+    tp = np.sum((t > 0.5) & (p > 0.5))
+    fp = np.sum(~(t > 0.5) & (p > 0.5))
+    fn = np.sum((t > 0.5) & ~(p > 0.5))
+    ppv, tpr = voxel_precision_recall(p, t)
+    assert abs(ppv - tp / (tp + fp)) < 1e-6
+    assert abs(tpr - tp / (tp + fn)) < 1e-6
