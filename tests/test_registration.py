@@ -109,6 +109,33 @@ def test_svf_improves_alignment():
     assert cc_after > cc_before
 
 
+def test_svf_approx_exp_grad_matches_exact():
+    """The first-order pass-through VJP (SVFConfig.exact_exp_grad=False,
+    which kills the backward scatter-adds on TPU) must register as well as
+    exact autodiff through the squaring compositions."""
+    from deepwmh_tpu.ops.warp import displacement_warp
+
+    fixed = make_brain()
+    zz = np.linspace(0, np.pi, 32)
+    bump = 2.0 * np.sin(zz)[:, None, None] * np.ones((32, 32, 32))
+    disp_true = np.stack([bump, 0.5 * bump, np.zeros_like(bump)]).astype(np.float32)
+    moving = np.asarray(displacement_warp(jnp.asarray(fixed), jnp.asarray(disp_true)))
+
+    mask = fixed > 50
+    ccs = {}
+    for exact in (True, False):
+        cfg = SVFConfig(
+            shrinks=(2,), iters=(80,), lncc_radius=2, exact_exp_grad=exact
+        )
+        disp, _ = register_svf(fixed, moving, cfg=cfg)
+        warped = np.asarray(displacement_warp(jnp.asarray(moving), jnp.asarray(disp)))
+        ccs[exact] = np.corrcoef(fixed[mask], warped[mask])[0, 1]
+    cc_before = np.corrcoef(fixed[mask], moving[mask])[0, 1]
+    assert ccs[False] > cc_before
+    # within a hair of the exact-gradient result
+    assert ccs[False] > ccs[True] - 0.02, ccs
+
+
 def test_apply_affine_svf_identity():
     from deepwmh_tpu.registration.svf import apply_affine_svf
 
