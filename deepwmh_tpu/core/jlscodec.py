@@ -574,8 +574,21 @@ def decode(data: bytes):
                 raise JlsError("SOS before SOF55")
             p = _Params(precision, width, height, near=near, maxval=maxval,
                         t1=t1, t2=t2, t3=t3, reset=reset)
-            br = _JlsBitReader(data[i:])
-            out = _codec(None, br, p, decode=True)
+            out = None
+            try:
+                # native scan decoder (native/jls.cpp, ~50x); falls back to
+                # the Python loop when the toolchain/lib is absent
+                from deepwmh_tpu import native
+
+                out = native.jls_decode_scan_host(
+                    data[i:], width, height, p.maxval, p.near,
+                    p.t1, p.t2, p.t3, p.reset, p.qbpp, p.limit,
+                )
+            except Exception:
+                out = None
+            if out is None:
+                br = _JlsBitReader(data[i:])
+                out = _codec(None, br, p, decode=True)
             dt = np.uint16 if precision > 8 else np.uint8
             return out.astype(dt), precision
     raise JlsError("no scan found in JPEG-LS stream")

@@ -24,7 +24,7 @@ def _src_hash() -> str:
     import hashlib
 
     h = hashlib.sha256()
-    for name in ("cc3d.cpp", "jpegl.cpp", "Makefile"):
+    for name in ("cc3d.cpp", "jpegl.cpp", "jls.cpp", "Makefile"):
         p = os.path.join(_HERE, name)
         if os.path.isfile(p):
             with open(p, "rb") as f:
@@ -106,6 +106,13 @@ def get_lib():
     lib.jpegl_reconstruct.argtypes = [
         i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int64, i64p,
+    ]
+    lib.jls_decode_scan.restype = ctypes.c_int32
+    lib.jls_decode_scan.argtypes = [
+        i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p,
     ]
     _lib = lib
     return _lib
@@ -220,4 +227,25 @@ def jpegl_reconstruct_host(diffs: np.ndarray, h: int, w: int, psv: int,
         int(psv), int(default_pred),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
+    return out.reshape(int(h), int(w))
+
+
+def jls_decode_scan_host(data: bytes, w, h, maxval, near, t1, t2, t3,
+                         reset, qbpp, limit):
+    """JPEG-LS scan decode (T.87, single component, ILV=0). Returns
+    int64[h, w] or None when the native lib is unavailable / the stream is
+    corrupt (caller falls back to the Python decoder)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(int(h) * int(w), np.int64)
+    rc = lib.jls_decode_scan(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        int(w), int(h), int(maxval), int(near), int(t1), int(t2), int(t3),
+        int(reset), int(qbpp), int(limit),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
     return out.reshape(int(h), int(w))

@@ -128,3 +128,33 @@ def test_jpeg_ls_dicom_series(tmp_path):
     got, spacing, _ = series_to_volume(paths)
     np.testing.assert_allclose(got, vol.astype(np.float32))
     np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+
+
+def test_native_scan_decoder_matches_python():
+    """native/jls.cpp must produce bit-identical output to the Python
+    decode loop on every coding-path class."""
+    from deepwmh_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(20)
+    g = np.mgrid[0:96, 0:96]
+    r = np.sqrt((g[0] - 48) ** 2 + (g[1] - 48) ** 2)
+    head = ((r < 40) * (900 + 80 * rng.randn(96, 96))).clip(0, 4095)
+    cases = [
+        (np.full((31, 45), 117, np.uint8), 8, 0),
+        ((rng.rand(40, 56) * 65535).astype(np.uint16), 16, 0),
+        (head.astype(np.uint16), 12, 0),
+        (head.astype(np.uint16), 12, 2),
+        (((rng.rand(50, 61) > 0.5) * 255).astype(np.uint8), 8, 0),
+    ]
+    saved = native.jls_decode_scan_host
+    for img, prec, near in cases:
+        enc = jls.encode(img, near=near, precision=prec)
+        dec_native, _ = jls.decode(enc)
+        try:
+            native.jls_decode_scan_host = lambda *a, **k: None
+            dec_python, _ = jls.decode(enc)
+        finally:
+            native.jls_decode_scan_host = saved
+        np.testing.assert_array_equal(dec_native, dec_python)
