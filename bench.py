@@ -252,6 +252,38 @@ def bench_registration():
         return n / dt * 60.0
 
 
+def bench_training(plan):
+    """Training throughput: full nnU-Net-recipe steps (on-device
+    augmentation + deep-supervision loss + Adam-family update, batch 2 at
+    the plan patch size — DCNN_multistage.py:196-198's budget unit)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.unet.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(epochs=1, batches_per_epoch=1, batch_size=2, augment=True)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(2, *plan.patch_size).astype(np.float32)
+    lbls = (rng.rand(2, *plan.patch_size) > 0.9).astype(np.int32)
+    with tempfile.TemporaryDirectory() as tmp:
+        tr = Trainer(plan, cfg, tmp)
+        params, opt_state = tr.init_state(jax.random.PRNGKey(0))
+        imgs, lbls = tr._put_batch(imgs, lbls)
+        key = jax.random.PRNGKey(1)
+        params, opt_state, loss = tr._train_step(params, opt_state, imgs, lbls, key)
+        float(loss)  # compile + sync
+
+        n = 8
+        t0 = time.time()
+        for i in range(n):
+            params, opt_state, loss = tr._train_step(
+                params, opt_state, imgs, lbls, jax.random.fold_in(key, i)
+            )
+        float(loss)
+        return n / (time.time() - t0)
+
+
 def bench_nll():
     """Stage-1 NLL anomaly analysis: one case vs K=4 registered refs."""
     import jax.numpy as jnp
@@ -324,6 +356,7 @@ def main():
     stages = if_time(lambda: bench_stages(predictor, vol, spacing))
     reg_pairs_per_min = if_time(bench_registration)
     nll_cases_per_min = if_time(bench_nll)
+    train_steps_per_sec = if_time(lambda: bench_training(plan))
 
     print(
         json.dumps(
@@ -341,6 +374,9 @@ def main():
                 ),
                 "nll_cases_per_min_per_chip": (
                     None if nll_cases_per_min is None else round(nll_cases_per_min, 2)
+                ),
+                "train_steps_per_sec": (
+                    None if train_steps_per_sec is None else round(train_steps_per_sec, 3)
                 ),
             }
         )

@@ -97,11 +97,12 @@ class GroupRegistration:
 
         if quick:
             self.affine_cfg = AffineConfig(shrinks=(8, 4), iters=(100, 50))
-            self.svf_cfg = SVFConfig(shrinks=(4,), iters=(80,))
+            self.svf_cfg = SVFConfig(shrinks=(8, 4), iters=(100, 50))
         elif large_deformation:
             self.affine_cfg = AffineConfig(shrinks=(8, 4, 2), iters=(200, 120, 60))
             self.svf_cfg = SVFConfig(
-                shrinks=(4, 2), iters=(160, 80), n_squaring=4
+                shrinks=(8, 4, 2), iters=(200, 160, 80), n_squaring=4,
+                exact_exp_grad=True,
             )
         else:
             self.affine_cfg = AffineConfig()
