@@ -286,6 +286,25 @@ def load_nifti_simple(path, return_type="float32"):
     return data
 
 
+def _write_payload(payload, path, level=4):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if str(path).endswith(".gz"):
+        blob = None
+        try:
+            from deepwmh_tpu import native
+
+            blob = native.gzip_deflate_host(payload, level=level)
+        except Exception:
+            blob = None
+        if blob is None:
+            blob = gzip.compress(payload, compresslevel=level)
+        with open(path, "wb") as f:
+            f.write(blob)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
 def save_nifti(data, header, path, dtype="float32"):
     """Save data with an existing header (geometry preserved), as float32.
 
@@ -299,22 +318,29 @@ def save_nifti(data, header, path, dtype="float32"):
     code = _DTYPE_CODES[np.dtype(dtype)]
     hdr.datatype = code
     payload = _serialize_header(hdr, code) + b"\x00" * 4 + data.tobytes(order="F")
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    if str(path).endswith(".gz"):
-        blob = None
-        try:
-            from deepwmh_tpu import native
+    _write_payload(payload, path)
 
-            blob = native.gzip_deflate_host(payload, level=4)
-        except Exception:
-            blob = None
-        if blob is None:
-            blob = gzip.compress(payload, compresslevel=4)
-        with open(path, "wb") as f:
-            f.write(blob)
-    else:
-        with open(path, "wb") as f:
-            f.write(payload)
+
+def save_nifti_scaled_int16(data, header, path, level=2):
+    """Save as int16 with a scl_slope chosen from the data range — standard
+    NIfTI intensity scaling, so load_nifti (and nibabel get_fdata) recovers
+    values to ~|max|/32000 precision. Used for bulk continuous artifacts
+    like displacement fields: int16 of a smooth field is half the bytes of
+    float32 and deflates several times faster (mantissa noise is the slow
+    path of DEFLATE), which is the dominant cost of a registration pair's
+    artifact writes."""
+    data = np.asarray(data, dtype=np.float32)
+    amax = float(np.max(np.abs(data))) if data.size else 0.0
+    slope = max(amax / 32000.0, 1e-9)
+    q = np.clip(np.round(data / slope), -32767, 32767).astype(np.int16)
+    hdr = header.copy() if isinstance(header, NiftiHeader) else NiftiHeader()
+    hdr.set_shape(q.shape)
+    hdr.scl_slope, hdr.scl_inter = float(slope), 0.0
+    hdr.datatype = _DTYPE_CODES[np.dtype(np.int16)]
+    payload = (
+        _serialize_header(hdr, hdr.datatype) + b"\x00" * 4 + q.tobytes(order="F")
+    )
+    _write_payload(payload, path, level=level)
 
 
 def save_nifti_simple(data, path):

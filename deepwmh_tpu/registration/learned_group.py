@@ -166,6 +166,12 @@ class LearnedGroupRegistration:
                     )
                 )
                 nifti.save_nifti(warped, t_hdr, out_img)
+                nifti.save_nifti_scaled_int16(
+                    np.moveaxis(disp_t, 0, -1), t_hdr, join_path(pair_dir, "warp.nii.gz")
+                )
+                # affine.json last: the cheap atomic marker whose presence
+                # implies the image and warp are complete (same producer
+                # ordering as GroupRegistration._write_pair)
                 atomic_write_json(
                     {
                         "matrix": matrix.tolist(),
@@ -177,7 +183,4 @@ class LearnedGroupRegistration:
                         "method": "learned",
                     },
                     join_path(pair_dir, "affine.json"),
-                )
-                nifti.save_nifti(
-                    np.moveaxis(disp_t, 0, -1), t_hdr, join_path(pair_dir, "warp.nii.gz")
                 )

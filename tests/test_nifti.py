@@ -99,3 +99,22 @@ def test_interop_reads_nibabel_written_file():
     assert 1 in classes and 2 in classes and 3 in classes
     pixdim = nifti.get_nifti_pixdim("/root/reference/examples/Brain_label.nii.gz")
     assert all(0.1 < v < 10 for v in pixdim)
+
+
+def test_save_nifti_scaled_int16_roundtrip(tmp_path):
+    from deepwmh_tpu.core import nifti
+
+    rng = np.random.RandomState(0)
+    field = (rng.randn(10, 12, 9, 3) * 4).astype(np.float32)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(field.shape)
+    p = str(tmp_path / "warp.nii.gz")
+    nifti.save_nifti_scaled_int16(field, hdr, p)
+    back = nifti.load_nifti_simple(p)
+    amax = np.abs(field).max()
+    assert np.abs(back - field).max() <= amax / 32000.0 + 1e-7
+    # and the file is substantially smaller than the float32 form
+    p32 = str(tmp_path / "warp32.nii.gz")
+    nifti.save_nifti(field, hdr, p32)
+    import os
+    assert os.path.getsize(p) < os.path.getsize(p32)
