@@ -233,8 +233,8 @@ def bench_registration():
             p = os.path.join(tmp, "src%d.nii.gz" % i)
             nifti.save_nifti(head(i, 0.04), hdr, p)
             srcs.append(("S%d" % i, p))
-        for i in range(2):
-            p = os.path.join(tmp, "tgt%d.nii.gz" % i)
+        for i in range(3):  # enough pairs for the prefetch/compute/write
+            p = os.path.join(tmp, "tgt%d.nii.gz" % i)  # pipeline to overlap
             nifti.save_nifti(head(100 + i, 0.0), hdr, p)
             tgts.append(("T%d" % i, p))
 

@@ -305,11 +305,13 @@ def _write_payload(payload, path, level=4):
             f.write(payload)
 
 
-def save_nifti(data, header, path, dtype="float32"):
+def save_nifti(data, header, path, dtype="float32", level=4):
     """Save data with an existing header (geometry preserved), as float32.
 
     Mirrors reference save_nifti (data_io.py:285-286), which always casts to
-    float32 and reuses the donor header.
+    float32 and reuses the donor header. `level` is the gzip effort — bulk
+    intermediates can pass a lower level (float32 mantissa noise is the
+    slow path of DEFLATE for little compression gain).
     """
     data = np.asarray(data, dtype=dtype)
     hdr = header.copy() if isinstance(header, NiftiHeader) else NiftiHeader()
@@ -318,7 +320,7 @@ def save_nifti(data, header, path, dtype="float32"):
     code = _DTYPE_CODES[np.dtype(dtype)]
     hdr.datatype = code
     payload = _serialize_header(hdr, code) + b"\x00" * 4 + data.tobytes(order="F")
-    _write_payload(payload, path)
+    _write_payload(payload, path, level=level)
 
 
 def save_nifti_scaled_int16(data, header, path, level=2):

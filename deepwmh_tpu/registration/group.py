@@ -160,7 +160,9 @@ class GroupRegistration:
     def _write_pair(self, paths, f_hdr, f_sp, m_sp, f_shape,
                     matrix, aff_loss, disp16, svf_loss, warped16):
         mkdir(paths["dir"])
-        nifti.save_nifti(np.asarray(warped16, np.float32), f_hdr, paths["image"])
+        nifti.save_nifti(
+            np.asarray(warped16, np.float32), f_hdr, paths["image"], level=2
+        )
         if disp16 is not None and self.keep_deformation:
             # int16 + scl_slope: ~1e-2 voxel quantization (below the f16
             # wire precision already accepted), half the bytes, and several
