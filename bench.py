@@ -353,10 +353,12 @@ def main():
         except Exception:
             return fallback
 
+    # value order under the wall-clock budget: per-stage medians, then the
+    # two training-prep throughputs, then training steps
     stages = if_time(lambda: bench_stages(predictor, vol, spacing))
     reg_pairs_per_min = if_time(bench_registration)
-    nll_cases_per_min = if_time(bench_nll)
     train_steps_per_sec = if_time(lambda: bench_training(plan))
+    nll_cases_per_min = if_time(bench_nll)
 
     print(
         json.dumps(
