@@ -6,11 +6,12 @@ little endian, Deflated explicit VR (zlib), RLE Lossless (PS3.5 Annex G
 PackBits segments), and the JPEG family decoded by the from-scratch codec
 in core/jpegcodec.py — JPEG Baseline (.50), Extended 12-bit (.51),
 Lossless Process 14 / SV1 (.57/.70) — plus JPEG-LS (.80/.81) via the T.87
-codec in core/jlscodec.py. Slices are grouped by SeriesInstanceUID, sorted
-along the slice normal (ImageOrientationPatient x ImagePositionPatient),
+codec in core/jlscodec.py and JPEG 2000 (.90/.91) via the T.800 codec in
+core/j2kcodec.py. Slices are grouped by SeriesInstanceUID, sorted along
+the slice normal (ImageOrientationPatient x ImagePositionPatient),
 stacked, rescaled (RescaleSlope/Intercept) and written as NIfTI with an
-LPS->RAS sform affine. JPEG 2000 raises an actionable error naming the
-syntax.
+LPS->RAS sform affine — every compressed syntax the reference's dcm2niix
+handles now decodes in-process.
 """
 
 from __future__ import annotations
@@ -32,15 +33,16 @@ JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
 JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+JPEG2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
+JPEG2000 = "1.2.840.10008.1.2.4.91"
 _JPEG_SYNTAXES = {
     JPEG_BASELINE, JPEG_EXTENDED, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
 }
 _JPEG_LS_SYNTAXES = {JPEG_LS_LOSSLESS, JPEG_LS_NEAR}
+_J2K_SYNTAXES = {JPEG2000_LOSSLESS, JPEG2000}
 
 # syntaxes we can name in errors (actionable message instead of a raw UID)
 _KNOWN_COMPRESSED = {
-    "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
-    "1.2.840.10008.1.2.4.91": "JPEG 2000",
     "1.2.840.10008.1.2.2": "Explicit VR Big Endian (retired)",
 }
 
@@ -188,6 +190,7 @@ def read_dicom(path: str) -> dict:
         syntax in (EXPLICIT_LE, RLE_LOSSLESS, "")
         or syntax in _JPEG_SYNTAXES
         or syntax in _JPEG_LS_SYNTAXES
+        or syntax in _J2K_SYNTAXES
     ):
         explicit = True  # encapsulated datasets are explicit VR LE outside PixelData
     elif syntax == DEFLATED_LE:
@@ -318,7 +321,11 @@ def series_to_volume(paths):
                 pix = _rle_decode_frame(
                     f["pixel_data"][0], rows, cols, bits, signed
                 ).reshape(rows, cols)
-            elif syn in _JPEG_SYNTAXES or syn in _JPEG_LS_SYNTAXES:
+            elif (
+                syn in _JPEG_SYNTAXES
+                or syn in _JPEG_LS_SYNTAXES
+                or syn in _J2K_SYNTAXES
+            ):
                 # a single-frame image may span several fragments (PS3.5
                 # A.4): concatenate them into one codestream
                 stream = b"".join(f["pixel_data"])
@@ -327,11 +334,15 @@ def series_to_volume(paths):
                         from deepwmh_tpu.core import jlscodec
 
                         pix, _prec = jlscodec.decode(stream)
+                    elif syn in _J2K_SYNTAXES:
+                        from deepwmh_tpu.core import j2kcodec
+
+                        pix, _prec = j2kcodec.decode(stream)
                     else:
                         from deepwmh_tpu.core import jpegcodec
 
                         pix, _prec = jpegcodec.decode(stream)
-                except ValueError as e:  # JpegError / JlsError
+                except ValueError as e:  # JpegError / JlsError / J2kError
                     raise DicomError("%s: JPEG decode failed: %s" % (p, e))
                 if pix.ndim != 2:
                     pix = pix[..., 0]  # MRI is monochrome; drop extra planes

@@ -21,6 +21,11 @@ PIL in tests/test_j2kcodec.py):
                          headers, code-block segment assembly
   _idwt53 / _idwt97      multilevel inverse lifting on arbitrary grids
   decode()               tiles -> components -> level shift / MCT
+
+Performance: the Tier-1 loop is pure Python (~1.6s for a 256^2 16-bit
+slice) — acceptable on the one-time DICOM import path; a native port in
+the style of native/jls.cpp is the obvious follow-up if J2K series are
+a hot import format.
 """
 
 from __future__ import annotations
@@ -228,3 +233,807 @@ class _MQEncoder:
         if self.out and self.out[-1] == 0xFF:
             self.out.pop()  # optional trailing-FF discard
         return bytes(self.out[1:])  # drop the INITENC scratch byte
+
+
+# ---------------------------------------------------------------------------
+# Tag trees (T.800 B.10.2)
+# ---------------------------------------------------------------------------
+
+
+class _TagTree:
+    """2D tag tree: each level halves the grid (ceil); decode(i, j, thr)
+    answers whether leaf value < thr, refining node lower bounds with bits
+    from the packet-header reader."""
+
+    def __init__(self, w: int, h: int):
+        self.levels = []
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        self.value = [np.zeros((lh, lw), np.int32) for lw, lh in self.levels]
+        self.known = [np.zeros((lh, lw), bool) for lw, lh in self.levels]
+
+    def decode(self, rd, j: int, i: int, threshold: int) -> bool:
+        """rd: _PacketBitReader. Returns True if value(leaf) < threshold."""
+        # walk root -> leaf
+        path = []
+        jj, ii = j, i
+        for lvl in range(len(self.levels)):
+            path.append((lvl, jj, ii))
+            jj, ii = jj // 2, ii // 2
+        low = 0
+        for lvl, jj, ii in reversed(path):
+            v = self.value[lvl]
+            k = self.known[lvl]
+            if v[ii, jj] < low:
+                v[ii, jj] = low
+            while not k[ii, jj] and v[ii, jj] < threshold:
+                if rd.bit():
+                    k[ii, jj] = True
+                else:
+                    v[ii, jj] += 1
+            low = v[ii, jj]
+            if not k[ii, jj]:
+                # threshold reached without resolution: leaf >= threshold
+                return False
+        return self.value[0][i, j] < threshold
+
+    def leaf_value(self, j: int, i: int) -> int:
+        return int(self.value[0][i, j])
+
+
+class _PacketBitReader:
+    """Packet-header bit reader with 0xFF stuffing (a 0 bit follows any
+    0xFF byte, B.10.1)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.bits = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.bits == 0:
+            if self.pos >= len(self.data):
+                raise J2kError("packet header past end of data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.last == 0xFF:
+                self.buf = b & 0x7F
+                self.bits = 7
+            else:
+                self.buf = b
+                self.bits = 8
+            self.last = b
+        self.bits -= 1
+        return (self.buf >> self.bits) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        """End of packet header: discard remaining bits; if the final byte
+        was 0xFF a stuffing byte follows (B.10.1)."""
+        if self.bits == 0 and self.last == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1
+        self.bits = 0
+        self.last = 0
+
+
+# ---------------------------------------------------------------------------
+# EBCOT Tier-1 code-block decoder (T.800 Annex D)
+# ---------------------------------------------------------------------------
+
+# context numbering (19 contexts): 0-8 zero coding, 9-13 sign, 14-16
+# magnitude refinement, 17 run-length, 18 uniform
+_CX_RL = 17
+_CX_UNI = 18
+
+# zero-coding lookup per orientation, indexed [h][v][d] (counts clamped)
+def _zc_tables():
+    ll = np.zeros((3, 3, 5), np.int8)
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                if h == 2:
+                    c = 8
+                elif h == 1:
+                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
+                else:
+                    if v == 2:
+                        c = 4
+                    elif v == 1:
+                        c = 3
+                    else:
+                        c = 2 if d >= 2 else (1 if d == 1 else 0)
+                ll[h, v, d] = c
+    hh = np.zeros((5, 5, 5), np.int8)  # indexed [h][v][d] with h+v<=4
+    for h in range(5):
+        for v in range(5):
+            hv = min(h + v, 4)
+            for d in range(5):
+                if d >= 3:
+                    c = 8
+                elif d == 2:
+                    c = 7 if hv >= 1 else 6
+                elif d == 1:
+                    c = 5 if hv >= 2 else (4 if hv == 1 else 3)
+                else:
+                    c = 2 if hv >= 2 else (1 if hv == 1 else 0)
+                hh[h, v, d] = c
+    return ll, hh
+
+
+_ZC_LL, _ZC_HH = _zc_tables()
+
+# sign-coding: (hc+1, vc+1) -> (context, xor)
+_SC = {
+    (2, 2): (13, 0), (2, 1): (12, 0), (2, 0): (11, 0),
+    (1, 2): (10, 0), (1, 1): (9, 0), (1, 0): (10, 1),
+    (0, 2): (11, 1), (0, 1): (12, 1), (0, 0): (13, 1),
+}
+
+
+def _init_t1_states():
+    """Initial (index, mps) per context, T.800 Table D.7."""
+    I = [0] * 19
+    mps = [0] * 19
+    I[0] = 4       # zero coding context 0
+    I[_CX_RL] = 3  # run-length
+    I[_CX_UNI] = 46
+    return I, mps
+
+
+class _BlockDecoder:
+    """Decode one code-block's coding passes into magnitude + sign."""
+
+    def __init__(self, w: int, h: int, orientation: int):
+        self.w, self.h = w, h
+        self.orient = orientation  # 0 LL, 1 HL, 2 LH, 3 HH
+        self.sig = np.zeros((h + 2, w + 2), np.uint8)   # 1-padded borders
+        self.sgn = np.zeros((h + 2, w + 2), np.uint8)   # 1 = negative
+        self.visited = np.zeros((h + 2, w + 2), np.uint8)
+        self.refined = np.zeros((h + 2, w + 2), np.uint8)
+        self.mag = np.zeros((h, w), np.int64)
+
+    def _zc_ctx(self, y, x):
+        s = self.sig
+        h = int(s[y, x - 1]) + int(s[y, x + 1])
+        v = int(s[y - 1, x]) + int(s[y + 1, x])
+        d = (int(s[y - 1, x - 1]) + int(s[y - 1, x + 1])
+             + int(s[y + 1, x - 1]) + int(s[y + 1, x + 1]))
+        o = self.orient
+        if o == 0 or o == 2:  # LL, LH
+            return int(_ZC_LL[h, v, min(d, 4)])
+        if o == 1:  # HL: transpose h/v
+            return int(_ZC_LL[v, h, min(d, 4)])
+        return int(_ZC_HH[h, v, min(d, 4)])
+
+    def _sc_decode(self, mq, y, x):
+        s, g = self.sig, self.sgn
+        def contrib(a, b):
+            sa = int(s[a]) * (1 - 2 * int(g[a]))
+            sb = int(s[b]) * (1 - 2 * int(g[b]))
+            return max(-1, min(1, sa + sb))
+        hc = contrib((y, x - 1), (y, x + 1))
+        vc = contrib((y - 1, x), (y + 1, x))
+        ctx, xor = _SC[(hc + 1, vc + 1)]
+        return mq.decode(ctx) ^ xor
+
+    def sig_pass(self, mq, plane):
+        w, h = self.w, self.h
+        sig, vis = self.sig, self.visited
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if sig[y, x]:
+                        continue
+                    ctx = self._zc_ctx(y, x)
+                    if ctx == 0:
+                        continue  # no significant neighbors
+                    vis[y, x] = 1
+                    if mq.decode(ctx):
+                        neg = self._sc_decode(mq, y, x)
+                        sig[y, x] = 1
+                        self.sgn[y, x] = neg
+                        self.mag[y - 1, x - 1] = 1 << plane
+
+    def mag_pass(self, mq, plane):
+        w, h = self.w, self.h
+        sig, vis, ref = self.sig, self.visited, self.refined
+        s = sig
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if not sig[y, x] or vis[y, x]:
+                        continue
+                    if ref[y, x]:
+                        ctx = 16
+                    else:
+                        nbr = (int(s[y, x-1]) + int(s[y, x+1]) + int(s[y-1, x])
+                               + int(s[y+1, x]) + int(s[y-1, x-1])
+                               + int(s[y-1, x+1]) + int(s[y+1, x-1])
+                               + int(s[y+1, x+1]))
+                        ctx = 15 if nbr else 14
+                        ref[y, x] = 1
+                    bit = mq.decode(ctx)
+                    self.mag[y - 1, x - 1] |= bit << plane
+                    vis[y, x] = 1
+
+    def cleanup_pass(self, mq, plane, segsym=False):
+        w, h = self.w, self.h
+        sig, vis = self.sig, self.visited
+        for y0 in range(1, h + 1, 4):
+            full = y0 + 3 <= h
+            for x in range(1, w + 1):
+                y = y0
+                if full:
+                    # run-length mode: all 4 unvisited, insignificant, with
+                    # entirely insignificant neighborhoods
+                    rl = True
+                    for yy in range(y0, y0 + 4):
+                        if sig[yy, x] or vis[yy, x] or self._zc_ctx(yy, x) != 0:
+                            rl = False
+                            break
+                    if rl:
+                        if mq.decode(_CX_RL) == 0:
+                            for yy in range(y0, y0 + 4):
+                                vis[yy, x] = 0
+                            continue
+                        r = (mq.decode(_CX_UNI) << 1) | mq.decode(_CX_UNI)
+                        y = y0 + r
+                        # the r-th sample is significant (its ZC bit implied)
+                        neg = self._sc_decode(mq, y, x)
+                        sig[y, x] = 1
+                        self.sgn[y, x] = neg
+                        self.mag[y - 1, x - 1] = 1 << plane
+                        y += 1
+                for yy in range(y, min(y0 + 4, h + 1)):
+                    if vis[yy, x]:
+                        vis[yy, x] = 0
+                        continue
+                    if sig[yy, x]:
+                        vis[yy, x] = 0
+                        continue
+                    if mq.decode(self._zc_ctx(yy, x)):
+                        neg = self._sc_decode(mq, yy, x)
+                        sig[yy, x] = 1
+                        self.sgn[yy, x] = neg
+                        self.mag[yy - 1, x - 1] = 1 << plane
+        # clear visited for next bit-plane
+        self.visited[:] = 0
+        self.refined_sticky()
+        if segsym:
+            s = (mq.decode(_CX_UNI) << 3) | (mq.decode(_CX_UNI) << 2) | \
+                (mq.decode(_CX_UNI) << 1) | mq.decode(_CX_UNI)
+            if s != 0x0A:
+                raise J2kError("segmentation symbol mismatch")
+
+    def refined_sticky(self):
+        pass  # refined[] persists across planes by design
+
+    def decode_passes(self, data: bytes, n_passes: int, msb_plane: int,
+                      segsym: bool = False):
+        """Run n_passes starting from the cleanup of `msb_plane`."""
+        mq = _MQDecoder(data, 19)
+        mq.I, mq.mps = _init_t1_states()
+        plane = msb_plane
+        kind = 2  # 0 = sig, 1 = mag, 2 = cleanup; first pass is cleanup
+        for _ in range(n_passes):
+            if plane < 0:
+                raise J2kError("more passes than bit-planes")
+            if kind == 0:
+                self.sig_pass(mq, plane)
+            elif kind == 1:
+                self.mag_pass(mq, plane)
+            else:
+                self.cleanup_pass(mq, plane, segsym=segsym)
+            if kind == 2:
+                plane -= 1
+                kind = 0
+            else:
+                kind += 1
+
+    def values(self):
+        neg = self.sgn[1:-1, 1:-1].astype(bool)
+        v = self.mag.copy()
+        v[neg] = -v[neg]
+        return v
+
+
+# ---------------------------------------------------------------------------
+# Inverse DWT (T.800 Annex F) — whole-image tile at origin (0,0)
+# ---------------------------------------------------------------------------
+
+
+def _sr1d_53(low, high):
+    """1D reversible 5/3 synthesis: interleave low (even) / high (odd) and
+    undo the lifting steps. Arrays are 1D int64; returns len(low)+len(high)."""
+    n = len(low) + len(high)
+    x = np.zeros(n, np.int64)
+    if n == 1:
+        x[0] = low[0] if len(low) else high[0] >> 1
+        return x
+    x[0::2] = low
+    x[1::2] = high
+    # even: x[2n] -= floor((x[2n-1] + x[2n+1] + 2) / 4), symmetric extension
+    xo = x[1::2]
+    left = np.empty(len(low), np.int64)
+    left[0] = xo[0] if len(xo) else 0          # x[-1] mirrors x[1]
+    left[1:] = xo[: len(low) - 1]
+    right = np.empty(len(low), np.int64)
+    m = min(len(xo), len(low))
+    right[:m] = xo[:m]
+    if len(low) > len(xo):                     # x[n] mirrors x[n-2] (odd tail)
+        right[-1] = xo[-1]
+    x[0::2] = low - ((left + right + 2) >> 2)
+    # odd: x[2n+1] += floor((x[2n] + x[2n+2]) / 2)
+    xe = x[0::2]
+    left = xe[: len(high)]
+    right = np.empty(len(high), np.int64)
+    m = min(len(high), len(xe) - 1)
+    right[:m] = xe[1 : m + 1]
+    if len(high) > m:                          # mirror at the right edge
+        right[m:] = xe[-1]
+    x[1::2] = high + ((left + right) >> 1)
+    return x
+
+
+_K97 = 1.230174104914001
+_D97 = [
+    (-1.586134342059924, 1),  # (coefficient, applies to odd) analysis order
+    (-0.052980118572961, 0),
+    (0.882911075530934, 1),
+    (0.443506852043971, 0),
+]
+
+
+def _sr1d_97(low, high):
+    n = len(low) + len(high)
+    x = np.zeros(n, np.float64)
+    if n == 1:
+        x[0] = low[0] if len(low) else high[0]
+        return x
+    x[0::2] = low * _K97
+    x[1::2] = high / _K97
+    # undo lifting in reverse
+    for coef, on_odd in reversed(_D97):
+        if on_odd:
+            xe = x[0::2]
+            left = xe[: len(high)]
+            right = np.empty(len(high))
+            m = min(len(high), len(xe) - 1)
+            right[:m] = xe[1 : m + 1]
+            if len(high) > m:
+                right[m:] = xe[-1]
+            x[1::2] -= coef * (left + right)
+        else:
+            xo = x[1::2]
+            left = np.empty(len(low))
+            left[0] = xo[0] if len(xo) else 0
+            left[1:] = xo[: len(low) - 1]
+            right = np.empty(len(low))
+            m = min(len(xo), len(low))
+            right[:m] = xo[:m]
+            if len(low) > len(xo):
+                right[-1] = xo[-1]
+            x[0::2] -= coef * (left + right)
+    return x
+
+
+def _idwt2(ll, bands, reversible: bool):
+    """One synthesis level: ll [h0,w0] + (hl, lh, hh) -> next resolution.
+
+    Horizontal synthesis first, then vertical — the inverse of the
+    analysis order; with integer (floor) lifting the two orders do NOT
+    commute, and the wrong order leaves +-few-code-value errors (verified
+    exact against openjpeg only in this order)."""
+    hl, lh, hh = bands
+    h0, w0 = ll.shape
+    h1, w1 = hh.shape[0], hh.shape[1]
+    H, W = h0 + h1, w0 + w1
+    f = _sr1d_53 if reversible else _sr1d_97
+    dt = np.int64 if reversible else np.float64
+    top = np.zeros((h0, W), dt)  # rows of (ll | hl)
+    for i in range(h0):
+        top[i, :] = f(ll[i, :].astype(dt), hl[i, :].astype(dt))
+    bot = np.zeros((h1, W), dt)  # rows of (lh | hh)
+    for i in range(h1):
+        bot[i, :] = f(lh[i, :].astype(dt), hh[i, :].astype(dt))
+    out = np.zeros((H, W), dt)
+    for j in range(W):
+        out[:, j] = f(top[:, j], bot[:, j])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Codestream parsing + Tier-2 packet decoding
+# ---------------------------------------------------------------------------
+
+_SOC, _SIZ, _COD, _COC = 0xFF4F, 0xFF51, 0xFF52, 0xFF53
+_QCD, _QCC, _COM, _SOT = 0xFF5C, 0xFF5D, 0xFF64, 0xFF90
+_SOD, _EOC, _SOP, _EPH = 0xFF93, 0xFFD9, 0xFF91, 0xFF92
+_TLM, _PLM, _PLT, _POC, _RGN, _CRG = 0xFF55, 0xFF57, 0xFF58, 0xFF5F, 0xFF5E, 0xFF63
+
+
+class _Cod:
+    __slots__ = ("prog", "layers", "mct", "levels", "cbw", "cbh", "style",
+                 "wavelet", "precw", "prech")
+
+
+def _parse_cod(seg):
+    c = _Cod()
+    scod = seg[0]
+    c.prog = seg[1]
+    c.layers = struct.unpack_from(">H", seg, 2)[0]
+    c.mct = seg[4]
+    c.levels = seg[5]
+    c.cbw = 1 << ((seg[6] & 15) + 2)
+    c.cbh = 1 << ((seg[7] & 15) + 2)
+    c.style = seg[8]
+    c.wavelet = seg[9]  # 0 = 9/7 irreversible, 1 = 5/3 reversible
+    if scod & 1:  # user precincts
+        c.precw = [(seg[10 + i] & 15) for i in range(c.levels + 1)]
+        c.prech = [(seg[10 + i] >> 4) for i in range(c.levels + 1)]
+    else:
+        c.precw = [15] * (c.levels + 1)
+        c.prech = [15] * (c.levels + 1)
+    if scod & 0x06:
+        raise J2kError("SOP/EPH markers not supported")
+    return c
+
+
+def _parse_qcd(seg, levels):
+    sqcd = seg[0]
+    guard = sqcd >> 5
+    style = sqcd & 0x1F
+    n_bands = 3 * levels + 1
+    if style == 0:  # no quantization: 8-bit exponents
+        exps = [seg[1 + i] >> 3 for i in range(n_bands)]
+        mants = [0] * n_bands
+    elif style == 1:  # scalar derived: one value
+        e, = struct.unpack_from(">H", seg, 1)
+        exps, mants = [e >> 11], [e & 0x7FF]
+    elif style == 2:  # scalar expounded
+        exps, mants = [], []
+        for i in range(n_bands):
+            e, = struct.unpack_from(">H", seg, 1 + 2 * i)
+            exps.append(e >> 11)
+            mants.append(e & 0x7FF)
+    else:
+        raise J2kError("unknown quantization style %d" % style)
+    return guard, style, exps, mants
+
+
+class _Block:
+    __slots__ = ("x0", "y0", "w", "h", "included", "msbs", "lblock",
+                 "passes", "data", "band")
+
+    def __init__(self, x0, y0, w, h, band):
+        self.x0, self.y0, self.w, self.h = x0, y0, w, h
+        self.included = False
+        self.msbs = 0
+        self.lblock = 3
+        self.passes = 0
+        self.data = bytearray()
+        self.band = band
+
+
+class _Band:
+    __slots__ = ("orient", "x0", "y0", "w", "h", "blocks", "nbx", "nby",
+                 "incl_tree", "msb_tree", "exp", "mant")
+
+
+def _npasses_decode(rd):
+    if rd.bit() == 0:
+        return 1
+    if rd.bit() == 0:
+        return 2
+    v = rd.read(2)
+    if v < 3:
+        return 3 + v
+    v = rd.read(5)
+    if v < 31:
+        return 6 + v
+    return 37 + rd.read(7)
+
+
+def _band_geometry(W, H, levels):
+    """Subband rectangles for a (0,0)-origin image: returns per resolution
+    the list of bands [(orient, w, h)] — resolution 0 is the LL band."""
+    dims = [(W, H)]
+    w, h = W, H
+    for _ in range(levels):
+        w, h = (w + 1) // 2, (h + 1) // 2
+        dims.append((w, h))
+    # dims[k] = size at decomposition level k; resolution r uses level L-r
+    out = []
+    L = levels
+    llw, llh = dims[L]
+    out.append([(0, llw, llh)])
+    for r in range(1, L + 1):
+        lev = L - r + 1  # bands produced by this decomposition level
+        pw, ph = dims[lev - 1]   # parent (finer) size
+        lw, lh = dims[lev]       # low size
+        hw, hh = pw - lw, ph - lh
+        out.append([(1, hw, lh), (2, lw, hh), (3, hw, hh)])
+    return out
+
+
+def _parse_markers(data: bytes):
+    """Walk the main + tile headers; returns (siz, cod, qcd, body) where
+    body is the entropy-coded tile data between SOD and EOC/next SOT."""
+    if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != _SOC:
+        raise J2kError("not a JPEG 2000 codestream (missing SOC)")
+    i = 2
+    siz = cod = qcd = None
+    body = None
+    n = len(data)
+    while i + 2 <= n:
+        m = struct.unpack_from(">H", data, i)[0]
+        i += 2
+        if m == _EOC:
+            break
+        if m == _SOD:
+            # tile body runs to the next SOT or EOC (no PSOT scan needed
+            # for the single-tile case: take everything up to trailing EOC)
+            end = n
+            if n >= 2 and struct.unpack_from(">H", data, n - 2)[0] == _EOC:
+                end = n - 2
+            if body is not None:
+                raise J2kError("multiple tile-parts not supported")
+            body = data[i:end]
+            break
+        seglen = struct.unpack_from(">H", data, i)[0]
+        seg = data[i + 2 : i + seglen]
+        i += seglen
+        if m == _SIZ:
+            siz = seg
+        elif m == _COD:
+            cod = _parse_cod(seg)
+        elif m == _QCD:
+            qcd = seg
+        elif m in (_COC, _QCC):
+            raise J2kError("per-component COC/QCC overrides not supported")
+        elif m == _POC:
+            raise J2kError("POC progression changes not supported")
+        elif m == _SOT:
+            pass  # single tile: fields not needed (PSOT covered by EOC scan)
+        elif m in (_COM, _TLM, _PLM, _PLT, _RGN, _CRG):
+            pass
+        # unknown markers with lengths are skipped by construction
+    if siz is None or cod is None or qcd is None or body is None:
+        raise J2kError("incomplete codestream (need SIZ/COD/QCD/SOD)")
+    return siz, cod, qcd, body
+
+
+def _decode_codestream(data: bytes):
+    siz, cod, qcd, body = _parse_markers(data)
+    _rsiz, W, H, x0, y0, tw, th, tx0, ty0, ncomp = struct.unpack_from(
+        ">HIIIIIIIIH", siz, 0
+    )
+    if x0 or y0 or tx0 or ty0 or tw < W or th < H:
+        raise J2kError("tiled or offset-origin codestreams not supported")
+    comps = []
+    for c in range(ncomp):
+        ssiz, xr, yr = struct.unpack_from(">BBB", siz, 36 + 3 * c)
+        if xr != 1 or yr != 1:
+            raise J2kError("subsampled components not supported")
+        comps.append(((ssiz & 0x7F) + 1, bool(ssiz & 0x80)))  # (prec, signed)
+    if any(p != 15 for p in cod.precw) or any(p != 15 for p in cod.prech):
+        raise J2kError("non-default precincts not supported")
+    if cod.style & ~0x20:
+        raise J2kError("code-block style 0x%02x not supported" % cod.style)
+    segsym = bool(cod.style & 0x20)
+    reversible = cod.wavelet == 1
+    guard, qstyle, exps, mants = _parse_qcd(qcd, cod.levels)
+
+    L = cod.levels
+    geom = _band_geometry(W, H, L)
+
+    # build per component x resolution band/block structures
+    structs = []
+    for c in range(ncomp):
+        res = []
+        for r in range(L + 1):
+            bands = []
+            for bi, (orient, bw, bh) in enumerate(geom[r]):
+                b = _Band()
+                b.orient = orient
+                b.w, b.h = bw, bh
+                band_index = 0 if r == 0 else 1 + 3 * (r - 1) + bi
+                if qstyle == 1:  # scalar derived from the LL value
+                    lev = L - r + 1 if r > 0 else L
+                    b.exp = exps[0] - L + lev
+                    b.mant = mants[0]
+                else:
+                    b.exp = exps[band_index]
+                    b.mant = mants[band_index]
+                b.nbx = max(0, -(-bw // cod.cbw))
+                b.nby = max(0, -(-bh // cod.cbh))
+                b.blocks = {}
+                if b.nbx and b.nby:
+                    b.incl_tree = _TagTree(b.nbx, b.nby)
+                    b.msb_tree = _TagTree(b.nbx, b.nby)
+                for by in range(b.nby):
+                    for bx in range(b.nbx):
+                        cx0 = bx * cod.cbw
+                        cy0 = by * cod.cbh
+                        b.blocks[(bx, by)] = _Block(
+                            cx0, cy0,
+                            min(cod.cbw, bw - cx0), min(cod.cbh, bh - cy0), b
+                        )
+                bands.append(b)
+            res.append(bands)
+        structs.append(res)
+
+    # ---- Tier-2: walk packets in progression order ----
+    rd = _PacketBitReader(body)
+
+    def one_packet(c, r, layer):
+        if rd.bit() == 0:  # empty packet
+            rd.align()
+            return []
+        order = []
+        for band in structs[c][r]:
+            if band.w == 0 or band.h == 0 or not band.blocks:
+                continue
+            for by in range(band.nby):
+                for bx in range(band.nbx):
+                    blk = band.blocks[(bx, by)]
+                    if not blk.included:
+                        inc = band.incl_tree.decode(rd, bx, by, layer + 1)
+                    else:
+                        inc = rd.bit() == 1
+                    if not inc:
+                        continue
+                    if not blk.included:
+                        k = 1
+                        while not band.msb_tree.decode(rd, bx, by, k):
+                            k += 1
+                        blk.msbs = k - 1
+                        blk.included = True
+                        blk.lblock = 3
+                    np_new = _npasses_decode(rd)
+                    while rd.bit():
+                        blk.lblock += 1
+                    nbits = blk.lblock + int(math.floor(math.log2(np_new)))
+                    nbytes = rd.read(nbits)
+                    blk.passes += np_new
+                    order.append((blk, nbytes))
+        rd.align()
+        for blk, nbytes in order:
+            blk.data += body[rd.pos : rd.pos + nbytes]
+            rd.pos += nbytes
+        return order
+
+    prog = cod.prog
+    if prog == 0:  # LRCP
+        for layer in range(cod.layers):
+            for r in range(L + 1):
+                for c in range(ncomp):
+                    one_packet(c, r, layer)
+    elif prog == 1:  # RLCP
+        for r in range(L + 1):
+            for layer in range(cod.layers):
+                for c in range(ncomp):
+                    one_packet(c, r, layer)
+    elif prog == 2:  # RPCL (single precinct)
+        for r in range(L + 1):
+            for c in range(ncomp):
+                for layer in range(cod.layers):
+                    one_packet(c, r, layer)
+    elif prog in (3, 4):  # PCRL / CPRL (single precinct)
+        for c in range(ncomp):
+            for r in range(L + 1):
+                for layer in range(cod.layers):
+                    one_packet(c, r, layer)
+    else:
+        raise J2kError("unknown progression order %d" % prog)
+
+    # ---- Tier-1 + dequant + IDWT per component ----
+    out_comps = []
+    for c in range(ncomp):
+        prec, signed = comps[c]
+        planes = {}
+        for r in range(L + 1):
+            for band in structs[c][r]:
+                if band.w == 0 or band.h == 0:
+                    planes[(r, band.orient)] = np.zeros(
+                        (band.h, band.w), np.float64
+                    )
+                    continue
+                gain = {0: 0, 1: 1, 2: 1, 3: 2}[band.orient]
+                mb = guard + band.exp - 1
+                coeffs = np.zeros((band.h, band.w), np.int64)
+                for (bx, by), blk in band.blocks.items():
+                    if blk.passes == 0:
+                        continue
+                    dec = _BlockDecoder(blk.w, blk.h, band.orient)
+                    msb_plane = mb - 1 - blk.msbs
+                    dec.decode_passes(
+                        bytes(blk.data), blk.passes, msb_plane, segsym=segsym
+                    )
+                    coeffs[
+                        blk.y0 : blk.y0 + blk.h, blk.x0 : blk.x0 + blk.w
+                    ] = dec.values()
+                if reversible:
+                    planes[(r, band.orient)] = coeffs
+                else:
+                    rb = prec + gain
+                    delta = (2.0 ** (rb - band.exp)) * (
+                        1.0 + band.mant / 2048.0
+                    )
+                    planes[(r, band.orient)] = coeffs.astype(np.float64) * delta
+        img = planes[(0, 0)]
+        for r in range(1, L + 1):
+            img = _idwt2(
+                img,
+                (planes[(r, 1)], planes[(r, 2)], planes[(r, 3)]),
+                reversible,
+            )
+        out_comps.append(img)
+
+    # ---- multiple component transform + level shift ----
+    if cod.mct and ncomp >= 3:
+        y, u, v = out_comps[0], out_comps[1], out_comps[2]
+        if reversible:  # RCT inverse
+            g = y - ((u + v) >> 2)
+            r_ = v + g
+            b_ = u + g
+        else:  # ICT inverse
+            g = y - 0.34413 * u - 0.71414 * v
+            r_ = y + 1.402 * v
+            b_ = y + 1.772 * u
+        out_comps[0], out_comps[1], out_comps[2] = r_, g, b_
+
+    final = []
+    for c in range(ncomp):
+        prec, signed = comps[c]
+        a = out_comps[c]
+        if not reversible:
+            a = np.round(a)
+        a = a.astype(np.int64)
+        if not signed:
+            a = a + (1 << (prec - 1))
+            a = np.clip(a, 0, (1 << prec) - 1)
+        else:
+            a = np.clip(a, -(1 << (prec - 1)), (1 << (prec - 1)) - 1)
+        dt = np.uint8 if prec <= 8 and not signed else (
+            np.int16 if signed else np.uint16
+        )
+        final.append(a.astype(dt))
+    if ncomp == 1:
+        return final[0], comps[0][0]
+    return np.stack(final, -1), comps[0][0]
+
+
+def decode(data: bytes):
+    """Decode a raw J2K codestream or JP2 file. Returns (image, precision):
+    [rows, cols] for grayscale, [rows, cols, ncomp] otherwise."""
+    data = bytes(data)
+    if len(data) >= 12 and data[4:8] == b"jP  ":
+        # JP2 container: find the contiguous codestream box
+        i = 0
+        n = len(data)
+        while i + 8 <= n:
+            (boxlen,) = struct.unpack_from(">I", data, i)
+            btype = data[i + 4 : i + 8]
+            hdr = 8
+            if boxlen == 1:
+                (boxlen,) = struct.unpack_from(">Q", data, i + 8)
+                hdr = 16
+            elif boxlen == 0:
+                boxlen = n - i
+            if btype == b"jp2c":
+                return _decode_codestream(data[i + hdr : i + boxlen])
+            i += boxlen
+        raise J2kError("JP2 container has no codestream box")
+    return _decode_codestream(data)

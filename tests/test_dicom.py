@@ -194,14 +194,15 @@ def test_deflated_series(tmp_path):
     np.testing.assert_array_equal(got, pixel)
 
 
-def test_jpeg_syntax_actionable_error(tmp_path):
+def test_unsupported_syntax_actionable_error(tmp_path):
     import pytest
 
     from deepwmh_tpu.core.dicom import DicomError
 
-    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.90\x00")
-    p = str(tmp_path / "jpeg2000.dcm")
+    # big-endian retired is the one remaining undecodable syntax
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.2\x00")
+    p = str(tmp_path / "bigendian.dcm")
     with open(p, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta)
-    with pytest.raises(DicomError, match="JPEG 2000.*dcm2niix"):
+    with pytest.raises(DicomError, match="Big Endian.*dcm2niix"):
         read_dicom(p)

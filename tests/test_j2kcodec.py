@@ -37,3 +37,165 @@ def test_mq_stuffing_and_carry():
     data = enc.flush()
     dec = j2k._MQDecoder(data, 1)
     assert [dec.decode(0) for _ in bits] == bits
+
+
+def _mk(h, w, top=255, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(
+        top * 0.5 + top * 0.27 * np.sin(yy / 7.0) * np.cos(xx / 5.0)
+        + rng.randn(h, w) * top * 0.02,
+        0, top,
+    )
+
+
+def test_sr1d_53_inverts_forward():
+    """Synthesis must invert a straight T.800 F.4 analysis (lifting on the
+    interleaved signal with whole-sample symmetric extension)."""
+
+    def fwd53(x):
+        n = len(x)
+        if n == 1:
+            return x.copy(), np.zeros(0, np.int64)
+
+        def m(i):
+            if i < 0:
+                i = -i
+            if i >= n:
+                i = 2 * (n - 1) - i
+            return i
+
+        y = np.zeros(n, np.int64)
+        for i in range(1, n, 2):
+            y[i] = x[i] - ((x[m(i - 1)] + x[m(i + 1)]) >> 1)
+        for i in range(0, n, 2):
+            y[i] = x[i] + ((y[m(i - 1)] + y[m(i + 1)] + 2) >> 2)
+        return y[0::2], y[1::2]
+
+    rng = np.random.RandomState(0)
+    for n in [1, 2, 3, 4, 5, 8, 9, 17, 64, 65, 101]:
+        for _ in range(10):
+            x = rng.randint(-500, 500, n).astype(np.int64)
+            lo, hi = fwd53(x)
+            np.testing.assert_array_equal(j2k._sr1d_53(lo, hi), x)
+
+
+# ---- validation against openjpeg (via PIL) ----
+
+PIL = pytest.importorskip("PIL.Image")
+import io  # noqa: E402
+
+
+def _enc(img, mode="L", **kw):
+    buf = io.BytesIO()
+    PIL.fromarray(img, mode).save(buf, "JPEG2000", **kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "shape", [(40, 56), (65, 67), (31, 257), (8, 8), (1, 50), (128, 96)]
+)
+def test_lossless_exact_vs_openjpeg(shape):
+    img = _mk(*shape).astype(np.uint8)
+    data = _enc(img, irreversible=False)
+    got, p = j2k.decode(data)
+    assert p == 8
+    np.testing.assert_array_equal(got, np.asarray(PIL.open(io.BytesIO(data))))
+
+
+def test_lossless_noise_exact():
+    img = (np.random.RandomState(3).rand(77, 91) * 255).astype(np.uint8)
+    data = _enc(img, irreversible=False)
+    got, _ = j2k.decode(data)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_rgb_rct_lossless_exact():
+    img = _mk(48, 60).astype(np.uint8)
+    rgb = np.stack([img, img[::-1], np.roll(img, 9, 1)], -1)
+    data = _enc(rgb, "RGB", irreversible=False)
+    got, _ = j2k.decode(data)
+    np.testing.assert_array_equal(got, np.asarray(PIL.open(io.BytesIO(data))))
+
+
+def test_irreversible_97_close():
+    img = _mk(72, 88).astype(np.uint8)
+    data = _enc(img, irreversible=True, quality_mode="rates", quality_layers=[0])
+    got, _ = j2k.decode(data)
+    pil = np.asarray(PIL.open(io.BytesIO(data)))
+    d = np.abs(got.astype(int) - pil.astype(int))
+    # float IDWT rounding differs between implementations by a code value
+    assert d.max() <= 3 and d.mean() < 1.0
+
+
+def test_multiple_quality_layers():
+    img = _mk(80, 80).astype(np.uint8)
+    data = _enc(
+        img, irreversible=False, quality_mode="rates", quality_layers=[20, 5, 1]
+    )
+    got, _ = j2k.decode(data)
+    np.testing.assert_array_equal(got, np.asarray(PIL.open(io.BytesIO(data))))
+
+
+def test_codeblock_and_resolution_options():
+    img = _mk(100, 90).astype(np.uint8)
+    data = _enc(img, irreversible=False, codeblock_size=(32, 32), num_resolutions=4)
+    got, _ = j2k.decode(data)
+    np.testing.assert_array_equal(got, np.asarray(PIL.open(io.BytesIO(data))))
+
+
+@pytest.mark.parametrize("prog", ["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"])
+def test_progression_orders(prog):
+    img = _mk(50, 44, seed=7).astype(np.uint8)
+    data = _enc(img, irreversible=False, progression=prog)
+    got, _ = j2k.decode(data)
+    np.testing.assert_array_equal(got, np.asarray(PIL.open(io.BytesIO(data))))
+
+
+def test_16bit_lossless_exact():
+    img16 = (np.random.RandomState(5).rand(40, 48) * 4095).astype(np.uint16)
+    buf = io.BytesIO()
+    pimg = PIL.new("I;16", (48, 40))
+    pimg.frombytes(img16.astype("<u2").tobytes())
+    pimg.save(buf, "JPEG2000", irreversible=False)
+    got, p = j2k.decode(buf.getvalue())
+    assert p == 16
+    np.testing.assert_array_equal(got.astype(np.uint16), img16)
+
+
+def test_j2k_dicom_series(tmp_path):
+    import os
+    import struct
+
+    from deepwmh_tpu.core.dicom import series_to_volume
+    from test_dicom import _el_explicit, _write_body
+
+    rng = np.random.RandomState(11)
+    vol = (_mk(12, 10, top=4000, seed=2)[..., None] * np.ones(4)).astype(np.uint16)
+    vol += (rng.rand(12, 10, 4) * 50).astype(np.uint16)
+    for i in range(4):
+        buf = io.BytesIO()
+        pimg = PIL.new("I;16", (10, 12))
+        pimg.frombytes(vol[:, :, i].astype("<u2").tobytes())
+        pimg.save(buf, "JPEG2000", irreversible=False)
+        stream = buf.getvalue()
+        if len(stream) % 2:
+            stream += b"\x00"
+        encaps = struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+        encaps += struct.pack("<HHI", 0xFFFE, 0xE000, len(stream)) + stream
+        encaps += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        pixel_el = (
+            struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+            + encaps
+        )
+        meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.90\x00")
+        path = str(tmp_path / ("j2k%02d.dcm" % i))
+        with open(path, "wb") as f:
+            f.write(
+                b"\x00" * 128 + b"DICM" + meta
+                + _write_body(pixel_el, 12, 10, i + 1, (0, 0, 3.0 * i))
+            )
+    paths = [str(tmp_path / f) for f in sorted(os.listdir(tmp_path))]
+    got, spacing, _ = series_to_volume(paths)
+    np.testing.assert_allclose(got, vol.astype(np.float32))
+    np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
