@@ -11,7 +11,7 @@ core/j2kcodec.py. Slices are grouped by SeriesInstanceUID, sorted along
 the slice normal (ImageOrientationPatient x ImagePositionPatient),
 stacked, rescaled (RescaleSlope/Intercept) and written as NIfTI with an
 LPS->RAS sform affine — every compressed syntax the reference's dcm2niix
-handles now decodes in-process.
+handles now decodes in-process, plus the retired Explicit VR Big Endian syntax.
 """
 
 from __future__ import annotations
@@ -26,6 +26,7 @@ EXPLICIT_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_LE = "1.2.840.10008.1.2"
 DEFLATED_LE = "1.2.840.10008.1.2.1.99"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+EXPLICIT_BE = "1.2.840.10008.1.2.2"  # retired, still seen in old archives
 
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
@@ -41,10 +42,6 @@ _JPEG_SYNTAXES = {
 _JPEG_LS_SYNTAXES = {JPEG_LS_LOSSLESS, JPEG_LS_NEAR}
 _J2K_SYNTAXES = {JPEG2000_LOSSLESS, JPEG2000}
 
-# syntaxes we can name in errors (actionable message instead of a raw UID)
-_KNOWN_COMPRESSED = {
-    "1.2.840.10008.1.2.2": "Explicit VR Big Endian (retired)",
-}
 
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
@@ -72,7 +69,7 @@ class DicomError(ValueError):
     pass
 
 
-def _parse_fragments(buf, offset):
+def _parse_fragments(buf, offset, endian="<"):
     """Parse an encapsulated pixel-data item sequence (PS3.5 A.4): Basic
     Offset Table item + fragment items, ended by a sequence delimiter.
     Returns (fragments list WITHOUT the offset table, offset past the
@@ -81,8 +78,8 @@ def _parse_fragments(buf, offset):
     first = True
     n = len(buf)
     while offset + 8 <= n:
-        group, elem = struct.unpack_from("<HH", buf, offset)
-        (length,) = struct.unpack_from("<I", buf, offset + 4)
+        group, elem = struct.unpack_from(endian + "HH", buf, offset)
+        (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
         offset += 8
         if (group, elem) == (0xFFFE, 0xE0DD):  # sequence delimiter
             return fragments, offset
@@ -100,14 +97,14 @@ def _parse_fragments(buf, offset):
     raise DicomError("encapsulated pixel data missing sequence delimiter")
 
 
-def _skip_undefined_sequence(buf, offset):
+def _skip_undefined_sequence(buf, offset, endian="<"):
     """Skip an undefined-length SQ: items may themselves be undefined-length
     (ended by an item delimiter); the sequence ends with (FFFE,E0DD)."""
     n = len(buf)
     depth = 1
     while offset + 8 <= n:
-        group, elem = struct.unpack_from("<HH", buf, offset)
-        (length,) = struct.unpack_from("<I", buf, offset + 4)
+        group, elem = struct.unpack_from(endian + "HH", buf, offset)
+        (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
         offset += 8
         if (group, elem) == (0xFFFE, 0xE0DD):
             depth -= 1
@@ -127,35 +124,35 @@ def _skip_undefined_sequence(buf, offset):
     raise DicomError("undefined-length sequence missing delimiter")
 
 
-def _parse_elements(buf, offset, explicit, stop_at_pixels=True):
+def _parse_elements(buf, offset, explicit, stop_at_pixels=True, endian="<"):
     """Yield (tag, value) for top-level elements. SQ contents are skipped
     (not needed for volume assembly); encapsulated (undefined-length) pixel
     data yields a LIST of fragment bytes instead of raw bytes."""
     n = len(buf)
     while offset + 8 <= n:
-        group, elem = struct.unpack_from("<HH", buf, offset)
+        group, elem = struct.unpack_from(endian + "HH", buf, offset)
         offset += 4
         vr = b""
         if explicit:
             vr = buf[offset : offset + 2]
             if vr in _LONG_VRS:
-                (length,) = struct.unpack_from("<I", buf, offset + 4)
+                (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
                 offset += 8
             else:
-                (length,) = struct.unpack_from("<H", buf, offset + 2)
+                (length,) = struct.unpack_from(endian + "H", buf, offset + 2)
                 offset += 4
         else:
-            (length,) = struct.unpack_from("<I", buf, offset)
+            (length,) = struct.unpack_from(endian + "I", buf, offset)
             offset += 4
         if length == 0xFFFFFFFF:
             if (group, elem) == (0x7FE0, 0x0010):
-                fragments, offset = _parse_fragments(buf, offset)
+                fragments, offset = _parse_fragments(buf, offset, endian)
                 yield (group, elem), fragments
                 if stop_at_pixels:
                     return
                 continue
             # undefined-length SQ (or UN parsed as such): skip its items
-            offset = _skip_undefined_sequence(buf, offset)
+            offset = _skip_undefined_sequence(buf, offset, endian)
             continue
         value = buf[offset : offset + length]
         offset += length
@@ -184,8 +181,12 @@ def read_dicom(path: str) -> dict:
 
     syntax = fields.get("transfer_syntax", b"").decode("ascii", "ignore").strip("\x00 ")
     fields["transfer_syntax_uid"] = syntax
+    endian = "<"
     if syntax == IMPLICIT_LE:
         explicit = False
+    elif syntax == EXPLICIT_BE:
+        explicit = True
+        endian = ">"
     elif (
         syntax in (EXPLICIT_LE, RLE_LOSSLESS, "")
         or syntax in _JPEG_SYNTAXES
@@ -198,18 +199,11 @@ def read_dicom(path: str) -> dict:
         buf = zlib.decompress(buf[meta_end:], -15)
         meta_end = 0
         explicit = True
-    elif syntax in _KNOWN_COMPRESSED:
-        raise DicomError(
-            "%s: compressed transfer syntax %s (%s) is not decodable here — "
-            "convert the series with dcm2niix or re-export as Explicit VR "
-            "Little Endian (supported: uncompressed LE, Deflated, RLE "
-            "Lossless, JPEG Baseline/Extended/Lossless)" % (
-                path, _KNOWN_COMPRESSED[syntax], syntax)
-        )
     else:
         raise DicomError("%s: unsupported transfer syntax %r" % (path, syntax))
 
-    for tag, value in _parse_elements(buf, meta_end, explicit=explicit):
+    fields["endian"] = endian
+    for tag, value in _parse_elements(buf, meta_end, explicit=explicit, endian=endian):
         if tag in TAGS:
             fields[TAGS[tag]] = value
     return fields
@@ -289,8 +283,8 @@ def _ds(value, default=None):
         return default
 
 
-def _us(value, default=0):
-    return struct.unpack("<H", value[:2])[0] if len(value) >= 2 else default
+def _us(value, default=0, endian="<"):
+    return struct.unpack(endian + "H", value[:2])[0] if len(value) >= 2 else default
 
 
 def series_to_volume(paths):
@@ -301,9 +295,10 @@ def series_to_volume(paths):
         f = read_dicom(p)
         if "pixel_data" not in f:
             continue
-        rows, cols = _us(f["rows"]), _us(f["cols"])
-        bits = _us(f.get("bits_allocated", b"\x10\x00"))
-        signed = _us(f.get("pixel_representation", b"\x00\x00")) == 1
+        en = f.get("endian", "<")
+        rows, cols = _us(f["rows"], endian=en), _us(f["cols"], endian=en)
+        bits = _us(f.get("bits_allocated", b"\x10\x00"), endian=en)
+        signed = _us(f.get("pixel_representation", b"\x00\x00"), endian=en) == 1
         if bits == 16:
             dt = np.int16 if signed else np.uint16
         elif bits == 8:
@@ -362,7 +357,8 @@ def series_to_volume(paths):
                 )
         else:
             pix = np.frombuffer(
-                f["pixel_data"], dtype=dt, count=rows * cols
+                f["pixel_data"], dtype=np.dtype(dt).newbyteorder(en),
+                count=rows * cols,
             ).reshape(rows, cols)
         slope = _ds(f.get("rescale_slope", b"1"), [1.0])[0]
         inter = _ds(f.get("rescale_intercept", b"0"), [0.0])[0]

@@ -194,15 +194,49 @@ def test_deflated_series(tmp_path):
     np.testing.assert_array_equal(got, pixel)
 
 
-def test_unsupported_syntax_actionable_error(tmp_path):
+def test_unknown_syntax_rejected(tmp_path):
     import pytest
 
     from deepwmh_tpu.core.dicom import DicomError
 
-    # big-endian retired is the one remaining undecodable syntax
-    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.2\x00")
-    p = str(tmp_path / "bigendian.dcm")
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.3.999.0\x00")
+    p = str(tmp_path / "unknown.dcm")
     with open(p, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta)
-    with pytest.raises(DicomError, match="Big Endian.*dcm2niix"):
+    with pytest.raises(DicomError, match="unsupported transfer syntax"):
         read_dicom(p)
+
+
+def _el_be(group, elem, vr, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b"\x00"
+    if vr in (b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"):
+        return struct.pack(">HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack(">HH2sH", group, elem, vr, len(value)) + value
+
+
+def test_big_endian_series(tmp_path):
+    """Retired Explicit VR Big Endian: big-endian element headers, binary
+    values and pixel words after the (always-LE) file meta group."""
+    rng = np.random.RandomState(6)
+    pixel = (rng.rand(6, 7) * 3000).astype(np.uint16)
+    body = b""
+    body += _el_be(0x0008, 0x0018, b"UI", b"4.4.4.1")
+    body += _el_be(0x0020, 0x000E, b"UI", b"4.4.4.series")
+    body += _el_be(0x0020, 0x0013, b"IS", b"1")
+    body += _el_be(0x0020, 0x0032, b"DS", b"0\\0\\0")
+    body += _el_be(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0")
+    body += _el_be(0x0028, 0x0010, b"US", struct.pack(">H", 6))
+    body += _el_be(0x0028, 0x0011, b"US", struct.pack(">H", 7))
+    body += _el_be(0x0028, 0x0030, b"DS", b"2\\2")
+    body += _el_be(0x0018, 0x0050, b"DS", b"3")
+    body += _el_be(0x0028, 0x0100, b"US", struct.pack(">H", 16))
+    body += _el_be(0x0028, 0x0103, b"US", struct.pack(">H", 0))
+    body += _el_be(0x7FE0, 0x0010, b"OW", pixel.astype(">u2").tobytes())
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.2\x00")
+    p = str(tmp_path / "be.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    got, spacing, _ = series_to_volume([p])
+    np.testing.assert_allclose(got[:, :, 0], pixel.astype(np.float32))
+    np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
