@@ -956,14 +956,28 @@ def _decode_codestream(data: bytes):
                 for (bx, by), blk in band.blocks.items():
                     if blk.passes == 0:
                         continue
-                    dec = _BlockDecoder(blk.w, blk.h, band.orient)
                     msb_plane = mb - 1 - blk.msbs
-                    dec.decode_passes(
-                        bytes(blk.data), blk.passes, msb_plane, segsym=segsym
-                    )
+                    vals = None
+                    try:
+                        # native Tier-1 (native/j2k_t1.cpp, ~100x Python)
+                        from deepwmh_tpu import native
+
+                        vals = native.j2k_decode_block_host(
+                            bytes(blk.data), blk.w, blk.h, band.orient,
+                            blk.passes, msb_plane, segsym,
+                        )
+                    except Exception:
+                        vals = None
+                    if vals is None:
+                        dec = _BlockDecoder(blk.w, blk.h, band.orient)
+                        dec.decode_passes(
+                            bytes(blk.data), blk.passes, msb_plane,
+                            segsym=segsym,
+                        )
+                        vals = dec.values()
                     coeffs[
                         blk.y0 : blk.y0 + blk.h, blk.x0 : blk.x0 + blk.w
-                    ] = dec.values()
+                    ] = vals
                 if reversible:
                     planes[(r, band.orient)] = coeffs
                 else:

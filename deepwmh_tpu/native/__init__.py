@@ -24,7 +24,7 @@ def _src_hash() -> str:
     import hashlib
 
     h = hashlib.sha256()
-    for name in ("cc3d.cpp", "jpegl.cpp", "jls.cpp", "Makefile"):
+    for name in ("cc3d.cpp", "jpegl.cpp", "jls.cpp", "j2k_t1.cpp", "Makefile"):
         p = os.path.join(_HERE, name)
         if os.path.isfile(p):
             with open(p, "rb") as f:
@@ -111,6 +111,12 @@ def get_lib():
     lib.jls_decode_scan.argtypes = [
         i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p,
+    ]
+    lib.j2k_decode_block.restype = ctypes.c_int32
+    lib.j2k_decode_block.argtypes = [
+        i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i64p,
     ]
@@ -244,6 +250,27 @@ def jls_decode_scan_host(data: bytes, w, h, maxval, near, t1, t2, t3,
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
         int(w), int(h), int(maxval), int(near), int(t1), int(t2), int(t3),
         int(reset), int(qbpp), int(limit),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(int(h), int(w))
+
+
+def j2k_decode_block_host(data: bytes, w, h, orient, n_passes, msb_plane,
+                          segsym):
+    """EBCOT Tier-1 block decode (T.800 Annex D). Returns int64[h, w] of
+    signed coefficients or None when the native lib is unavailable / the
+    stream is invalid (caller falls back to the Python decoder)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(int(h) * int(w), np.int64)
+    rc = lib.j2k_decode_block(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        int(w), int(h), int(orient), int(n_passes), int(msb_plane),
+        1 if segsym else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     if rc != 0:

@@ -199,3 +199,23 @@ def test_j2k_dicom_series(tmp_path):
     got, spacing, _ = series_to_volume(paths)
     np.testing.assert_allclose(got, vol.astype(np.float32))
     np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+
+
+def test_native_tier1_matches_python():
+    """native/j2k_t1.cpp must produce identical output to the Python
+    _BlockDecoder across lossless and lossy streams."""
+    from deepwmh_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    saved = native.j2k_decode_block_host
+    for kw in [dict(irreversible=False), dict(irreversible=True)]:
+        img = _mk(70, 66, seed=8).astype(np.uint8)
+        data = _enc(img, **kw)
+        got_native, _ = j2k.decode(data)
+        try:
+            native.j2k_decode_block_host = lambda *a, **k: None
+            got_python, _ = j2k.decode(data)
+        finally:
+            native.j2k_decode_block_host = saved
+        np.testing.assert_array_equal(got_native, got_python)
