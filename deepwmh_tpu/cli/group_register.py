@@ -42,7 +42,7 @@ def main(argv=None):
                         "pathway): build an affine template, train one "
                         "registration network on the cohort, register every "
                         "pair with a single forward pass.")
-    parser.add_argument("--batch-pairs", type=int, default=4,
+    parser.add_argument("--batch-pairs", type=int, default=1,
                         help="Register N same-geometry pairs simultaneously "
                         "in one vmapped XLA program (TPU throughput).")
     parser.add_argument("--distributed", type=str, default=None,

@@ -63,7 +63,7 @@ def run_train(
     budget=None,
     run_stages="full",
     distributed=None,
-    batch_pairs=4,
+    batch_pairs=1,
 ):
     from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
     from deepwmh_tpu.registration.group import (
@@ -234,7 +234,7 @@ def main(argv=None):
     parser.add_argument("--batches-per-epoch", type=int, default=None,
                         help="[Advanced] Override the 150 batches/epoch budget.")
     parser.add_argument("--batch-size", type=int, default=None)
-    parser.add_argument("--batch-pairs", type=int, default=4,
+    parser.add_argument("--batch-pairs", type=int, default=1,
                         help="[Advanced] Register N same-geometry pairs "
                         "simultaneously (one vmapped XLA program per chunk).")
     parser.add_argument("--skip-integrity-check", action="store_true")

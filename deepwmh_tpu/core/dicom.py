@@ -52,6 +52,7 @@ TAGS = {
     (0x0020, 0x0013): "instance_number",
     (0x0020, 0x0032): "ipp",
     (0x0020, 0x0037): "iop",
+    (0x0028, 0x0008): "number_of_frames",
     (0x0028, 0x0010): "rows",
     (0x0028, 0x0011): "cols",
     (0x0028, 0x0030): "pixel_spacing",
@@ -295,6 +296,18 @@ def series_to_volume(paths):
         f = read_dicom(p)
         if "pixel_data" not in f:
             continue
+        nframes = f.get("number_of_frames")
+        if nframes is not None:
+            try:
+                nf = int(nframes.decode("ascii", "ignore").strip("\x00 ") or 1)
+            except ValueError:
+                nf = 1
+            if nf > 1:
+                # decoding only the first frame would be SILENT data loss
+                raise DicomError(
+                    "%s: multi-frame pixel data (NumberOfFrames=%d) is not "
+                    "supported — export as single-frame series" % (p, nf)
+                )
         en = f.get("endian", "<")
         rows, cols = _us(f["rows"], endian=en), _us(f["cols"], endian=en)
         bits = _us(f.get("bits_allocated", b"\x10\x00"), endian=en)

@@ -776,21 +776,30 @@ def _parse_markers(data: bytes):
     siz = cod = qcd = None
     body = None
     n = len(data)
+    sot_start = None
+    psot = 0
     while i + 2 <= n:
         m = struct.unpack_from(">H", data, i)[0]
         i += 2
         if m == _EOC:
             break
         if m == _SOD:
-            # tile body runs to the next SOT or EOC (no PSOT scan needed
-            # for the single-tile case: take everything up to trailing EOC)
-            end = n
-            if n >= 2 and struct.unpack_from(">H", data, n - 2)[0] == _EOC:
-                end = n - 2
             if body is not None:
                 raise J2kError("multiple tile-parts not supported")
+            # tile-part body length comes from SOT's Psot (0 = to EOC);
+            # trusting "everything to EOC" would silently swallow a second
+            # tile-part's marker bytes as packet data
+            if psot:
+                end = sot_start + psot
+                if end > n:
+                    raise J2kError("SOT Psot extends past end of stream")
+            else:
+                end = n
+                if n >= 2 and struct.unpack_from(">H", data, n - 2)[0] == _EOC:
+                    end = n - 2
             body = data[i:end]
-            break
+            i = end
+            continue
         seglen = struct.unpack_from(">H", data, i)[0]
         seg = data[i + 2 : i + seglen]
         i += seglen
@@ -805,7 +814,12 @@ def _parse_markers(data: bytes):
         elif m == _POC:
             raise J2kError("POC progression changes not supported")
         elif m == _SOT:
-            pass  # single tile: fields not needed (PSOT covered by EOC scan)
+            if body is not None:
+                raise J2kError("multiple tile-parts not supported")
+            sot_start = i - seglen - 2  # the FF90 marker position
+            _isot, psot, tpsot, _tnsot = struct.unpack_from(">HIBB", seg, 0)
+            if tpsot != 0:
+                raise J2kError("multiple tile-parts not supported")
         elif m in (_COM, _TLM, _PLM, _PLT, _RGN, _CRG):
             pass
         # unknown markers with lengths are skipped by construction

@@ -310,11 +310,11 @@ def _codec(img_or_none, br_or_bw, p: _Params, decode: bool):
                             break
                         # '0' bit: remainder then interruption sample
                         rem = br.get(_J[run_index]) if _J[run_index] else 0
+                        if x + rem > w:  # interruption sample must also fit
+                            raise JlsError("run remainder past end of line")
                         for _ in range(rem):
                             cur[x] = ra
                             x += 1
-                        if x > w:
-                            raise JlsError("run remainder past end of line")
                         rb = prev[x]
                         val = _ri_decode(br, st, ra, rb, p, run_index)
                         cur[x] = val

@@ -84,15 +84,19 @@ class PdfCanvas:
         self._fonts = {}         # base font name -> /F id
         self._font_alias = {}    # register_font aliases -> standard font
         self._images = []        # (width, height, zlib rgb bytes)
-        self._gstates = {}       # alpha -> /GS id
+        self._gstates = {}       # (stroke_alpha, fill_alpha) -> /GS id
 
     # -- drawing ---------------------------------------------------------
 
-    def _alpha_op(self, alpha):
-        a = round(float(alpha), 3)
-        if a not in self._gstates:
-            self._gstates[a] = "GS%d" % len(self._gstates)
-        return "/%s gs" % self._gstates[a]
+    def _alpha_op(self, alpha, stroke_alpha=None):
+        # /ca = fill alpha, /CA = stroke alpha (PDF 1.4 ExtGState)
+        key = (
+            round(float(alpha if stroke_alpha is None else stroke_alpha), 3),
+            round(float(alpha), 3),
+        )
+        if key not in self._gstates:
+            self._gstates[key] = "GS%d" % len(self._gstates)
+        return "/%s gs" % self._gstates[key]
 
     def register_font(self, font_file, font_name):
         """TTF embedding is out of scope for the minimal writer: the alias
@@ -130,7 +134,11 @@ class PdfCanvas:
              line_alpha=1.0, fill_alpha=1.0):
         xs, ys = parse_position(position_start)
         xe, ye = parse_position(position_end)
-        parts = ["q", self._alpha_op(fill_alpha), "%g w" % line_width]
+        parts = [
+            "q",
+            self._alpha_op(fill_alpha, stroke_alpha=line_alpha),
+            "%g w" % line_width,
+        ]
         if line_color is not None:
             parts.append("%g %g %g RG" % tuple(line_color))
         if fill_color is not None:
@@ -205,8 +213,8 @@ class PdfCanvas:
             ) + data + b"\nendstream"
             image_objs["Im%d" % i] = add(body)
         gs_objs = {
-            gid: add(b"<< /Type /ExtGState /CA %g /ca %g >>" % (a, a))
-            for a, gid in self._gstates.items()
+            gid: add(b"<< /Type /ExtGState /CA %g /ca %g >>" % (ca, fa))
+            for (ca, fa), gid in self._gstates.items()
         }
         content_obj = add(
             b"<< /Length %d >>\nstream\n" % len(content) + content

@@ -73,14 +73,23 @@ class HaloShardedOps:
             x, NamedSharding(self.mesh, P(self.axis))
         )
 
-    def map_overlap(self, fn, x, halo: int):
+    def map_overlap(self, fn, x, halo: int, cache_key=None):
         """Apply fn([D'+2*halo, H, W]) -> same shape, sharded over the
-        mesh; returns the assembled [D, H, W] result."""
+        mesh; returns the assembled [D, H, W] result.
+
+        cache_key: hashable identity of fn for program reuse. A raw
+        callable (or a fresh functools.partial, which hashes by object
+        identity) would NEVER hit the cache while still being stored —
+        unbounded compile accumulation — so without a key the program is
+        built fresh and NOT cached."""
         x = jnp.asarray(x, jnp.float32)
         d0 = x.shape[0]
         x, _pad = _pad_rows(x, self.n)
-        key = ("map_overlap", fn, halo, x.shape)
-        if key not in self._compiled:
+        key = None if cache_key is None else (
+            "map_overlap", cache_key, halo, x.shape
+        )
+        prog = self._compiled.get(key) if key is not None else None
+        if prog is None:
             axis, n = self.axis, self.n
 
             def local(xl):
@@ -88,12 +97,14 @@ class HaloShardedOps:
                 y = fn(xx)
                 return y[halo : y.shape[0] - halo] if halo else y
 
-            self._compiled[key] = jax.jit(
+            prog = jax.jit(
                 jax.shard_map(
                     local, mesh=self.mesh, in_specs=P(axis), out_specs=P(axis)
                 )
             )
-        out = self._compiled[key](self._sharded(x))
+            if key is not None:
+                self._compiled[key] = prog
+        out = prog(self._sharded(x))
         return out[:d0]
 
     # -- window filters (exact parity with ops/filters.py) -----------------
@@ -104,7 +115,7 @@ class HaloShardedOps:
         ks = _norm_ksize(kernel_size, np.ndim(x))
         return self.map_overlap(
             functools.partial(median_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1),
+            x, halo=max(ks[0] // 2, 1), cache_key=("median_filter", tuple(ks)),
         )
 
     def mean_filter(self, x, kernel_size):
@@ -113,7 +124,7 @@ class HaloShardedOps:
         ks = _norm_ksize(kernel_size, np.ndim(x))
         return self.map_overlap(
             functools.partial(mean_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1),
+            x, halo=max(ks[0] // 2, 1), cache_key=("mean_filter", tuple(ks)),
         )
 
     def min_filter(self, x, kernel_size):
@@ -122,7 +133,7 @@ class HaloShardedOps:
         ks = _norm_ksize(kernel_size, np.ndim(x))
         return self.map_overlap(
             functools.partial(min_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1),
+            x, halo=max(ks[0] // 2, 1), cache_key=("min_filter", tuple(ks)),
         )
 
     def max_filter(self, x, kernel_size):
@@ -131,7 +142,7 @@ class HaloShardedOps:
         ks = _norm_ksize(kernel_size, np.ndim(x))
         return self.map_overlap(
             functools.partial(max_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1),
+            x, halo=max(ks[0] // 2, 1), cache_key=("max_filter", tuple(ks)),
         )
 
     # -- global statistics (psum over ICI) ---------------------------------

@@ -39,6 +39,30 @@ def checkpoint_exists(folder: str, name: str) -> bool:
     return os.path.isfile(os.path.join(folder, name + ".msgpack"))
 
 
+def link_checkpoint(folder: str, src: str, dst: str):
+    """Make `dst` an alias of the already-written `src` checkpoint without
+    re-serializing the weights: hardlink the msgpack (copy as fallback on
+    filesystems without links) and copy the small meta json. Used by noval
+    training where model_best == model_latest every epoch — rewriting tens
+    of MB of identical weights per epoch is pure wasted IO, but SKIPPING the
+    write entirely would leave no model_best at all if the run is killed."""
+    import shutil
+
+    src_m = os.path.join(folder, src + ".msgpack")
+    dst_m = os.path.join(folder, dst + ".msgpack")
+    tmp = dst_m + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    try:
+        os.link(src_m, tmp)
+    except OSError:
+        shutil.copyfile(src_m, tmp)
+    os.replace(tmp, dst_m)
+    src_j = os.path.join(folder, src + ".json")
+    if os.path.isfile(src_j):
+        shutil.copyfile(src_j, os.path.join(folder, dst + ".json"))
+
+
 def load_checkpoint(folder: str, name: str, params_template, opt_state_template=None):
     """Restore into templates with matching pytree structure. Returns
     (params, opt_state_or_None, meta)."""

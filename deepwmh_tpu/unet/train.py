@@ -196,11 +196,13 @@ class Trainer:
                     self.out_dir, ckpt.MODEL_EPOCH_FMT % (epoch + 1), params, meta=meta
                 )
             if noval_mode:
-                # model_best == model_latest by construction: track the
-                # metric but write model_best ONCE at the end of the run
-                # instead of rewriting it every epoch (pure wasted ckpt IO
-                # over a 50-epoch stage-2 run)
+                # model_best == model_latest by construction: hardlink the
+                # just-written latest instead of re-serializing tens of MB
+                # of identical weights every epoch — cheap, yet an
+                # interrupted run still leaves a valid model_best (a
+                # once-at-the-end write would not)
                 best_metric = metric
+                ckpt.link_checkpoint(self.out_dir, ckpt.MODEL_LATEST, ckpt.MODEL_BEST)
             elif metric > best_metric:
                 best_metric = metric
                 ckpt.save_checkpoint(self.out_dir, ckpt.MODEL_BEST, params, meta=meta)

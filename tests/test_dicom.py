@@ -240,3 +240,30 @@ def test_big_endian_series(tmp_path):
     got, spacing, _ = series_to_volume([p])
     np.testing.assert_allclose(got[:, :, 0], pixel.astype(np.float32))
     np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+
+
+def test_multiframe_rejected(tmp_path):
+    """Multi-frame pixel data must raise, not silently decode frame 1."""
+    import pytest
+
+    from deepwmh_tpu.core.dicom import DicomError
+
+    rng = np.random.RandomState(7)
+    pixel = (rng.rand(6, 7) * 2000).astype(np.uint16)
+    body = b""
+    body += _el_explicit(0x0008, 0x0018, b"UI", b"3.3.3.1")
+    body += _el_explicit(0x0020, 0x000E, b"UI", b"3.3.3.series")
+    body += _el_explicit(0x0028, 0x0008, b"IS", b"2")  # NumberOfFrames
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", 6))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", 7))
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += _el_explicit(
+        0x7FE0, 0x0010, b"OW", pixel.astype("<u2").tobytes() * 2
+    )
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+    p = str(tmp_path / "mf.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    with pytest.raises(DicomError, match="multi-frame"):
+        series_to_volume([p])

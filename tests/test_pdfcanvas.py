@@ -46,7 +46,9 @@ def test_canvas_primitives(tmp_path):
     assert b"(Hello \\(PDF\\) \\\\ World) Tj" in content
     assert b"re B" in content          # stroked+filled rect
     assert b"[3 3] 0 d" in content     # dash pattern
-    assert b"/Type /ExtGState /CA 0.5" in buf
+    # stroke alpha (CA) stays 1.0 while fill alpha (ca) is 0.5 — the two
+    # channels are independent
+    assert b"/Type /ExtGState /CA 1 /ca 0.5" in buf
     assert b"/BaseFont /Helvetica" in buf
 
 
