@@ -16,6 +16,7 @@ Artifact layout per pair (consumed by the training pipeline):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -68,6 +69,58 @@ def _pair_core_batch_jit(fixed, moving, fsp, msp, acfg, scfg, deformable=True):
     return jax.vmap(
         lambda f, m: _pair_core(f, m, fsp, msp, acfg, scfg, deformable)
     )(fixed, moving)
+
+
+def register_pairs_mesh(fixed_stack, moving_stack, fixed_spacing,
+                        moving_spacing, mesh, affine_cfg=None, svf_cfg=None,
+                        deformable=True, axis=None):
+    """Data-parallel pair registration over a `jax.sharding.Mesh`: the
+    [B, D, H, W] stacks are sharded along the batch axis, so each chip
+    registers its own pairs inside ONE jitted program — the reference's
+    all-pairs training prep (train.py:184-185, 500-1000 pairs on a CPU
+    cluster) scales linearly over a TPU slice with no collectives (pairs
+    are independent; XLA partitions the vmap along the sharded batch).
+
+    B is padded to a device-count multiple by repeating the last pair; the
+    padded outputs are dropped. Returns the _pair_core tuple layout:
+    (mats [B,3,4], affine_losses [B], disp16 [B,3,D,H,W] or None,
+    svf_losses [B] or None, warped16 [B,D,H,W]).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deepwmh_tpu.registration.affine import feasible_levels
+    from deepwmh_tpu.registration.svf import _feasible_cfg
+
+    axis = axis or mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
+    B = int(fixed_stack.shape[0])
+    pad = (-B) % n_dev
+    if pad:
+        rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+        fixed_stack = rep(np.asarray(fixed_stack))
+        moving_stack = rep(np.asarray(moving_stack))
+
+    shape = tuple(fixed_stack.shape[1:])
+    acfg = affine_cfg or AffineConfig()
+    shr, its = feasible_levels(acfg.shrinks, acfg.iters, shape)
+    acfg = dataclasses.replace(acfg, shrinks=tuple(shr), iters=tuple(its))
+    scfg = _feasible_cfg(svf_cfg or SVFConfig(), shape)
+
+    sharding = NamedSharding(mesh, P(axis))
+    fx = jax.device_put(jnp.asarray(fixed_stack, jnp.float16), sharding)
+    mv = jax.device_put(jnp.asarray(moving_stack, jnp.float16), sharding)
+    outs = _pair_core_batch_jit(
+        fx, mv,
+        jnp.asarray(fixed_spacing, jnp.float32),
+        jnp.asarray(moving_spacing, jnp.float32),
+        acfg, scfg, deformable=deformable,
+    )
+    if pad:
+        outs = jax.tree_util.tree_map(
+            lambda x: x[:B] if x is not None else None, outs,
+            is_leaf=lambda x: x is None,
+        )
+    return outs
 
 
 class GroupRegistration:
