@@ -64,6 +64,13 @@ class UNet3D(nn.Module):
 
     plan: Plan
     dtype: jnp.dtype = jnp.bfloat16
+    # rematerialize conv-block activations in the backward pass: ~30% more
+    # backward FLOPs for a large cut in live activation memory. Without it
+    # the nnU-Net-recipe batch-2 training step at the flagship plan
+    # (128x160x128 patches) fails to COMPILE on a 16GB v5e; with it both
+    # batch sizes fit. Training turns it on; inference (no backward) has
+    # nothing to rematerialize, so the flag is free there.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deep_supervision: bool = False):
@@ -71,13 +78,24 @@ class UNet3D(nn.Module):
         feats = features_per_stage(plan)
         P = plan.num_pools
         x = x.astype(self.dtype)
+        # explicit names keep the parameter tree IDENTICAL between the
+        # remat and plain variants (nn.remat changes auto-generated scope
+        # names), so trained checkpoints load into inference models freely
+        blk = nn.remat(ConvNormAct) if self.remat else ConvNormAct
+        n_blocks = 0
+
+        def Conv(f, k, s, dt):
+            nonlocal n_blocks
+            m = blk(f, k, s, dt, name="ConvNormAct_%d" % n_blocks)
+            n_blocks += 1
+            return m
 
         skips = []
         # encoder
         for i in range(P + 1):
             stride = plan.pool_kernels[i - 1] if i > 0 else (1, 1, 1)
-            x = ConvNormAct(feats[i], plan.conv_kernels[i], stride, self.dtype)(x)
-            x = ConvNormAct(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype)(x)
+            x = Conv(feats[i], plan.conv_kernels[i], stride, self.dtype)(x)
+            x = Conv(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype)(x)
             if i < P:
                 skips.append(x)
 
@@ -104,8 +122,8 @@ class UNet3D(nn.Module):
                 param_dtype=jnp.float32,
             )(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = ConvNormAct(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype)(x)
-            x = ConvNormAct(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype)(x)
+            x = Conv(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype)(x)
+            x = Conv(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype)(x)
             # heads exist at every level so the param tree is invariant to
             # the deep_supervision flag (init once, use either way)
             logits = nn.Conv(

@@ -65,7 +65,9 @@ class Trainer:
         self.cfg = cfg
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
-        self.model = UNet3D(plan=plan)
+        # remat: batch-2 training at the flagship plan does not even
+        # compile on a 16GB chip without it (see UNet3D.remat)
+        self.model = UNet3D(plan=plan, remat=True)
         self.mesh = mesh
         self.logger = logger or SimpleTxtLog(os.path.join(out_dir, "training_log.txt"))
 
