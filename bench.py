@@ -321,7 +321,7 @@ def main():
     # varies wildly with contention. The headline number is measured first;
     # each extra section runs only while budget remains, so ONE JSON line is
     # always printed even on a congested chip.
-    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "480"))
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "640"))
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
 
