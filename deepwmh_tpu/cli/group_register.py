@@ -42,6 +42,10 @@ def main(argv=None):
                         "pathway): build an affine template, train one "
                         "registration network on the cohort, register every "
                         "pair with a single forward pass.")
+    parser.add_argument("--mesh", action="store_true",
+                        help="Shard batched pairs over ALL visible devices "
+                        "(jax.sharding.Mesh): each chip registers its own "
+                        "pairs. Implies --batch-pairs >= device count.")
     parser.add_argument("--batch-pairs", type=int, default=1,
                         help="Register N same-geometry pairs simultaneously "
                         "in one vmapped XLA program (TPU throughput).")
@@ -82,7 +86,18 @@ def main(argv=None):
         deformable=not args.affine_only,
     )
     print("%d registration pair(s) in this shard." % len(reg.tasks))
-    reg.launch(batch_pairs=args.batch_pairs)
+    mesh = None
+    batch_pairs = args.batch_pairs
+    if args.mesh:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("dp",))
+        batch_pairs = max(batch_pairs, len(devs))
+        print("mesh: sharding pair batches over %d device(s)" % len(devs))
+    reg.launch(batch_pairs=batch_pairs, mesh=mesh)
     print("group registration finished.")
 
 

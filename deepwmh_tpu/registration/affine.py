@@ -257,6 +257,15 @@ def _hashable_cfg(cfg, shape):
     )
 
 
+def feasible_affine_cfg(cfg: "AffineConfig", shape):
+    """Clamp the pyramid to levels this volume can support (min dim 8) —
+    the one shared policy for the class path and the mesh path."""
+    import dataclasses
+
+    shr, its = feasible_levels(cfg.shrinks, cfg.iters, shape)
+    return dataclasses.replace(cfg, shrinks=tuple(shr), iters=tuple(its))
+
+
 def register_affine(
     fixed,
     moving,

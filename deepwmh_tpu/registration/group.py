@@ -88,27 +88,30 @@ def register_pairs_mesh(fixed_stack, moving_stack, fixed_spacing,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from deepwmh_tpu.registration.affine import feasible_levels
+    from deepwmh_tpu.registration.affine import feasible_affine_cfg
     from deepwmh_tpu.registration.svf import _feasible_cfg
 
     axis = axis or mesh.axis_names[0]
     n_dev = int(mesh.shape[axis])
     B = int(fixed_stack.shape[0])
     pad = (-B) % n_dev
+    fixed_stack = np.asarray(fixed_stack, np.float16)
+    moving_stack = np.asarray(moving_stack, np.float16)
     if pad:
         rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-        fixed_stack = rep(np.asarray(fixed_stack))
-        moving_stack = rep(np.asarray(moving_stack))
+        fixed_stack = rep(fixed_stack)
+        moving_stack = rep(moving_stack)
 
     shape = tuple(fixed_stack.shape[1:])
-    acfg = affine_cfg or AffineConfig()
-    shr, its = feasible_levels(acfg.shrinks, acfg.iters, shape)
-    acfg = dataclasses.replace(acfg, shrinks=tuple(shr), iters=tuple(its))
+    acfg = feasible_affine_cfg(affine_cfg or AffineConfig(), shape)
     scfg = _feasible_cfg(svf_cfg or SVFConfig(), shape)
 
+    # device_put HOST arrays with the sharding: each shard transfers
+    # straight to its device — a jnp.asarray first would materialize the
+    # whole stack on one chip and OOM at the workload this exists for
     sharding = NamedSharding(mesh, P(axis))
-    fx = jax.device_put(jnp.asarray(fixed_stack, jnp.float16), sharding)
-    mv = jax.device_put(jnp.asarray(moving_stack, jnp.float16), sharding)
+    fx = jax.device_put(fixed_stack, sharding)
+    mv = jax.device_put(moving_stack, sharding)
     outs = _pair_core_batch_jit(
         fx, mv,
         jnp.asarray(fixed_spacing, jnp.float32),
@@ -198,16 +201,11 @@ class GroupRegistration:
         return feasible_levels(cfg_shrinks, cfg_iters, shape, min_dim)
 
     def _pair_cfgs(self, fixed_shape):
-        import dataclasses
+        from deepwmh_tpu.registration.affine import feasible_affine_cfg
+        from deepwmh_tpu.registration.svf import _feasible_cfg
 
-        a_shr, a_it = self._feasible_levels(
-            self.affine_cfg.shrinks, self.affine_cfg.iters, fixed_shape
-        )
-        affine_cfg = dataclasses.replace(self.affine_cfg, shrinks=a_shr, iters=a_it)
-        s_shr, s_it = self._feasible_levels(
-            self.svf_cfg.shrinks, self.svf_cfg.iters, fixed_shape
-        )
-        svf_cfg = dataclasses.replace(self.svf_cfg, shrinks=s_shr, iters=s_it)
+        affine_cfg = feasible_affine_cfg(self.affine_cfg, fixed_shape)
+        svf_cfg = _feasible_cfg(self.svf_cfg, fixed_shape)
         return affine_cfg, svf_cfg
 
     def _write_pair(self, paths, f_hdr, f_sp, m_sp, f_shape,
@@ -284,7 +282,7 @@ class GroupRegistration:
         deformation is kept) — the contract distributed barriers must use."""
         return self._pair_done(self._pair_paths(s_case, t_case))
 
-    def launch(self, verbose: bool = True, batch_pairs: int = 1):
+    def launch(self, verbose: bool = True, batch_pairs: int = 1, mesh=None):
         """Register all remaining pairs as a three-stage pipeline: threaded
         NIfTI prefetch -> one fused XLA program per chunk -> threaded
         artifact writes. The workload is host-gzip + wire bound (device
@@ -296,10 +294,16 @@ class GroupRegistration:
         MEASURED (v5e behind a tunnel, 96^3 quick): B=1 29 pairs/min vs B=4
         20 pairs/min end-to-end — batching the compute scales ~3.4x on
         device but the wire bytes don't shrink, so B=1 is the default;
-        prefer batch_pairs=4 on a local (untunneled) TPU host."""
-        return self._launch_batched(max(1, batch_pairs), verbose=verbose)
+        prefer batch_pairs=4 on a local (untunneled) TPU host.
 
-    def _launch_batched(self, batch_pairs: int, verbose: bool = True):
+        mesh: a jax.sharding.Mesh shards each batched chunk along its
+        batch axis so every device registers its own pairs (the multi-chip
+        path of register_pairs_mesh, with this launcher's idempotent
+        artifact contract kept); batch_pairs should be >= the device count
+        to keep all chips busy."""
+        return self._launch_batched(max(1, batch_pairs), verbose=verbose, mesh=mesh)
+
+    def _launch_batched(self, batch_pairs: int, verbose: bool = True, mesh=None):
         from concurrent.futures import ThreadPoolExecutor
 
         # group remaining pairs by identical geometry
@@ -364,12 +368,37 @@ class GroupRegistration:
                 done += len(chunk)
                 fsp_j = jnp.asarray(f_sp, jnp.float32)
                 msp_j = jnp.asarray(m_sp, jnp.float32)
-                if len(chunk) == 1:
+                if len(chunk) == 1 and mesh is None:
                     outs = _pair_core_jit(
                         jnp.asarray(fixed[0]), jnp.asarray(moving[0]),
                         fsp_j, msp_j, acfg, scfg, deformable=self.deformable,
                     )
                     outs = jax.tree_util.tree_map(lambda x: x[None], outs)
+                elif mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+                    axis = mesh.axis_names[0]
+                    n_dev = int(mesh.shape[axis])
+                    nb = len(chunk)
+                    pad = (-nb) % n_dev
+                    if pad:  # pad-and-drop so the batch shards evenly
+                        fixed = np.concatenate(
+                            [fixed, np.repeat(fixed[-1:], pad, axis=0)]
+                        )
+                        moving = np.concatenate(
+                            [moving, np.repeat(moving[-1:], pad, axis=0)]
+                        )
+                    sharding = NamedSharding(mesh, PS(axis))
+                    outs = _pair_core_batch_jit(
+                        jax.device_put(fixed, sharding),
+                        jax.device_put(moving, sharding),
+                        fsp_j, msp_j, acfg, scfg, deformable=self.deformable,
+                    )
+                    if pad:
+                        outs = jax.tree_util.tree_map(
+                            lambda x: x[:nb] if x is not None else None,
+                            outs, is_leaf=lambda x: x is None,
+                        )
                 else:
                     outs = _pair_core_batch_jit(
                         jnp.asarray(fixed), jnp.asarray(moving),

@@ -95,7 +95,8 @@ def test_two_process_distributed(tmp_path):
         assert ("proc %d ok" % pid) in out
 
 
-def test_register_pairs_mesh(tmp_path):
+@pytest.mark.slow
+def test_register_pairs_mesh():
     """Batched pair registration sharded over an 8-device mesh: shapes,
     the batch-padding path (B not a device multiple), and registration
     quality. Bitwise comparison against an unsharded run is NOT the

@@ -123,3 +123,49 @@ def test_affine_json_written_last(registered_pair):
     t_image = os.path.getmtime(pair_dir.rstrip("/\\") + ".nii.gz")
     t_warp = os.path.getmtime(os.path.join(pair_dir, "warp.nii.gz"))
     assert t_affine >= t_image and t_affine >= t_warp
+
+
+def test_launch_with_mesh_writes_artifacts(tmp_path):
+    """GroupRegistration.launch(mesh=...) shards batched chunks over the
+    device mesh (pad-and-drop for uneven batches) while keeping the full
+    artifact contract."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from deepwmh_tpu.core import nifti
+    from deepwmh_tpu.registration.group import GroupRegistration
+
+    shape = (20, 22, 18)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    rr = np.sqrt(sum(a**2 for a in g))
+
+    def head(seed, shift):
+        rng = np.random.RandomState(seed)
+        return (
+            ((np.sqrt((g[0] - shift) ** 2 + g[1] ** 2 + g[2] ** 2) < 0.8))
+            * (300 + 100 * rng.rand(*shape))
+        ).astype(np.float32)
+
+    srcs, tgts = [], []
+    p = str(tmp_path / "s0.nii.gz")
+    nifti.save_nifti(head(0, 0.04), hdr, p)
+    srcs.append(("S0", p))
+    for i in range(3):  # 3 pairs: NOT a multiple of the 8-device mesh
+        p = str(tmp_path / ("t%d.nii.gz" % i))
+        nifti.save_nifti(head(10 + i, 0.0), hdr, p)
+        tgts.append(("T%d" % i, p))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    reg = GroupRegistration(
+        srcs, tgts, str(tmp_path / "out"), quick=True, keep_deformation=True
+    )
+    reg.launch(verbose=False, batch_pairs=8, mesh=mesh)
+    for _, t in tgts:
+        name = "S0_to_%s" % t.split("/")[-1].split(".")[0].replace("t", "T")
+    for i in range(3):
+        paths = reg._pair_paths("S0", "T%d" % i)
+        assert reg._pair_done(paths), i
