@@ -11,7 +11,9 @@ core/j2kcodec.py. Slices are grouped by SeriesInstanceUID, sorted along
 the slice normal (ImageOrientationPatient x ImagePositionPatient),
 stacked, rescaled (RescaleSlope/Intercept) and written as NIfTI with an
 LPS->RAS sform affine — every compressed syntax the reference's dcm2niix
-handles now decodes in-process, plus the retired Explicit VR Big Endian syntax.
+handles now decodes in-process, plus the retired Explicit VR Big Endian
+syntax and enhanced multi-frame files (per-frame geometry from the
+functional-group sequences, native or fragment-per-frame encapsulated).
 """
 
 from __future__ import annotations
@@ -53,6 +55,8 @@ TAGS = {
     (0x0020, 0x0032): "ipp",
     (0x0020, 0x0037): "iop",
     (0x0028, 0x0008): "number_of_frames",
+    (0x5200, 0x9229): "shared_fg",    # SharedFunctionalGroupsSequence
+    (0x5200, 0x9230): "perframe_fg",  # PerFrameFunctionalGroupsSequence
     (0x0028, 0x0010): "rows",
     (0x0028, 0x0011): "cols",
     (0x0028, 0x0030): "pixel_spacing",
@@ -152,8 +156,12 @@ def _parse_elements(buf, offset, explicit, stop_at_pixels=True, endian="<"):
                 if stop_at_pixels:
                     return
                 continue
-            # undefined-length SQ (or UN parsed as such): skip its items
-            offset = _skip_undefined_sequence(buf, offset, endian)
+            # undefined-length SQ: capture raw bytes for the functional
+            # groups (multi-frame geometry lives inside), skip the rest
+            end = _skip_undefined_sequence(buf, offset, endian)
+            if (group, elem) in ((0x5200, 0x9229), (0x5200, 0x9230)):
+                yield (group, elem), buf[offset : end - 8]  # drop delimiter
+            offset = end
             continue
         value = buf[offset : offset + length]
         offset += length
@@ -208,6 +216,112 @@ def read_dicom(path: str) -> dict:
         if tag in TAGS:
             fields[TAGS[tag]] = value
     return fields
+
+
+def _iter_sq_items(seq: bytes, endian="<"):
+    """Yield the payload bytes of each (FFFE,E000) item in a captured SQ.
+    Handles defined- and undefined-length items (the latter end with an
+    (FFFE,E00D) item delimiter)."""
+    i, n = 0, len(seq)
+    while i + 8 <= n:
+        group, elem = struct.unpack_from(endian + "HH", seq, i)
+        (length,) = struct.unpack_from(endian + "I", seq, i + 4)
+        i += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            return
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise DicomError("malformed SQ item tag (%04x,%04x)" % (group, elem))
+        if length != 0xFFFFFFFF:
+            yield seq[i : i + length]
+            i += length
+            continue
+        # undefined-length item: scan nested structure to its delimiter
+        start = i
+        depth = 0
+        while i + 8 <= n:
+            g2, e2 = struct.unpack_from(endian + "HH", seq, i)
+            (l2,) = struct.unpack_from(endian + "I", seq, i + 4)
+            if (g2, e2) == (0xFFFE, 0xE00D) and depth == 0:
+                yield seq[start:i]
+                i += 8
+                break
+            if (g2, e2) == (0xFFFE, 0xE000) and l2 == 0xFFFFFFFF:
+                depth += 1
+                i += 8
+            elif (g2, e2) == (0xFFFE, 0xE0DD):
+                depth -= 1
+                i += 8
+            elif (g2, e2) in ((0xFFFE, 0xE000), (0xFFFE, 0xE00D)):
+                i += 8 + (l2 if l2 != 0xFFFFFFFF else 0)
+            else:
+                # ordinary element inside the item: hop over it
+                i = _element_end_any(seq, i, endian)
+        else:
+            raise DicomError("unterminated undefined-length SQ item")
+
+
+def _element_end_any(buf, offset, endian="<"):
+    """End offset of one element, tolerating explicit OR implicit VR (the
+    functional-group innards follow the dataset's transfer syntax; explicit
+    is what every encapsulated/LE-explicit file uses)."""
+    vr = buf[offset + 4 : offset + 6]
+    if vr.isalpha() and vr.isupper():
+        if vr in _LONG_VRS:
+            (length,) = struct.unpack_from(endian + "I", buf, offset + 8)
+            return offset + 12 + (0 if length == 0xFFFFFFFF else length)
+        (length,) = struct.unpack_from(endian + "H", buf, offset + 6)
+        return offset + 8 + length
+    (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
+    return offset + 8 + (0 if length == 0xFFFFFFFF else length)
+
+
+def _find_tag(item: bytes, want, endian="<", depth=0):
+    """Depth-first search for a tag inside functional-group item bytes;
+    returns the raw value bytes or None. Descends into nested sequences
+    (PlanePositionSequence etc. wrap the classic tags one level down)."""
+    if depth > 6:
+        return None
+    i, n = 0, len(item)
+    while i + 8 <= n:
+        group, elem = struct.unpack_from(endian + "HH", item, i)
+        if (group, elem) in ((0xFFFE, 0xE000), (0xFFFE, 0xE00D), (0xFFFE, 0xE0DD)):
+            i += 8
+            continue
+        vr = item[i + 4 : i + 6]
+        explicit = vr.isalpha() and vr.isupper()
+        if explicit and vr in _LONG_VRS:
+            (length,) = struct.unpack_from(endian + "I", item, i + 8)
+            head = 12
+        elif explicit:
+            (length,) = struct.unpack_from(endian + "H", item, i + 6)
+            head = 8
+        else:
+            (length,) = struct.unpack_from(endian + "I", item, i + 4)
+            head = 8
+        if length == 0xFFFFFFFF:
+            # nested undefined-length SQ: bounded by our caller's capture
+            body = item[i + head :]
+        else:
+            body = item[i + head : i + head + length]
+        if (group, elem) == want:
+            return body
+        if (explicit and vr == b"SQ") or (
+            not explicit and length == 0xFFFFFFFF
+        ):
+            found = _find_tag(body, want, endian, depth + 1)
+            if found is not None:
+                return found
+        elif not explicit:
+            # implicit VR could still be a defined-length SQ; peek for an
+            # item tag at the start
+            if len(body) >= 8 and struct.unpack_from(endian + "HH", body, 0) == (0xFFFE, 0xE000):
+                found = _find_tag(body, want, endian, depth + 1)
+                if found is not None:
+                    return found
+        if length == 0xFFFFFFFF:
+            return None  # cannot hop an undefined-length element reliably
+        i += head + length
+    return None
 
 
 def _rle_decode_segment(data: bytes) -> bytes:
@@ -288,55 +402,28 @@ def _us(value, default=0, endian="<"):
     return struct.unpack(endian + "H", value[:2])[0] if len(value) >= 2 else default
 
 
-def series_to_volume(paths):
-    """Assemble one series from DICOM file paths. Returns
-    (volume [rows, cols, slices] float32, spacing [3] mm, affine 4x4 RAS)."""
-    slices = []
-    for p in paths:
-        f = read_dicom(p)
-        if "pixel_data" not in f:
-            continue
-        nframes = f.get("number_of_frames")
-        if nframes is not None:
-            try:
-                nf = int(nframes.decode("ascii", "ignore").strip("\x00 ") or 1)
-            except ValueError:
-                nf = 1
-            if nf > 1:
-                # decoding only the first frame would be SILENT data loss
-                raise DicomError(
-                    "%s: multi-frame pixel data (NumberOfFrames=%d) is not "
-                    "supported — export as single-frame series" % (p, nf)
-                )
-        en = f.get("endian", "<")
-        rows, cols = _us(f["rows"], endian=en), _us(f["cols"], endian=en)
-        bits = _us(f.get("bits_allocated", b"\x10\x00"), endian=en)
-        signed = _us(f.get("pixel_representation", b"\x00\x00"), endian=en) == 1
-        if bits == 16:
-            dt = np.int16 if signed else np.uint16
-        elif bits == 8:
-            dt = np.int8 if signed else np.uint8
-        else:
-            raise DicomError("%s: unsupported bits_allocated=%d" % (p, bits))
-        if isinstance(f["pixel_data"], list):  # encapsulated fragments
-            syn = f.get("transfer_syntax_uid")
+def _decode_frame_pixels(f, p, rows, cols, bits, signed, dt, en, nf):
+    """Decode ALL frames of one file -> [nf, rows, cols] array."""
+    syn = f.get("transfer_syntax_uid")
+    if isinstance(f["pixel_data"], list):  # encapsulated fragments
+        frags = f["pixel_data"]
+        if nf > 1 and len(frags) != nf:
+            raise DicomError(
+                "%s: %d fragments for %d frames (fragment-per-frame is the "
+                "only supported encapsulated multi-frame layout)"
+                % (p, len(frags), nf)
+            )
+        streams = frags if nf > 1 else [b"".join(frags)]
+        out = []
+        for k, stream in enumerate(streams):
             if syn == RLE_LOSSLESS:
-                if len(f["pixel_data"]) != 1:
-                    raise DicomError(
-                        "%s: multi-frame RLE (%d fragments) not supported"
-                        % (p, len(f["pixel_data"]))
-                    )
-                pix = _rle_decode_frame(
-                    f["pixel_data"][0], rows, cols, bits, signed
-                ).reshape(rows, cols)
+                pix = _rle_decode_frame(stream, rows, cols, bits, signed)
+                pix = pix.reshape(rows, cols)
             elif (
                 syn in _JPEG_SYNTAXES
                 or syn in _JPEG_LS_SYNTAXES
                 or syn in _J2K_SYNTAXES
             ):
-                # a single-frame image may span several fragments (PS3.5
-                # A.4): concatenate them into one codestream
-                stream = b"".join(f["pixel_data"])
                 try:
                     if syn in _JPEG_LS_SYNTAXES:
                         from deepwmh_tpu.core import jlscodec
@@ -351,13 +438,15 @@ def series_to_volume(paths):
 
                         pix, _prec = jpegcodec.decode(stream)
                 except ValueError as e:  # JpegError / JlsError / J2kError
-                    raise DicomError("%s: JPEG decode failed: %s" % (p, e))
+                    raise DicomError(
+                        "%s: frame %d decode failed: %s" % (p, k, e)
+                    )
                 if pix.ndim != 2:
                     pix = pix[..., 0]  # MRI is monochrome; drop extra planes
                 if pix.shape != (rows, cols):
                     raise DicomError(
-                        "%s: JPEG frame %s != Rows/Columns (%d, %d)"
-                        % (p, pix.shape, rows, cols)
+                        "%s: frame %d shape %s != Rows/Columns (%d, %d)"
+                        % (p, k, pix.shape, rows, cols)
                     )
                 if signed:
                     pix = pix.astype(np.int32).astype(
@@ -368,20 +457,99 @@ def series_to_volume(paths):
                     "%s: encapsulated pixel data in syntax %r is not "
                     "decodable here" % (p, syn)
                 )
+            out.append(pix)
+        return np.stack(out)
+    # native: frames are contiguous in the pixel buffer
+    return np.frombuffer(
+        f["pixel_data"], dtype=np.dtype(dt).newbyteorder(en),
+        count=nf * rows * cols,
+    ).reshape(nf, rows, cols)
+
+
+def series_to_volume(paths):
+    """Assemble one series from DICOM file paths — classic single-frame
+    series AND enhanced multi-frame files (per-frame geometry from the
+    PerFrameFunctionalGroupsSequence). Returns
+    (volume [rows, cols, slices] float32, spacing [3] mm, affine 4x4 RAS)."""
+    slices = []
+    for p in paths:
+        f = read_dicom(p)
+        if "pixel_data" not in f:
+            continue
+        en = f.get("endian", "<")
+        nframes = f.get("number_of_frames")
+        nf = 1
+        if nframes is not None:
+            try:
+                nf = int(nframes.decode("ascii", "ignore").strip("\x00 ") or 1)
+            except ValueError:
+                nf = 1
+        rows, cols = _us(f["rows"], endian=en), _us(f["cols"], endian=en)
+        bits = _us(f.get("bits_allocated", b"\x10\x00"), endian=en)
+        signed = _us(f.get("pixel_representation", b"\x00\x00"), endian=en) == 1
+        if bits == 16:
+            dt = np.int16 if signed else np.uint16
+        elif bits == 8:
+            dt = np.int8 if signed else np.uint8
         else:
-            pix = np.frombuffer(
-                f["pixel_data"], dtype=np.dtype(dt).newbyteorder(en),
-                count=rows * cols,
-            ).reshape(rows, cols)
-        slope = _ds(f.get("rescale_slope", b"1"), [1.0])[0]
-        inter = _ds(f.get("rescale_intercept", b"0"), [0.0])[0]
-        img = pix.astype(np.float32) * slope + inter
-        ipp = _ds(f.get("ipp", b"0\\0\\0"), [0, 0, 0])
-        iop = _ds(f.get("iop", b"1\\0\\0\\0\\1\\0"), [1, 0, 0, 0, 1, 0])
-        ps = _ds(f.get("pixel_spacing", b"1\\1"), [1, 1])
-        thick = _ds(f.get("spacing_between", f.get("slice_thickness", b"1")), [1.0])[0]
-        inst = int(_ds(f.get("instance_number", b"0"), [0])[0])
-        slices.append((img, np.array(ipp), np.array(iop), ps, thick, inst))
+            raise DicomError("%s: unsupported bits_allocated=%d" % (p, bits))
+
+        frames = _decode_frame_pixels(f, p, rows, cols, bits, signed, dt, en, nf)
+
+        # geometry: top-level tags for classic files; functional groups
+        # (shared + per-frame) for enhanced multi-frame
+        shared = f.get("shared_fg")
+        shared_item = next(_iter_sq_items(shared, en), None) if shared else None
+        perframe_items = (
+            list(_iter_sq_items(f["perframe_fg"], en))
+            if nf > 1 and "perframe_fg" in f
+            else []
+        )
+
+        def fg_value(frame_idx, tag, top_key):
+            if frame_idx < len(perframe_items):
+                v = _find_tag(perframe_items[frame_idx], tag, en)
+                if v is not None:
+                    return v
+            if shared_item is not None:
+                v = _find_tag(shared_item, tag, en)
+                if v is not None:
+                    return v
+            return f.get(top_key)
+
+        if nf > 1 and not perframe_items and "ipp" not in f:
+            raise DicomError(
+                "%s: multi-frame file without per-frame plane positions — "
+                "cannot order the slices" % p
+            )
+
+        slope_b = fg_value(0, (0x0028, 0x1053), "rescale_slope")
+        inter_b = fg_value(0, (0x0028, 0x1052), "rescale_intercept")
+        slope = _ds(slope_b or b"1", [1.0])[0]
+        inter = _ds(inter_b or b"0", [0.0])[0]
+
+        for k in range(nf):
+            img = frames[k].astype(np.float32) * slope + inter
+            ipp = _ds(fg_value(k, (0x0020, 0x0032), "ipp") or b"0\\0\\0",
+                      [0, 0, 0])
+            iop = _ds(
+                fg_value(k, (0x0020, 0x0037), "iop") or b"1\\0\\0\\0\\1\\0",
+                [1, 0, 0, 0, 1, 0],
+            )
+            ps = _ds(fg_value(k, (0x0028, 0x0030), "pixel_spacing") or b"1\\1",
+                     [1, 1])
+            thick_b = (
+                fg_value(k, (0x0018, 0x0088), "spacing_between")
+                or fg_value(k, (0x0018, 0x0050), "slice_thickness")
+                or b"1"
+            )
+            thick = _ds(thick_b, [1.0])[0]
+            inst = int(
+                _ds(f.get("instance_number", b"0"), [0])[0]
+            ) * max(nf, 1) + k
+            slices.append(
+                (img, np.array(ipp), np.array(iop), ps, thick, inst)
+            )
 
     if not slices:
         raise DicomError("no image slices found")

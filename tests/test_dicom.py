@@ -267,3 +267,97 @@ def test_multiframe_rejected(tmp_path):
         f.write(b"\x00" * 128 + b"DICM" + meta + body)
     with pytest.raises(DicomError, match="multi-frame"):
         series_to_volume([p])
+
+
+def _sq_item(payload: bytes) -> bytes:
+    return struct.pack("<HHI", 0xFFFE, 0xE000, len(payload)) + payload
+
+
+def _nested_sq(group, elem, items: bytes) -> bytes:
+    # defined-length SQ element containing the given item bytes
+    return struct.pack("<HH2sHI", group, elem, b"SQ", 0, len(items)) + items
+
+
+def _enhanced_body(nf, rows, cols, pixel_element, iop=b"1\\0\\0\\0\\1\\0"):
+    """Enhanced-MR layout: geometry in shared/per-frame functional groups
+    instead of top-level tags."""
+    shared_inner = b""
+    shared_inner += _nested_sq(
+        0x0020, 0x9116, _sq_item(_el_explicit(0x0020, 0x0037, b"DS", iop))
+    )
+    shared_inner += _nested_sq(
+        0x0028, 0x9110,
+        _sq_item(
+            _el_explicit(0x0028, 0x0030, b"DS", b"2\\2")
+            + _el_explicit(0x0018, 0x0088, b"DS", b"3")
+        ),
+    )
+    shared = _nested_sq(0x5200, 0x9229, _sq_item(shared_inner))
+
+    perframe_items = b""
+    for k in range(nf):
+        inner = _nested_sq(
+            0x0020, 0x9113,
+            _sq_item(
+                _el_explicit(0x0020, 0x0032, b"DS", b"0\\0\\%d" % (3 * k))
+            ),
+        )
+        perframe_items += _sq_item(inner)
+    perframe = _nested_sq(0x5200, 0x9230, perframe_items)
+
+    body = b""
+    body += _el_explicit(0x0008, 0x0018, b"UI", b"2.2.2.1")
+    body += _el_explicit(0x0020, 0x000E, b"UI", b"2.2.2.series")
+    body += _el_explicit(0x0020, 0x0013, b"IS", b"1")
+    body += _el_explicit(0x0028, 0x0008, b"IS", str(nf).encode())
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += shared + perframe + pixel_element
+    return body
+
+
+def test_enhanced_multiframe_native(tmp_path):
+    """Enhanced multi-frame file (native pixels, per-frame plane positions
+    in functional groups) expands into an ordered volume."""
+    rng = np.random.RandomState(8)
+    vol = (rng.rand(10, 12, 4) * 3000).astype(np.uint16)
+    nf = 4
+    pix = np.moveaxis(vol, -1, 0)  # [nf, rows, cols]
+    pixel_el = _el_explicit(0x7FE0, 0x0010, b"OW", pix.astype("<u2").tobytes())
+    body = _enhanced_body(nf, 10, 12, pixel_el)
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+    p = str(tmp_path / "enh.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    got, spacing, _ = series_to_volume([p])
+    np.testing.assert_allclose(got, vol.astype(np.float32))
+    np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+
+
+def test_enhanced_multiframe_jpeg_lossless(tmp_path):
+    """Enhanced multi-frame with one JPEG-Lossless fragment per frame."""
+    from deepwmh_tpu.core import jpegcodec as jc
+
+    rng = np.random.RandomState(9)
+    vol = (rng.rand(9, 11, 3) * 4000).astype(np.uint16)
+    nf = 3
+    encaps = struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    for k in range(nf):
+        stream = jc.encode_lossless(vol[:, :, k], predictor=1, precision=16)
+        if len(stream) % 2:
+            stream += b"\x00"
+        encaps += struct.pack("<HHI", 0xFFFE, 0xE000, len(stream)) + stream
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    pixel_el = (
+        struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF) + encaps
+    )
+    body = _enhanced_body(nf, 9, 11, pixel_el)
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.70\x00")
+    p = str(tmp_path / "enh_jpeg.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    got, spacing, _ = series_to_volume([p])
+    np.testing.assert_allclose(got, vol.astype(np.float32))
+    np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
