@@ -523,12 +523,13 @@ def series_to_volume(paths):
                 "cannot order the slices" % p
             )
 
-        slope_b = fg_value(0, (0x0028, 0x1053), "rescale_slope")
-        inter_b = fg_value(0, (0x0028, 0x1052), "rescale_intercept")
-        slope = _ds(slope_b or b"1", [1.0])[0]
-        inter = _ds(inter_b or b"0", [0.0])[0]
-
         for k in range(nf):
+            # rescale can vary per frame in enhanced MR (the per-frame
+            # PixelValueTransformationSequence)
+            slope_b = fg_value(k, (0x0028, 0x1053), "rescale_slope")
+            inter_b = fg_value(k, (0x0028, 0x1052), "rescale_intercept")
+            slope = _ds(slope_b or b"1", [1.0])[0]
+            inter = _ds(inter_b or b"0", [0.0])[0]
             img = frames[k].astype(np.float32) * slope + inter
             ipp = _ds(fg_value(k, (0x0020, 0x0032), "ipp") or b"0\\0\\0",
                       [0, 0, 0])
