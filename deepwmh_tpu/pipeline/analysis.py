@@ -186,17 +186,29 @@ class LesionAnalyzer:
 
     # ------------------------------------------------------------------ #
 
-    def analyze_case(self, case: str, intensity_prior="+", apply_otsu=True) -> AnalysisResult:
+    def _load_case(self, case: str):
+        """Host IO for one case: the input + K reference/label gzip volumes
+        (~3K files) — threaded here so the driver loop can prefetch the
+        next case while the current one computes on device."""
         info = self.data_dict[case]
         x_raw, hdr = nifti.load_nifti(info["x"])
         # round so float32 header jitter can't defeat the jit cache across
         # same-protocol cases
         voxel_size = tuple(round(v, 4) for v in nifti.get_nifti_pixdim(info["x"]))
-        patch = patch_size_from_voxel(voxel_size)
+        from deepwmh_tpu.utils.parallel import run_parallel
 
-        refs = np.stack([nifti.load_nifti_simple(p) for p in info["r"]])
-        l1 = np.stack([nifti.load_nifti_simple(p) for p in info["m"]])
-        l2 = np.stack([nifti.load_nifti_simple(p) for p in info["y"]])
+        paths = list(info["r"]) + list(info["m"]) + list(info["y"])
+        vols = run_parallel(nifti.load_nifti_simple, paths, show_progress=False)
+        K = len(info["r"])
+        refs = np.stack(vols[:K])
+        l1 = np.stack(vols[K : 2 * K])
+        l2 = np.stack(vols[2 * K :])
+        return x_raw, hdr, voxel_size, refs, l1, l2
+
+    def analyze_case(self, case: str, intensity_prior="+", apply_otsu=True,
+                     loaded=None) -> AnalysisResult:
+        x_raw, hdr, voxel_size, refs, l1, l2 = loaded or self._load_case(case)
+        patch = patch_size_from_voxel(voxel_size)
         num_classes = int(np.max(l2.astype(np.int64))) + 1
 
         out = nll_analysis_core(
@@ -218,16 +230,29 @@ class LesionAnalyzer:
         ), hdr, voxel_size
 
     def analyze_and_do_segmentation(self, intensity_prior="+", do_postprocessing=True):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.time_stamps.record("segmentation_start")
+        todo = []
         for case in self.data_dict:
             case_dir = mkdir(join_path(self.output_folder, case))
-            summary_path = join_path(case_dir, "summary.json")
-            if os.path.isfile(summary_path):
+            if os.path.isfile(join_path(case_dir, "summary.json")):
                 self.log("case %s: summary exists, skip analysis" % case)
             else:
+                todo.append(case)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            load_future = (
+                pool.submit(self._load_case, todo[0]) if todo else None
+            )
+            for ci, case in enumerate(todo):
+                case_dir = join_path(self.output_folder, case)
+                summary_path = join_path(case_dir, "summary.json")
+                loaded = load_future.result()
+                if ci + 1 < len(todo):  # prefetch the next case's IO
+                    load_future = pool.submit(self._load_case, todo[ci + 1])
                 self.log("analyzing case %s" % case)
                 result, hdr, voxel_size = self.analyze_case(
-                    case, intensity_prior=intensity_prior
+                    case, intensity_prior=intensity_prior, loaded=loaded
                 )
                 nifti.save_nifti(
                     result.normalized_input, hdr, join_path(case_dir, "normalized_input.nii.gz")
@@ -270,7 +295,12 @@ class LesionAnalyzer:
                     self.log("histogram plot failed for %s: %s" % (case, e))
                 atomic_write_json(summary, summary_path)
 
-            # segmentation (reference _parallel_segmentation)
+        # segmentation (reference _parallel_segmentation) — for EVERY case,
+        # including ones whose analysis was skipped as already done (a
+        # deleted/corrupt segmentation must be recomputable from artifacts)
+        for case in self.data_dict:
+            case_dir = join_path(self.output_folder, case)
+            summary_path = join_path(case_dir, "summary.json")
             seg_path = join_path(case_dir, "segmentation.nii.gz")
             if not nifti.try_load_nifti(seg_path):
                 with open(summary_path) as f:
