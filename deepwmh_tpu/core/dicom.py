@@ -102,30 +102,58 @@ def _parse_fragments(buf, offset, endian="<"):
     raise DicomError("encapsulated pixel data missing sequence delimiter")
 
 
-def _skip_undefined_sequence(buf, offset, endian="<"):
-    """Skip an undefined-length SQ: items may themselves be undefined-length
-    (ended by an item delimiter); the sequence ends with (FFFE,E0DD)."""
+def _skip_dataset_element(buf, offset, endian="<"):
+    """End offset of ONE dataset element starting at `offset`, recursing
+    into undefined-length sequences. Tolerates explicit or implicit VR
+    (sniffed from the two VR bytes)."""
+    vr = buf[offset + 4 : offset + 6]
+    explicit = vr.isalpha() and vr.isupper()
+    if explicit and vr in _LONG_VRS:
+        (length,) = struct.unpack_from(endian + "I", buf, offset + 8)
+        head = 12
+    elif explicit:
+        (length,) = struct.unpack_from(endian + "H", buf, offset + 6)
+        head = 8
+    else:
+        (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
+        head = 8
+    if length == 0xFFFFFFFF:
+        return _skip_undefined_sequence(buf, offset + head, endian)
+    return offset + head + length
+
+
+def _skip_undefined_item(buf, offset, endian="<"):
+    """Walk the elements of one undefined-length item until its (FFFE,E00D)
+    delimiter; returns the offset just past the delimiter."""
     n = len(buf)
-    depth = 1
+    while offset + 8 <= n:
+        group, elem = struct.unpack_from(endian + "HH", buf, offset)
+        if (group, elem) == (0xFFFE, 0xE00D):
+            return offset + 8
+        offset = _skip_dataset_element(buf, offset, endian)
+    raise DicomError("undefined-length item missing delimiter")
+
+
+def _skip_undefined_sequence(buf, offset, endian="<"):
+    """Skip an undefined-length SQ (offset points at its first item tag):
+    items may be defined- or undefined-length, elements inside items may
+    themselves be (nested) sequences. Returns the offset just past the
+    (FFFE,E0DD) sequence delimiter."""
+    n = len(buf)
     while offset + 8 <= n:
         group, elem = struct.unpack_from(endian + "HH", buf, offset)
         (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
         offset += 8
         if (group, elem) == (0xFFFE, 0xE0DD):
-            depth -= 1
-            if depth == 0:
-                return offset
-        elif (group, elem) == (0xFFFE, 0xE000):
-            if length == 0xFFFFFFFF:
-                depth += 1  # undefined-length item: scan its delimiters too
-            else:
-                offset += length
-        elif (group, elem) == (0xFFFE, 0xE00D):
-            pass  # item delimiter of an undefined-length item
-        else:
+            return offset
+        if (group, elem) != (0xFFFE, 0xE000):
             raise DicomError(
                 "malformed sequence: tag (%04x,%04x)" % (group, elem)
             )
+        if length == 0xFFFFFFFF:
+            offset = _skip_undefined_item(buf, offset, endian)
+        else:
+            offset += length
     raise DicomError("undefined-length sequence missing delimiter")
 
 
@@ -221,7 +249,7 @@ def read_dicom(path: str) -> dict:
 def _iter_sq_items(seq: bytes, endian="<"):
     """Yield the payload bytes of each (FFFE,E000) item in a captured SQ.
     Handles defined- and undefined-length items (the latter end with an
-    (FFFE,E00D) item delimiter)."""
+    (FFFE,E00D) item delimiter), with arbitrarily nested sequences."""
     i, n = 0, len(seq)
     while i + 8 <= n:
         group, elem = struct.unpack_from(endian + "HH", seq, i)
@@ -234,30 +262,10 @@ def _iter_sq_items(seq: bytes, endian="<"):
         if length != 0xFFFFFFFF:
             yield seq[i : i + length]
             i += length
-            continue
-        # undefined-length item: scan nested structure to its delimiter
-        start = i
-        depth = 0
-        while i + 8 <= n:
-            g2, e2 = struct.unpack_from(endian + "HH", seq, i)
-            (l2,) = struct.unpack_from(endian + "I", seq, i + 4)
-            if (g2, e2) == (0xFFFE, 0xE00D) and depth == 0:
-                yield seq[start:i]
-                i += 8
-                break
-            if (g2, e2) == (0xFFFE, 0xE000) and l2 == 0xFFFFFFFF:
-                depth += 1
-                i += 8
-            elif (g2, e2) == (0xFFFE, 0xE0DD):
-                depth -= 1
-                i += 8
-            elif (g2, e2) in ((0xFFFE, 0xE000), (0xFFFE, 0xE00D)):
-                i += 8 + (l2 if l2 != 0xFFFFFFFF else 0)
-            else:
-                # ordinary element inside the item: hop over it
-                i = _element_end_any(seq, i, endian)
         else:
-            raise DicomError("unterminated undefined-length SQ item")
+            end = _skip_undefined_item(seq, i, endian)
+            yield seq[i : end - 8]  # drop the item delimiter
+            i = end
 
 
 def _element_end_any(buf, offset, endian="<"):
@@ -412,6 +420,12 @@ def _decode_frame_pixels(f, p, rows, cols, bits, signed, dt, en, nf):
                 "%s: %d fragments for %d frames (fragment-per-frame is the "
                 "only supported encapsulated multi-frame layout)"
                 % (p, len(frags), nf)
+            )
+        if syn == RLE_LOSSLESS and nf == 1 and len(frags) != 1:
+            # each RLE frame is exactly one fragment (PS3.5 A.4.2);
+            # concatenating would decode garbage silently
+            raise DicomError(
+                "%s: %d RLE fragments for a single-frame image" % (p, len(frags))
             )
         streams = frags if nf > 1 else [b"".join(frags)]
         out = []

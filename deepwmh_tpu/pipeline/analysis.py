@@ -197,12 +197,12 @@ class LesionAnalyzer:
         voxel_size = tuple(round(v, 4) for v in nifti.get_nifti_pixdim(info["x"]))
         from deepwmh_tpu.utils.parallel import run_parallel
 
+        nr, nm = len(info["r"]), len(info["m"])
         paths = list(info["r"]) + list(info["m"]) + list(info["y"])
         vols = run_parallel(nifti.load_nifti_simple, paths, show_progress=False)
-        K = len(info["r"])
-        refs = np.stack(vols[:K])
-        l1 = np.stack(vols[K : 2 * K])
-        l2 = np.stack(vols[2 * K :])
+        refs = np.stack(vols[:nr])
+        l1 = np.stack(vols[nr : nr + nm])
+        l2 = np.stack(vols[nr + nm :])
         return x_raw, hdr, voxel_size, refs, l1, l2
 
     def analyze_case(self, case: str, intensity_prior="+", apply_otsu=True,

@@ -248,15 +248,6 @@ def _affine_core_batch_jit(fixed, moving, fsp, msp, cfg: AffineConfig):
     )(fixed, moving)
 
 
-def _hashable_cfg(cfg, shape):
-    import dataclasses
-
-    shr, its = feasible_levels(cfg.shrinks, cfg.iters, shape)
-    return dataclasses.replace(
-        cfg, shrinks=tuple(shr), iters=tuple(its)
-    )
-
-
 def feasible_affine_cfg(cfg: "AffineConfig", shape):
     """Clamp the pyramid to levels this volume can support (min dim 8) —
     the one shared policy for the class path and the mesh path."""
@@ -264,6 +255,9 @@ def feasible_affine_cfg(cfg: "AffineConfig", shape):
 
     shr, its = feasible_levels(cfg.shrinks, cfg.iters, shape)
     return dataclasses.replace(cfg, shrinks=tuple(shr), iters=tuple(its))
+
+
+_hashable_cfg = feasible_affine_cfg  # internal callers' historical name
 
 
 def register_affine(

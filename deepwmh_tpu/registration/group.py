@@ -194,12 +194,6 @@ class GroupRegistration:
             return False
         return True
 
-    @staticmethod
-    def _feasible_levels(cfg_shrinks, cfg_iters, shape, min_dim: int = 8):
-        from deepwmh_tpu.registration.affine import feasible_levels
-
-        return feasible_levels(cfg_shrinks, cfg_iters, shape, min_dim)
-
     def _pair_cfgs(self, fixed_shape):
         from deepwmh_tpu.registration.affine import feasible_affine_cfg
         from deepwmh_tpu.registration.svf import _feasible_cfg
@@ -375,30 +369,12 @@ class GroupRegistration:
                     )
                     outs = jax.tree_util.tree_map(lambda x: x[None], outs)
                 elif mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as PS
-
-                    axis = mesh.axis_names[0]
-                    n_dev = int(mesh.shape[axis])
-                    nb = len(chunk)
-                    pad = (-nb) % n_dev
-                    if pad:  # pad-and-drop so the batch shards evenly
-                        fixed = np.concatenate(
-                            [fixed, np.repeat(fixed[-1:], pad, axis=0)]
-                        )
-                        moving = np.concatenate(
-                            [moving, np.repeat(moving[-1:], pad, axis=0)]
-                        )
-                    sharding = NamedSharding(mesh, PS(axis))
-                    outs = _pair_core_batch_jit(
-                        jax.device_put(fixed, sharding),
-                        jax.device_put(moving, sharding),
-                        fsp_j, msp_j, acfg, scfg, deformable=self.deformable,
+                    # one implementation of pad/shard/drop: the library call
+                    outs = register_pairs_mesh(
+                        fixed, moving, f_sp, m_sp, mesh,
+                        affine_cfg=acfg, svf_cfg=scfg,
+                        deformable=self.deformable,
                     )
-                    if pad:
-                        outs = jax.tree_util.tree_map(
-                            lambda x: x[:nb] if x is not None else None,
-                            outs, is_leaf=lambda x: x is None,
-                        )
                 else:
                     outs = _pair_core_batch_jit(
                         jnp.asarray(fixed), jnp.asarray(moving),

@@ -361,3 +361,100 @@ def test_enhanced_multiframe_jpeg_lossless(tmp_path):
     got, spacing, _ = series_to_volume([p])
     np.testing.assert_allclose(got, vol.astype(np.float32))
     np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+
+
+def _undef_sq(group, elem, items: bytes) -> bytes:
+    """Undefined-length SQ element + items + sequence delimiter."""
+    return (
+        struct.pack("<HH2sHI", group, elem, b"SQ", 0, 0xFFFFFFFF)
+        + items
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+
+
+def _undef_item(payload: bytes) -> bytes:
+    """Undefined-length item + payload elements + item delimiter."""
+    return (
+        struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF)
+        + payload
+        + struct.pack("<HHI", 0xFFFE, 0xE00D, 0)
+    )
+
+
+def test_enhanced_multiframe_undefined_length_sequences(tmp_path):
+    """The same enhanced layout but with UNDEFINED-length functional-group
+    sequences and items (a legal, common encoding): nested defined-length
+    items inside undefined-length items must parse."""
+    rng = np.random.RandomState(12)
+    nf = 3
+    vol = (rng.rand(8, 9, nf) * 2000).astype(np.uint16)
+    pix = np.moveaxis(vol, -1, 0)
+    pixel_el = _el_explicit(0x7FE0, 0x0010, b"OW", pix.astype("<u2").tobytes())
+
+    shared_inner = _undef_sq(
+        0x0020, 0x9116, _sq_item(_el_explicit(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0"))
+    ) + _undef_sq(
+        0x0028, 0x9110,
+        _undef_item(
+            _el_explicit(0x0028, 0x0030, b"DS", b"2\\2")
+            + _el_explicit(0x0018, 0x0088, b"DS", b"3")
+        ),
+    )
+    shared = _undef_sq(0x5200, 0x9229, _undef_item(shared_inner))
+
+    perframe_items = b""
+    for k in range(nf):
+        inner = _undef_sq(
+            0x0020, 0x9113,
+            _sq_item(_el_explicit(0x0020, 0x0032, b"DS", b"0\\0\\%d" % (3 * k))),
+        )
+        perframe_items += _undef_item(inner)
+    perframe = _undef_sq(0x5200, 0x9230, perframe_items)
+
+    body = b""
+    body += _el_explicit(0x0008, 0x0018, b"UI", b"2.2.3.1")
+    body += _el_explicit(0x0020, 0x000E, b"UI", b"2.2.3.series")
+    body += _el_explicit(0x0020, 0x0013, b"IS", b"1")
+    body += _el_explicit(0x0028, 0x0008, b"IS", str(nf).encode())
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", 8))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", 9))
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += shared + perframe + pixel_el
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+    p = str(tmp_path / "enh_undef.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    got, spacing, _ = series_to_volume([p])
+    np.testing.assert_allclose(got, vol.astype(np.float32))
+    np.testing.assert_allclose(spacing, [2.0, 2.0, 3.0])
+
+
+def test_single_frame_multifragment_rle_rejected(tmp_path):
+    """Two RLE fragments for one frame must raise, not decode garbage."""
+    import pytest
+
+    from deepwmh_tpu.core.dicom import DicomError
+
+    rng = np.random.RandomState(13)
+    pixel = (rng.rand(6, 7) * 2000).astype(np.uint16)
+    flat = pixel.astype("<u2").reshape(-1)
+    hi = _rle_encode_segment((flat >> 8).astype(np.uint8).tobytes())
+    lo = _rle_encode_segment((flat & 0xFF).astype(np.uint8).tobytes())
+    header = struct.pack("<16I", 2, 64, 64 + len(hi), *([0] * 13))
+    frame = header + hi + lo
+    if len(frame) % 2:
+        frame += b"\x00"
+    half = (len(frame) // 2) & ~1
+    encaps = struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE000, half) + frame[:half]
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE000, len(frame) - half) + frame[half:]
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    pixel_el = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF) + encaps
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.5\x00")
+    p = str(tmp_path / "rle2frag.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta
+                + _write_body(pixel_el, 6, 7, 1, (0, 0, 0)))
+    with pytest.raises(DicomError, match="RLE fragments"):
+        series_to_volume([p])

@@ -164,8 +164,9 @@ def test_launch_with_mesh_writes_artifacts(tmp_path):
         srcs, tgts, str(tmp_path / "out"), quick=True, keep_deformation=True
     )
     reg.launch(verbose=False, batch_pairs=8, mesh=mesh)
-    for _, t in tgts:
-        name = "S0_to_%s" % t.split("/")[-1].split(".")[0].replace("t", "T")
     for i in range(3):
         paths = reg._pair_paths("S0", "T%d" % i)
         assert reg._pair_done(paths), i
+        import os
+
+        assert os.path.isfile(paths["image"]) and os.path.isfile(paths["warp"])
