@@ -1,10 +1,13 @@
 """dcm2niix_py — recursive DICOM -> NIfTI conversion CLI.
 
 Counterpart of the reference adapter (deepwmh/external_tools/dcm2niix.py:5-77)
-without the external dcm2niix binary: supports single-frame series in
-uncompressed little endian, Deflated, RLE Lossless, and the JPEG family
-(Baseline, Extended 12-bit, Lossless Process 14/SV1 — decoded by the
-from-scratch codec in core/jpegcodec.py).
+without the external dcm2niix binary. Transfer-syntax coverage (see
+core/dicom.py and docs/PARITY.md C9): uncompressed little AND big endian
+(explicit/implicit VR), Deflated, RLE Lossless, JPEG (Baseline, Extended
+12-bit, Lossless Process 14/SV1 — core/jpegcodec.py), JPEG-LS (T.87 —
+core/jlscodec.py), and JPEG 2000 (T.800 — core/j2kcodec.py); classic
+single-frame series and enhanced multi-frame files with per-frame
+functional-group geometry and per-frame rescale slope/intercept.
 """
 
 from __future__ import annotations

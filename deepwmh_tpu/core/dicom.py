@@ -268,21 +268,6 @@ def _iter_sq_items(seq: bytes, endian="<"):
             i = end
 
 
-def _element_end_any(buf, offset, endian="<"):
-    """End offset of one element, tolerating explicit OR implicit VR (the
-    functional-group innards follow the dataset's transfer syntax; explicit
-    is what every encapsulated/LE-explicit file uses)."""
-    vr = buf[offset + 4 : offset + 6]
-    if vr.isalpha() and vr.isupper():
-        if vr in _LONG_VRS:
-            (length,) = struct.unpack_from(endian + "I", buf, offset + 8)
-            return offset + 12 + (0 if length == 0xFFFFFFFF else length)
-        (length,) = struct.unpack_from(endian + "H", buf, offset + 6)
-        return offset + 8 + length
-    (length,) = struct.unpack_from(endian + "I", buf, offset + 4)
-    return offset + 8 + (0 if length == 0xFFFFFFFF else length)
-
-
 def _find_tag(item: bytes, want, endian="<", depth=0):
     """Depth-first search for a tag inside functional-group item bytes;
     returns the raw value bytes or None. Descends into nested sequences
@@ -442,15 +427,15 @@ def _decode_frame_pixels(f, p, rows, cols, bits, signed, dt, en, nf):
                     if syn in _JPEG_LS_SYNTAXES:
                         from deepwmh_tpu.core import jlscodec
 
-                        pix, _prec = jlscodec.decode(stream)
+                        pix, prec = jlscodec.decode(stream)
                     elif syn in _J2K_SYNTAXES:
                         from deepwmh_tpu.core import j2kcodec
 
-                        pix, _prec = j2kcodec.decode(stream)
+                        pix, prec = j2kcodec.decode(stream)
                     else:
                         from deepwmh_tpu.core import jpegcodec
 
-                        pix, _prec = jpegcodec.decode(stream)
+                        pix, prec = jpegcodec.decode(stream)
                 except ValueError as e:  # JpegError / JlsError / J2kError
                     raise DicomError(
                         "%s: frame %d decode failed: %s" % (p, k, e)
@@ -463,9 +448,16 @@ def _decode_frame_pixels(f, p, rows, cols, bits, signed, dt, en, nf):
                         % (p, k, pix.shape, rows, cols)
                     )
                 if signed:
-                    pix = pix.astype(np.int32).astype(
-                        np.int16 if bits == 16 else np.int8
-                    )
+                    # Sign-extend from the CODESTREAM precision, not the
+                    # container width: a 12-bit signed series (common on
+                    # Philips/GE; PixelRepresentation=1, BitsStored=12)
+                    # stores -1 as 0xFFF — two's complement at the stored
+                    # width, which dcm2niix likewise extends from BitsStored.
+                    prec = min(int(prec), bits)
+                    pix = pix.astype(np.int32)
+                    if prec < 32:
+                        pix[pix >= (1 << (prec - 1))] -= 1 << prec
+                    pix = pix.astype(np.int16 if bits == 16 else np.int8)
             else:
                 raise DicomError(
                     "%s: encapsulated pixel data in syntax %r is not "

@@ -458,3 +458,76 @@ def test_single_frame_multifragment_rle_rejected(tmp_path):
                 + _write_body(pixel_el, 6, 7, 1, (0, 0, 0)))
     with pytest.raises(DicomError, match="RLE fragments"):
         series_to_volume([p])
+
+
+def _write_signed_body(pixel_element: bytes, rows, cols, instance, ipp,
+                       bits_stored=12, series_uid="9.8.12") -> bytes:
+    """Like _write_body but PixelRepresentation=1 (signed) + BitsStored."""
+    body = b""
+    body += _el_explicit(0x0008, 0x0018, b"UI", b"9.8.12.%d" % instance)
+    body += _el_explicit(0x0020, 0x000E, b"UI", series_uid.encode())
+    body += _el_explicit(0x0020, 0x0013, b"IS", str(instance).encode())
+    body += _el_explicit(0x0020, 0x0032, b"DS",
+                         ("%g\\%g\\%g" % tuple(ipp)).encode())
+    body += _el_explicit(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0")
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _el_explicit(0x0028, 0x0030, b"DS", b"1\\1")
+    body += _el_explicit(0x0018, 0x0050, b"DS", b"1")
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0101, b"US", struct.pack("<H", bits_stored))
+    body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 1))
+    return body + pixel_element
+
+
+def _encapsulate(stream: bytes) -> bytes:
+    if len(stream) % 2:
+        stream += b"\x00"
+    encaps = struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE000, len(stream)) + stream
+    encaps += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    return struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF) + encaps
+
+
+def test_signed_12bit_jpeg_lossless_sign_extension(tmp_path):
+    """A 12-bit SIGNED series (PixelRepresentation=1, BitsStored=12, common
+    on Philips/GE exports) stores -1 as 0xFFF: the decoder must sign-extend
+    from the CODESTREAM precision, not the 16-bit container width."""
+    from deepwmh_tpu.core import jpegcodec as jc
+
+    rng = np.random.RandomState(12)
+    signed = (rng.rand(6, 7, 3) * 4096 - 2048).astype(np.int16)
+    signed[0, 0, :] = -1      # 0xFFF stored — the poster-child value
+    signed[1, 1, :] = -2048   # most-negative 12-bit
+    signed[2, 2, :] = 2047    # most-positive 12-bit
+    for k in range(3):
+        codes = (signed[:, :, k].astype(np.int32) & 0xFFF).astype(np.uint16)
+        stream = jc.encode_lossless(codes, predictor=1, precision=12)
+        meta = _el_explicit(0x0002, 0x0010, b"UI",
+                            b"1.2.840.10008.1.2.4.70\x00")
+        p = str(tmp_path / ("s12_%02d.dcm" % k))
+        with open(p, "wb") as f:
+            f.write(b"\x00" * 128 + b"DICM" + meta
+                    + _write_signed_body(_encapsulate(stream), 6, 7, k + 1,
+                                         (0, 0, float(k))))
+    paths = [str(tmp_path / f) for f in sorted(os.listdir(tmp_path))]
+    got, _, _ = series_to_volume(paths)
+    np.testing.assert_allclose(got, signed.astype(np.float32))
+
+
+def test_signed_12bit_jpegls_sign_extension(tmp_path):
+    """Same contract through the JPEG-LS (T.87) path."""
+    from deepwmh_tpu.core import jlscodec as jls
+
+    rng = np.random.RandomState(13)
+    signed = (rng.rand(5, 8) * 4096 - 2048).astype(np.int16)
+    signed[0, 0] = -1
+    codes = (signed.astype(np.int32) & 0xFFF).astype(np.uint16)
+    stream = jls.encode(codes, near=0, precision=12)
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80\x00")
+    p = str(tmp_path / "s12ls.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta
+                + _write_signed_body(_encapsulate(stream), 5, 8, 1, (0, 0, 0)))
+    got, _, _ = series_to_volume([p])
+    np.testing.assert_allclose(got[:, :, 0], signed.astype(np.float32))
