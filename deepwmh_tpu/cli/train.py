@@ -60,11 +60,17 @@ def run_train(
     release_folder=None,
     skip_bfc=False,
     quick_registration=True,
+    large_deformation=True,
     budget=None,
     run_stages="full",
     distributed=None,
     batch_pairs=1,
+    mesh=None,
 ):
+    """quick_registration/large_deformation both default ON: the training
+    command the reference emits composes the two switches
+    (deepwmh/main/train.py:215). mesh: a jax.sharding.Mesh shards
+    registration pair batches AND pipeline training across devices."""
     from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
     from deepwmh_tpu.registration.group import (
         GroupRegistration,
@@ -122,21 +128,24 @@ def run_train(
             "#!/bin/sh\n"
             "# Distribute registration over machines sharing this filesystem by\n"
             "# running shard k of n on each: add --distributed k/n\n"
-            "deepwmhGroupRegistration -s %s -t %s -o %s --keep-deformation%s\n"
+            "deepwmhGroupRegistration -s %s -t %s -o %s --keep-deformation%s%s\n"
             % (
                 join_path(output_folder, "regsource.csv"),
                 join_path(output_folder, "regtarget.csv"),
                 registration_folder,
                 " --allow-quick-registration" if quick_registration else "",
+                " --allow-large-deformations" if large_deformation else "",
             )
         )
     os.chmod(join_path(output_folder, "run_registration.sh"), 0o755)
 
     reg = GroupRegistration(
         S, T, registration_folder, keep_deformation=True, quick=quick_registration,
-        distributed=distributed,
+        large_deformation=large_deformation, distributed=distributed,
     )
-    reg.launch(batch_pairs=batch_pairs)
+    if mesh is not None:
+        batch_pairs = max(batch_pairs, int(mesh.size))
+    reg.launch(batch_pairs=batch_pairs, mesh=mesh)
 
     # barrier: with --distributed a/b this shard only registered part of the
     # pair list; continue only when every pair's FULL artifact set (warped
@@ -175,8 +184,9 @@ def run_train(
                 interp="NearestNeighbor",
             )
 
-    # 004: the 3-stage pipeline
-    pipeline = PipelineMultistage(core_folder, budget=budget or StageBudget())
+    # 004: the 3-stage pipeline (mesh -> data-parallel training steps)
+    pipeline = PipelineMultistage(core_folder, budget=budget or StageBudget(),
+                                  mesh=mesh)
     for t in training_dataset["case"]:
         flair = train_paths[t]
         refs = [
@@ -223,6 +233,23 @@ def main(argv=None):
     parser.add_argument("--core-folder", type=str, required=False)
     parser.add_argument("--skip-bfc", action="store_true",
                         help="[Advanced] Skip N4 bias field correction.")
+    parser.add_argument("--allow-quick-registration",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="Quick registration config (finest pyramid "
+                        "level dropped). Both this and "
+                        "--allow-large-deformations default ON — the "
+                        "composed configuration the reference's training "
+                        "driver emits (deepwmh/main/train.py:215).")
+    parser.add_argument("--allow-large-deformations",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="Large-deformation capacity: bigger iteration "
+                        "budget, 2^4 integration subdivisions, exact exp "
+                        "gradient.")
+    parser.add_argument("--mesh", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="Shard registration pair batches and training "
+                        "steps over all visible devices. Default: on when "
+                        "more than one device is visible.")
     parser.add_argument("--run-stages", choices=["initseg", "denoise", "full"],
                         default="full", help="[Advanced] Run a pipeline prefix.")
     parser.add_argument("--distributed", type=str, default=None,
@@ -265,6 +292,19 @@ def main(argv=None):
 
         budget = StageBudget(**overrides)
 
+    # multi-chip: shard pair batches + DP training over every visible
+    # device (auto when >1 device; --mesh/--no-mesh forces). The dp mesh is
+    # the production path the dryrun validates (parallel/mesh.make_mesh).
+    import jax
+
+    mesh = None
+    use_mesh = args.mesh if args.mesh is not None else jax.device_count() > 1
+    if use_mesh:
+        from deepwmh_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print("mesh: %d device(s) (%s)" % (mesh.size, jax.devices()[0].device_kind))
+
     run_train(
         args.reference,
         args.training,
@@ -272,10 +312,13 @@ def main(argv=None):
         core_folder=args.core_folder,
         release_folder=args.release_model,
         skip_bfc=args.skip_bfc,
+        quick_registration=args.allow_quick_registration,
+        large_deformation=args.allow_large_deformations,
         run_stages=args.run_stages,
         distributed=args.distributed,
         budget=budget,
         batch_pairs=args.batch_pairs,
+        mesh=mesh,
     )
 
 

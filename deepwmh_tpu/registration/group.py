@@ -151,7 +151,21 @@ class GroupRegistration:
         self.keep_deformation = keep_deformation
         self.deformable = deformable
 
-        if quick:
+        if quick and large_deformation:
+            # The reference's actual training-prep configuration composes
+            # BOTH switches (deepwmh/main/train.py:215 passes
+            # --allow-large-deformations --allow-quick-registration, and
+            # ANTs_group_registration.py:191-201 applies large-deformation
+            # strength THEN quick's coarser pyramid): large-deformation
+            # capacity (iteration budget, 2^4 integration subdivisions,
+            # exact exp gradient) on the quick pyramid (finest level
+            # dropped).
+            self.affine_cfg = AffineConfig(shrinks=(8, 4), iters=(200, 120))
+            self.svf_cfg = SVFConfig(
+                shrinks=(8, 4), iters=(200, 160), n_squaring=4,
+                exact_exp_grad=True,
+            )
+        elif quick:
             self.affine_cfg = AffineConfig(shrinks=(8, 4), iters=(100, 50))
             self.svf_cfg = SVFConfig(shrinks=(8, 4), iters=(100, 50))
         elif large_deformation:

@@ -104,8 +104,8 @@ def accumulate_patches(params, volume, positions, pos_weights, gauss, apply_fn, 
     acc = jnp.zeros((D, H, W) if fg_only else (D, H, W, C), jnp.float32)
     wt = jnp.zeros((D, H, W), jnp.float32)
     if varying_axis is not None:
-        acc = jax.lax.pvary(acc, (varying_axis,))
-        wt = jax.lax.pvary(wt, (varying_axis,))
+        acc = jax.lax.pcast(acc, (varying_axis,), to="varying")
+        wt = jax.lax.pcast(wt, (varying_axis,), to="varying")
 
     def forward(patch):
         # patch: [d,h,w] -> probs [d,h,w,C], averaged over mirror flips.
@@ -142,7 +142,7 @@ def accumulate_patches(params, volume, positions, pos_weights, gauss, apply_fn, 
         def zeros_branch(p):
             z = jnp.zeros(out_shape, jnp.float32)
             if varying_axis is not None:
-                z = jax.lax.pvary(z, (varying_axis,))
+                z = jax.lax.pcast(z, (varying_axis,), to="varying")
             return z
 
         probs = jax.lax.cond(w > 0, fwd_branch, zeros_branch, patch)

@@ -68,8 +68,27 @@ class Trainer:
         # remat: batch-2 training at the flagship plan does not even
         # compile on a 16GB chip without it (see UNet3D.remat)
         self.model = UNet3D(plan=plan, remat=True)
-        self.mesh = mesh
         self.logger = logger or SimpleTxtLog(os.path.join(out_dir, "training_log.txt"))
+        if mesh is not None and cfg.batch_size % int(mesh.size) != 0:
+            # DP shards the batch axis; the global batch is part of the
+            # training recipe (reference plan semantics), so rather than
+            # silently changing it, shard over the largest device count
+            # that divides it (a submesh), or run unsharded if none does
+            import math
+
+            from jax.sharding import Mesh
+
+            d = math.gcd(cfg.batch_size, int(mesh.size))
+            flat = np.asarray(mesh.devices).reshape(-1)
+            sub = Mesh(flat[:d], ("dp",)) if d > 1 else None
+            self.log(
+                "batch %d not divisible by mesh size %d: %s"
+                % (cfg.batch_size, int(mesh.size),
+                   "sharding over %d device(s)" % d if sub is not None
+                   else "running unsharded")
+            )
+            mesh = sub
+        self.mesh = mesh
 
         total_steps = cfg.epochs * cfg.batches_per_epoch
         schedule = lambda step: cfg.lr * (1.0 - step / max(total_steps, 1)) ** 0.9

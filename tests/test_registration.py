@@ -225,3 +225,28 @@ def test_group_registration_batched_launch(tmp_path):
     assert np.corrcoef(warped[m], tgt[m])[0, 1] > np.corrcoef(src[m], tgt[m])[0, 1]
     # rerun skips everything (idempotent even in batched mode)
     reg.launch(batch_pairs=2, verbose=False)
+
+
+def test_group_registration_composed_quick_large(tmp_path):
+    """quick + large_deformation COMPOSE (the reference's emitted training
+    config, deepwmh/main/train.py:215 + ANTs_group_registration.py:191-201):
+    large-deformation capacity on the quick (finest-level-dropped) pyramid."""
+    from deepwmh_tpu.registration.group import GroupRegistration
+
+    def mk(**kw):
+        return GroupRegistration([], [], str(tmp_path / "o"), **kw)
+
+    quick = mk(quick=True)
+    large = mk(large_deformation=True)
+    both = mk(quick=True, large_deformation=True)
+
+    # quick pyramid: finest level dropped relative to large-deformation
+    assert both.svf_cfg.shrinks == quick.svf_cfg.shrinks
+    assert len(both.svf_cfg.shrinks) < len(large.svf_cfg.shrinks)
+    # large-deformation capacity: budget above quick, integration accuracy
+    # and exact exp gradient from the large-deformation preset
+    assert sum(both.svf_cfg.iters) > sum(quick.svf_cfg.iters)
+    assert both.svf_cfg.n_squaring == large.svf_cfg.n_squaring
+    assert both.svf_cfg.exact_exp_grad == large.svf_cfg.exact_exp_grad
+    assert both.svf_cfg.exact_exp_grad is True
+    assert sum(both.affine_cfg.iters) > sum(quick.affine_cfg.iters)
