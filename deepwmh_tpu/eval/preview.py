@@ -85,6 +85,126 @@ def nii_as_gif(
     )
 
 
+# 3x5 bitmap digit font for burnt-in slice numbering (the reference stamps
+# slice numbers with a bitmap glyph bank, nii_preview.py:20-31,242-370;
+# these glyphs are our own, rendered vectorized instead of per-pixel)
+_DIGITS = {
+    "0": ("###", "# #", "# #", "# #", "###"),
+    "1": (" # ", "## ", " # ", " # ", "###"),
+    "2": ("###", "  #", "###", "#  ", "###"),
+    "3": ("###", "  #", " ##", "  #", "###"),
+    "4": ("# #", "# #", "###", "  #", "  #"),
+    "5": ("###", "#  ", "###", "  #", "###"),
+    "6": ("###", "#  ", "###", "# #", "###"),
+    "7": ("###", "  #", " # ", " # ", " # "),
+    "8": ("###", "# #", "###", "# #", "###"),
+    "9": ("###", "# #", "###", "  #", "###"),
+}
+
+
+def _stamp_number(rgb, number: int, zoom: int = 1, margin: int = 1):
+    """Burn `number` into the top-left corner of an [H,W,3] uint8 image."""
+    zoom = max(int(zoom), 1)
+    x = margin
+    for ch in str(int(number)):
+        glyph = np.array(
+            [[c == "#" for c in row] for row in _DIGITS[ch]], bool
+        )
+        g = np.kron(glyph, np.ones((zoom, zoom), bool))
+        h, w = g.shape
+        if margin + h > rgb.shape[0] or x + w > rgb.shape[1]:
+            break
+        region = rgb[margin : margin + h, x : x + w]
+        region[g] = 255
+        region[~g] = region[~g] // 2  # darken background for contrast
+        x += w + zoom
+    return rgb
+
+
+def save_slice_png(
+    slice2d,
+    out_png,
+    colormap="grayscale",
+    lo=None,
+    hi=None,
+    slice_number=None,
+    font_zoom=1,
+):
+    """Render ONE 2-D slice to an image file through a named colormap, with
+    an optional burnt-in slice number (reference
+    nii_preview.py:242-291 nii_save_slice_as_image)."""
+    from PIL import Image
+
+    from deepwmh_tpu.eval.colormaps import apply_colormap
+
+    s = np.asarray(slice2d, np.float32)
+    lo = float(np.min(s)) if lo is None else float(lo)
+    hi = float(np.max(s)) if hi is None else float(hi)
+    rgb = apply_colormap((s - lo) / max(hi - lo, 1e-8), colormap)
+    rgb = np.ascontiguousarray(np.rot90(rgb))
+    if slice_number is not None:
+        _stamp_number(rgb, slice_number, zoom=font_zoom)
+    os.makedirs(os.path.dirname(os.path.abspath(out_png)), exist_ok=True)
+    Image.fromarray(rgb).save(out_png)
+
+
+def view_slice(
+    image,
+    out_png,
+    axis="axial",
+    slice_num=None,
+    reverse_slice_order=False,
+    show_slice_number=False,
+    hflip=False,
+    vflip=False,
+    intensity_range=None,
+    colormap="grayscale",
+    crop=None,
+    spacing=None,
+    anisotropic_resize=True,
+    global_zoom=1,
+):
+    """Save a single annotated slice of a volume as a PNG (reference
+    nii_view_slice, nii_preview.py:293-370): axis/slice selection with
+    optional order reversal, h/v flips, [x1,y1,x2,y2] crop, aspect-correct
+    resampling from the voxel spacing, integer zoom, intensity windowing
+    ([lo,hi], either side None -> data min/max) and burnt-in slice number."""
+    from scipy.ndimage import zoom as ndzoom
+
+    data = np.asarray(image, np.float32)
+    ax = _AXIS[axis] if isinstance(axis, str) else int(axis)
+    if slice_num is None:
+        raise ValueError("slice_num is required")
+    s = int(slice_num)
+    if reverse_slice_order:
+        s = data.shape[ax] - s - 1
+    sl = _slice2d(data, ax, s)
+    if hflip:
+        sl = sl[:, ::-1]
+    if vflip:
+        sl = sl[::-1, :]
+    if crop:
+        x1, y1, x2, y2 = crop
+        sl = sl[x1:x2, y1:y2]
+    if anisotropic_resize and spacing is not None:
+        res = [spacing[a] for a in range(3) if a != ax]
+        aspect = res[0] / res[1]
+        if abs(aspect - 1.0) > 1e-6:
+            sl = ndzoom(sl, [aspect, 1.0], order=3)
+    if int(global_zoom) > 1:
+        sl = np.kron(sl, np.ones((int(global_zoom),) * 2, sl.dtype))
+    lo = hi = None
+    if intensity_range is not None:
+        lo, hi = intensity_range
+    lo = float(np.min(data)) if lo is None else float(lo)
+    hi = float(np.max(data)) if hi is None else float(hi)
+    save_slice_png(
+        sl, out_png, colormap=colormap, lo=lo, hi=hi,
+        slice_number=int(slice_num) if show_slice_number else None,
+        font_zoom=global_zoom,
+    )
+
+
 def try_load_gif(path) -> bool:
     try:
         from PIL import Image

@@ -63,6 +63,7 @@ class AnalysisResult:
     curve_r: np.ndarray
     curve_rs: np.ndarray
     threshold: float
+    debug: dict = None  # intermediates when analyzed with debug=True
 
 
 @functools.partial(
@@ -74,6 +75,7 @@ class AnalysisResult:
         "side",
         "apply_otsu",
         "mean_correction",
+        "debug",
     ),
 )
 def nll_analysis_core(
@@ -87,12 +89,17 @@ def nll_analysis_core(
     side="+",
     apply_otsu=True,
     mean_correction=True,
+    debug=False,
 ):
     """x_raw [D,H,W]; refs_raw/label1s/label2s [K,D,H,W] (registered).
 
     Returns (anomaly, valid_mask, normalized_input, averaged_label,
-    curve_x, curve_y, curve_r, threshold).
-    """
+    curve_x, curve_y, curve_r, threshold). With debug=True a dict of
+    intermediates is appended: the per-voxel intensity threshold
+    back-solved from the anomaly threshold (reference
+    lesion_analysis.py:245-251), rough brain mask, local mean, cohort
+    mean/std, and the aligned reference images + their anomaly maps
+    (:259-277)."""
     K = refs_raw.shape[0]
 
     # rough brain mask: cohort majority of label1 (lesion_analysis.py:139-141)
@@ -157,8 +164,26 @@ def nll_analysis_core(
     tissue_majority = (tissue_sum > (K / 2.0)).astype(jnp.float32)
     anomaly = anomaly * tissue_majority
 
-    return (anomaly, m_valid, x, avg_label, curve_x, curve_y, curve_r, curve_rs,
-            threshold)
+    base = (anomaly, m_valid, x, avg_label, curve_x, curve_y, curve_r,
+            curve_rs, threshold)
+    if not debug:
+        return base
+    # back-solve the per-voxel intensity threshold from the anomaly
+    # threshold: thr = (t-mu)^2/(2 sigma^2) + log(sigma*sqrt(2pi)) solved
+    # for t on the '+' side (lesion_analysis.py:245-251; sqrt of a negative
+    # discriminant -> nan, i.e. no intensity reaches the threshold there)
+    d = 2.0 * (threshold - jnp.log(x_std * 2.506))
+    x_thr = x_mean + x_std * jnp.sqrt(jnp.where(d < 0, jnp.nan, d))
+    dbg = {
+        "intensity_thr": x_thr * m_valid,
+        "rough_brain": m_rough,
+        "local_mean": x_mu,
+        "mean_value": x_mean,
+        "std_value": x_std * m_valid,
+        "ref_aligned": refs,
+        "ref_anomaly": anomaly_refs,
+    }
+    return base + (dbg,)
 
 
 def patch_size_from_voxel(voxel_size):
@@ -206,7 +231,7 @@ class LesionAnalyzer:
         return x_raw, hdr, voxel_size, refs, l1, l2
 
     def analyze_case(self, case: str, intensity_prior="+", apply_otsu=True,
-                     loaded=None) -> AnalysisResult:
+                     loaded=None, debug=False) -> AnalysisResult:
         x_raw, hdr, voxel_size, refs, l1, l2 = loaded or self._load_case(case)
         patch = patch_size_from_voxel(voxel_size)
         num_classes = int(np.max(l2.astype(np.int64))) + 1
@@ -221,15 +246,41 @@ class LesionAnalyzer:
             num_label_classes=num_classes,
             side=intensity_prior,
             apply_otsu=apply_otsu,
+            debug=debug,
         )
+        dbg = None
+        if debug:
+            out, dbg = out[:-1], {k: np.asarray(v) for k, v in out[-1].items()}
         (anomaly, m_valid, x_norm, avg_label, cx, cy, cr, crs, thr) = [
             np.asarray(o) for o in out
         ]
         return AnalysisResult(
-            anomaly, m_valid, x_norm, avg_label, cx, cy, cr, crs, float(thr)
+            anomaly, m_valid, x_norm, avg_label, cx, cy, cr, crs, float(thr),
+            debug=dbg,
         ), hdr, voxel_size
 
-    def analyze_and_do_segmentation(self, intensity_prior="+", do_postprocessing=True):
+    def _save_debug(self, case_dir, result, hdr):
+        """Debug-mode intermediates (reference lesion_analysis.py:259-277):
+        the back-solved per-voxel intensity threshold, rough brain mask,
+        local mean, cohort mean/std, and per-reference aligned images +
+        anomaly maps under references/."""
+        dbg = result.debug
+        for key in ("intensity_thr", "rough_brain", "local_mean",
+                    "mean_value", "std_value"):
+            nifti.save_nifti(dbg[key], hdr, join_path(case_dir, key + ".nii.gz"))
+        ref_dir = mkdir(join_path(case_dir, "references"))
+        for k in range(dbg["ref_aligned"].shape[0]):
+            nifti.save_nifti(
+                dbg["ref_aligned"][k], hdr,
+                join_path(ref_dir, "ref%02d.nii.gz" % k),
+            )
+            nifti.save_nifti(
+                dbg["ref_anomaly"][k], hdr,
+                join_path(ref_dir, "ref%02d_anomaly.nii.gz" % k),
+            )
+
+    def analyze_and_do_segmentation(self, intensity_prior="+", do_postprocessing=True,
+                                    debug=False):
         from concurrent.futures import ThreadPoolExecutor
 
         self.time_stamps.record("segmentation_start")
@@ -252,8 +303,11 @@ class LesionAnalyzer:
                     load_future = pool.submit(self._load_case, todo[ci + 1])
                 self.log("analyzing case %s" % case)
                 result, hdr, voxel_size = self.analyze_case(
-                    case, intensity_prior=intensity_prior, loaded=loaded
+                    case, intensity_prior=intensity_prior, loaded=loaded,
+                    debug=debug,
                 )
+                if debug:
+                    self._save_debug(case_dir, result, hdr)
                 nifti.save_nifti(
                     result.normalized_input, hdr, join_path(case_dir, "normalized_input.nii.gz")
                 )

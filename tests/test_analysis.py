@@ -90,3 +90,40 @@ def test_lesion_analyzer_end_to_end(tmp_path):
     an.analyze_and_do_segmentation(intensity_prior="+")
     m2 = os.path.getmtime(os.path.join(case_dir, "anomaly_score.nii.gz"))
     assert m1 == m2
+
+
+def test_debug_intermediates(tmp_path):
+    """debug=True saves the back-solved per-voxel intensity threshold and
+    the other visualization intermediates (reference
+    lesion_analysis.py:245-277)."""
+    tpath, refs, l1s, l2s, _ = make_cohort(tmp_path / "data_dbg")
+    out = str(tmp_path / "out_dbg")
+    an = LesionAnalyzer(out)
+    an.add_case("caseD", tpath, refs, l1s, l2s)
+    an.analyze_and_do_segmentation(intensity_prior="+", debug=True)
+
+    case_dir = os.path.join(out, "caseD")
+    for f in ("intensity_thr", "rough_brain", "local_mean", "mean_value",
+              "std_value"):
+        assert nifti.try_load_nifti(os.path.join(case_dir, f + ".nii.gz")), f
+    for k in range(len(refs)):
+        assert nifti.try_load_nifti(
+            os.path.join(case_dir, "references", "ref%02d.nii.gz" % k))
+        assert nifti.try_load_nifti(
+            os.path.join(case_dir, "references", "ref%02d_anomaly.nii.gz" % k))
+
+    # the back-solve invariant: NLL evaluated AT the intensity threshold
+    # equals the anomaly threshold wherever the threshold is finite
+    import json
+
+    with open(os.path.join(case_dir, "summary.json")) as f:
+        thr = json.load(f)["autoseg_threshold"]
+    x_thr = nifti.load_nifti_simple(os.path.join(case_dir, "intensity_thr.nii.gz"))
+    mu = nifti.load_nifti_simple(os.path.join(case_dir, "mean_value.nii.gz"))
+    sd = nifti.load_nifti_simple(os.path.join(case_dir, "std_value.nii.gz"))
+    ok = np.isfinite(x_thr) & (sd > 1e-6) & (x_thr != 0)
+    assert ok.sum() > 100
+    nll_at_thr = (x_thr[ok] - mu[ok]) ** 2 / (2 * sd[ok] ** 2) + np.log(
+        sd[ok] * 2.506
+    )
+    np.testing.assert_allclose(nll_at_thr, thr, rtol=1e-3, atol=1e-3)
