@@ -116,13 +116,19 @@ def bench_headline(predictor, vol, spacing):
 def bench_mfu(predictor, vol, spacing, per_volume):
     """Model-FLOPs utilization: analytic sweep FLOPs / wall / chip peak.
 
-    XLA cost_analysis counts a lax.scan body ONCE, so the fused program's
-    reported flops under-count the sweep by the position count; instead the
-    model flops are one batched (all mirror flips) patch forward — cost-
-    analyzed — times the number of REAL patch positions."""
+    XLA cost_analysis counts a lax.scan/fori body ONCE, so the fused
+    program's reported flops under-count by the trip count; instead the
+    model flops are ONE cost-analyzed forward times the real trip count:
+    full-volume mode = batch-1 whole-volume forward x |flips|; patch mode
+    = batched-all-flips patch forward x real positions."""
     import jax.numpy as jnp
 
-    from deepwmh_tpu.unet.infer import ALL_FLIPS, NO_FLIPS, patch_positions
+    from deepwmh_tpu.unet.infer import (
+        ALL_FLIPS,
+        NO_FLIPS,
+        fullvol_shape,
+        patch_positions,
+    )
     from deepwmh_tpu.unet.preprocess import padded_shape
 
     plan = predictor.plan
@@ -130,19 +136,25 @@ def bench_mfu(predictor, vol, spacing, per_volume):
         max(int(round(vol.shape[a] * spacing[a] / plan.target_spacing[a])), 1)
         for a in range(3)
     )
-    target = padded_shape(res_shape, predictor.patch_size)
-    _pos, pos_w = patch_positions(
-        target, predictor.patch_size, predictor.step_fraction
-    )
-    n_real = int(np.asarray(pos_w).sum())
     n_flips = len(ALL_FLIPS if predictor.tta else NO_FLIPS)
-
     try:
-        x = jnp.zeros((n_flips,) + predictor.patch_size + (1,), jnp.float32)
         fwd = jax.jit(predictor._apply)
-        ca = fwd.lower(predictor.params, x).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca["flops"]) * n_real
+        if predictor._use_fullvol(res_shape):
+            target = fullvol_shape(res_shape, plan)
+            x = jnp.zeros((1,) + tuple(target) + (1,), jnp.float32)
+            ca = fwd.lower(predictor.params, x).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops = float(ca["flops"]) * n_flips
+        else:
+            target = padded_shape(res_shape, predictor.patch_size)
+            _pos, pos_w = patch_positions(
+                target, predictor.patch_size, predictor.step_fraction
+            )
+            n_real = int(np.asarray(pos_w).sum())
+            x = jnp.zeros((n_flips,) + predictor.patch_size + (1,), jnp.float32)
+            ca = fwd.lower(predictor.params, x).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops = float(ca["flops"]) * n_real
     except Exception:
         return None, None
     kind = jax.devices()[0].device_kind
@@ -175,17 +187,27 @@ def bench_stages(predictor, vol, spacing):
     pre = pre_fn(corrected)
     jax.block_until_ready(pre)
 
-    target = padded_shape(pre.shape, patch_size)
-    padded = pad_to(pre, target)
-    pos, pos_w = patch_positions(target, patch_size, predictor.step_fraction)
-    from deepwmh_tpu.unet.infer import ALL_FLIPS
+    from deepwmh_tpu.unet.infer import ALL_FLIPS, fullvol_shape, fullvol_tta
 
-    def sweep(params, v):
-        acc, wt = accumulate_patches(
-            params, v, pos, pos_w, predictor.gauss, predictor._apply,
-            patch_size, int(plan.num_classes), ALL_FLIPS,
-        )
-        return acc / jnp.maximum(wt, 1e-8)[..., None]
+    if predictor._use_fullvol(pre.shape):
+        target = fullvol_shape(pre.shape, plan)
+        padded = pad_to(pre, target)
+
+        def sweep(params, v):
+            return fullvol_tta(
+                params, v, predictor._apply, int(plan.num_classes), ALL_FLIPS
+            )
+    else:
+        target = padded_shape(pre.shape, patch_size)
+        padded = pad_to(pre, target)
+        pos, pos_w = patch_positions(target, patch_size, predictor.step_fraction)
+
+        def sweep(params, v):
+            acc, wt = accumulate_patches(
+                params, v, pos, pos_w, predictor.gauss, predictor._apply,
+                patch_size, int(plan.num_classes), ALL_FLIPS,
+            )
+            return acc / jnp.maximum(wt, 1e-8)[..., None]
 
     sweep_fn = jax.jit(sweep)
     probs = sweep_fn(predictor.params, padded)

@@ -38,7 +38,10 @@ def test_sharded_inference_matches_single(rng):
     params = init_params(model, jax.random.PRNGKey(0))
     vol = jnp.asarray(rng.rand(24, 20, 28), jnp.float32)
 
-    single = SlidingWindowPredictor(model, params, plan, tta=False)
+    # like-for-like: the sharded predictor shards the PATCH sweep, so
+    # compare against the single-device patch sweep (the default mode is
+    # whole-volume fully-convolutional, a different — better — computation)
+    single = SlidingWindowPredictor(model, params, plan, tta=False, mode="patch")
     want = np.asarray(single.predict_volume(vol))
 
     sharded = ShardedSlidingWindowPredictor(model, params, plan, mesh, tta=False)

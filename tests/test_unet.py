@@ -199,3 +199,59 @@ def test_plan_tiny_budget_terminates():
         shapes=[[32, 32, 32]], spacings=[[1.0, 1.0, 1.0]], voxel_budget=50
     )
     assert min(p.patch_size) >= 4
+
+
+def test_fullvol_matches_direct_forward(rng):
+    """On a stride-aligned volume, full-volume no-TTA inference IS one
+    forward pass: softmax(model(vol)) exactly (modulo bf16 noise). (The
+    patch sweep is NOT this clean a reference: padded_shape buckets the
+    volume up to 32-multiples for compile caching, so its edge voxels see
+    zero-padding context.)"""
+    import jax.nn
+
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(3))
+    vol = jnp.asarray(rng.rand(*p.patch_size), jnp.float32)
+    direct = jax.nn.softmax(
+        model.apply({"params": params}, vol[None, ..., None])[0].astype(
+            jnp.float32
+        ),
+        -1,
+    )
+    b = SlidingWindowPredictor(model, params, p, tta=False, mode="fullvol")
+    np.testing.assert_allclose(
+        np.asarray(b.predict_volume(vol)), np.asarray(direct), atol=2e-2
+    )
+    # with TTA: still a valid softmax that deviates only modestly from the
+    # unflipped forward (mirror-averaging is a small perturbation)
+    t = SlidingWindowPredictor(model, params, p, tta=True, mode="fullvol")
+    pt = np.asarray(t.predict_volume(vol))
+    np.testing.assert_allclose(pt.sum(-1), 1.0, rtol=1e-3, atol=1e-3)
+
+
+def test_fullvol_mode_on_nonaligned_volume(rng):
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(4))
+    pred = SlidingWindowPredictor(model, params, p, tta=True, mode="fullvol")
+    vol = jnp.asarray(rng.rand(21, 19, 26), jnp.float32)
+    probs = np.asarray(pred.predict_volume(vol))
+    assert probs.shape == (21, 19, 26, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-3, atol=1e-3)
+
+
+def test_fullvol_auto_threshold():
+    from deepwmh_tpu.unet import infer as inf
+
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(5))
+    pred = SlidingWindowPredictor(model, params, p, tta=False, mode="auto")
+    assert pred._use_fullvol((20, 20, 20))
+    assert not pred._use_fullvol((400, 400, 400))
+    forced = SlidingWindowPredictor(model, params, p, tta=False, mode="fullvol")
+    import pytest
+
+    with pytest.raises(ValueError):
+        forced._use_fullvol((400, 400, 400))
