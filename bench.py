@@ -274,7 +274,76 @@ def bench_registration():
         reg.launch(verbose=False)
         dt = time.time() - t0
         n = len(srcs) * len(tgts)
-        return n / dt * 60.0
+        quick_ppm = n / dt * 60.0
+
+        # production config: the composed quick+large-deformation setup
+        # DeepWMH_train defaults to (registration/group.py) — warm 1 pair,
+        # measure 2
+        prod_ppm = None
+        try:
+            warm2 = GroupRegistration(
+                srcs, tgts[:1], os.path.join(tmp, "warm2"),
+                quick=True, large_deformation=True,
+            )
+            warm2.launch(verbose=False)
+            reg2 = GroupRegistration(
+                srcs, tgts[1:], os.path.join(tmp, "reg2"),
+                quick=True, large_deformation=True,
+            )
+            t0 = time.time()
+            reg2.launch(verbose=False)
+            prod_ppm = len(tgts[1:]) / (time.time() - t0) * 60.0
+        except Exception:
+            pass
+        return {"quick_pairs_per_min": quick_ppm,
+                "production_pairs_per_min": prod_ppm}
+
+
+def bench_registration_quality():
+    """Deformable-recovery quality on a synthetic known deformation at the
+    bench shape, with the production (composed) SVF config: field RMSE (vs
+    the first-order inverse of the true field) and warped-image LNCC.
+    Tracked in BENCH so a quality regression in the registration stack is
+    visible to the driver, not just throughput."""
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.ops.warp import displacement_warp
+    from deepwmh_tpu.registration.similarity import lncc, winsorize_rescale
+    from deepwmh_tpu.registration.svf import SVFConfig, register_svf
+
+    shape = BENCH_SHAPE
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    rr = np.sqrt(sum(a**2 for a in g))
+    tex = np.random.RandomState(7).rand(*shape).astype(np.float32)
+    fixed = ((rr < 0.8) * (300 + 100 * tex)).astype(np.float32)
+
+    # smooth synthetic field, ~2 vox mean / ~6 vox max (post-affine scale)
+    zz = np.linspace(0, np.pi, shape[0], dtype=np.float32)
+    yy = np.linspace(0, 2 * np.pi, shape[1], dtype=np.float32)
+    bump = (3.0 * np.sin(zz)[:, None, None]
+            * (1.0 + 0.5 * np.cos(yy))[None, :, None])
+    bump = np.broadcast_to(bump, shape).astype(np.float32)
+    disp_true = np.stack([bump, 0.5 * bump, 0.25 * bump])
+    moving = np.asarray(
+        displacement_warp(jnp.asarray(fixed), jnp.asarray(disp_true))
+    )
+
+    cfg = SVFConfig(shrinks=(8, 4), iters=(200, 160), n_squaring=4,
+                    exact_exp_grad=True)
+    disp, _ = register_svf(fixed, moving, cfg=cfg)
+    warped = np.asarray(
+        displacement_warp(jnp.asarray(moving), jnp.asarray(disp))
+    )
+    mask = rr < 0.75
+    rmse = float(np.sqrt(np.mean(
+        (np.asarray(disp) + disp_true)[:, mask] ** 2
+    )))
+    a = winsorize_rescale(jnp.asarray(fixed))
+    lncc_after = float(lncc(a, winsorize_rescale(jnp.asarray(warped))))
+    lncc_before = float(lncc(a, winsorize_rescale(jnp.asarray(moving))))
+    return {"field_rmse_vox": round(rmse, 3),
+            "warped_lncc": round(lncc_after, 4),
+            "unregistered_lncc": round(lncc_before, 4)}
 
 
 def bench_training(plan):
@@ -338,6 +407,30 @@ def bench_nll():
 
     run()  # compile
     per_case = _median_time(run)
+
+    # batched path: 2 same-geometry cases as one vmapped program
+    from deepwmh_tpu.pipeline.analysis import nll_analysis_batch
+
+    B = 2
+    xb = jnp.stack([x] * B)
+    rb = jnp.stack([refs] * B)
+    l1b = jnp.stack([l1] * B)
+    l2b = jnp.stack([l2] * B)
+
+    def run_b():
+        out = nll_analysis_batch(
+            xb, rb, l1b, l2b,
+            patch_size=(50, 50, 50), voxel_size=(1.0, 1.0, 1.0),
+            num_label_classes=4,
+        )
+        _sync(out[0])
+
+    try:
+        run_b()  # compile
+        per_case_b = _median_time(run_b) / B
+        per_case = min(per_case, per_case_b)
+    except Exception:
+        pass
     return 60.0 / per_case
 
 
@@ -381,7 +474,10 @@ def main():
     # value order under the wall-clock budget: per-stage medians, then the
     # two training-prep throughputs, then training steps
     stages = if_time(lambda: bench_stages(predictor, vol, spacing))
-    reg_pairs_per_min = if_time(bench_registration)
+    reg = if_time(bench_registration) or {}
+    reg_pairs_per_min = reg.get("quick_pairs_per_min")
+    reg_prod_pairs_per_min = reg.get("production_pairs_per_min")
+    reg_quality = if_time(bench_registration_quality)
     train_steps_per_sec = if_time(lambda: bench_training(plan))
     nll_cases_per_min = if_time(bench_nll)
 
@@ -401,6 +497,11 @@ def main():
                 "registration_pairs_per_min_per_chip": (
                     None if reg_pairs_per_min is None else round(reg_pairs_per_min, 2)
                 ),
+                "registration_production_pairs_per_min": (
+                    None if reg_prod_pairs_per_min is None
+                    else round(reg_prod_pairs_per_min, 2)
+                ),
+                "registration_recovery": reg_quality,
                 "nll_cases_per_min_per_chip": (
                     None if nll_cases_per_min is None else round(nll_cases_per_min, 2)
                 ),

@@ -66,19 +66,7 @@ class AnalysisResult:
     debug: dict = None  # intermediates when analyzed with debug=True
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "patch_size",
-        "voxel_size",
-        "num_label_classes",
-        "side",
-        "apply_otsu",
-        "mean_correction",
-        "debug",
-    ),
-)
-def nll_analysis_core(
+def _nll_core_impl(
     x_raw,
     refs_raw,
     label1s,
@@ -186,6 +174,75 @@ def nll_analysis_core(
     return base + (dbg,)
 
 
+_NLL_STATIC = (
+    "patch_size",
+    "voxel_size",
+    "num_label_classes",
+    "side",
+    "apply_otsu",
+    "mean_correction",
+    "debug",
+)
+
+nll_analysis_core = functools.partial(
+    jax.jit, static_argnames=_NLL_STATIC
+)(_nll_core_impl)
+
+
+@functools.partial(jax.jit, static_argnames=_NLL_STATIC[:-1])
+def _nll_batch_jit(xs, refs, l1s, l2s, patch_size, voxel_size,
+                   num_label_classes, side="+", apply_otsu=True,
+                   mean_correction=True):
+    f = functools.partial(
+        _nll_core_impl,
+        patch_size=patch_size,
+        voxel_size=voxel_size,
+        num_label_classes=num_label_classes,
+        side=side,
+        apply_otsu=apply_otsu,
+        mean_correction=mean_correction,
+    )
+    return jax.vmap(f)(xs, refs, l1s, l2s)
+
+
+def nll_analysis_batch(xs, refs, l1s, l2s, *, patch_size, voxel_size,
+                       num_label_classes, side="+", apply_otsu=True,
+                       mean_correction=True, mesh=None):
+    """Stage-1 analysis for a BATCH of same-geometry cases as one vmapped
+    XLA program — the TPU counterpart of the reference's stage-1 process
+    pool (lesion_analysis.py:409-421). Same-protocol cohorts share shape/
+    spacing, so the whole batch runs one compiled program; with `mesh`, the
+    case axis is sharded across devices exactly as register_pairs_mesh
+    shards registration pairs (registration/group.py:74-126).
+
+    xs [B,D,H,W]; refs/l1s/l2s [B,K,D,H,W]. Returns the per-case tuple of
+    nll_analysis_core with a leading batch axis."""
+    B = xs.shape[0]
+    pad = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = int(mesh.shape[axis])
+        pad = (-B) % n_dev
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
+            )
+            xs, refs, l1s, l2s = rep(xs), rep(refs), rep(l1s), rep(l2s)
+        sharding = NamedSharding(mesh, P(axis))
+        xs, refs, l1s, l2s = (
+            jax.device_put(a, sharding) for a in (xs, refs, l1s, l2s)
+        )
+    out = _nll_batch_jit(
+        xs, refs, l1s, l2s, patch_size, voxel_size, num_label_classes,
+        side, apply_otsu, mean_correction,
+    )
+    if pad:
+        out = tuple(o[:B] for o in out)
+    return out
+
+
 def patch_size_from_voxel(voxel_size):
     """ceil(50 mm / pixdim) per axis (lesion_analysis.py:126-132)."""
     return tuple(int(math.ceil(PHYSICAL_PATCH_MM / float(v))) for v in voxel_size)
@@ -279,8 +336,64 @@ class LesionAnalyzer:
                 join_path(ref_dir, "ref%02d_anomaly.nii.gz" % k),
             )
 
+    def _save_case_artifacts(self, case, result, hdr, intensity_prior):
+        case_dir = join_path(self.output_folder, case)
+        if result.debug is not None:
+            self._save_debug(case_dir, result, hdr)
+        nifti.save_nifti(
+            result.normalized_input, hdr, join_path(case_dir, "normalized_input.nii.gz")
+        )
+        nifti.save_nifti(
+            result.anomaly, hdr, join_path(case_dir, "anomaly_score.nii.gz")
+        )
+        nifti.save_nifti(
+            result.valid_mask, hdr, join_path(case_dir, "valid_mask.nii.gz")
+        )
+        nifti.save_nifti(
+            result.averaged_label, hdr, join_path(case_dir, "averaged_label.nii.gz")
+        )
+        shutil.copyfile(
+            self.data_dict[case]["x"],
+            join_path(case_dir, "preprocessed_image.nii.gz"),
+        )
+        summary = {
+            "preprocessed_image": self.data_dict[case]["x"],
+            "intensity_prior": intensity_prior,
+            "autoseg_threshold": result.threshold,
+            "histogram_curves": {
+                "x": result.curve_x.tolist(),
+                "y": result.curve_y.tolist(),
+                "r": result.curve_r.tolist(),
+            },
+        }
+        # per-case histogram curve plot (lesion_analysis.py:198-199)
+        try:
+            from deepwmh_tpu.eval.plots import hist_curve_plot
+
+            hist_curve_plot(
+                result.curve_x,
+                result.curve_y,
+                result.curve_r,
+                result.curve_rs,
+                join_path(case_dir, "histogram_curves.png"),
+            )
+        except Exception as e:  # plotting must never kill analysis
+            self.log("histogram plot failed for %s: %s" % (case, e))
+        # summary.json is the completion marker: written LAST
+        atomic_write_json(summary, join_path(case_dir, "summary.json"))
+
+    def _auto_batch_cases(self, shape, K) -> int:
+        """Cases per XLA program: the core holds ~5 K-stacked f32 volumes
+        per case; budget ~6 GB of HBM for the batch."""
+        vox = int(np.prod(shape))
+        per_case = (5 * K + 10) * 4 * vox
+        return int(max(1, min(8, 6_000_000_000 // max(per_case, 1))))
+
     def analyze_and_do_segmentation(self, intensity_prior="+", do_postprocessing=True,
-                                    debug=False):
+                                    debug=False, batch_cases="auto", mesh=None):
+        """batch_cases: how many same-geometry cases to fuse into one
+        vmapped program ('auto' sizes by HBM; 1 = per-case). mesh: shard
+        the case batch across devices (see nll_analysis_batch)."""
         from concurrent.futures import ThreadPoolExecutor
 
         self.time_stamps.record("segmentation_start")
@@ -291,63 +404,58 @@ class LesionAnalyzer:
                 self.log("case %s: summary exists, skip analysis" % case)
             else:
                 todo.append(case)
+
+        # group same-geometry cases (same-protocol cohorts share shape and
+        # spacing) so each group runs as batched XLA programs
+        groups = {}
+        for case in todo:
+            info = self.data_dict[case]
+            hdr = nifti.get_nifti_header(info["x"])
+            shape = tuple(int(s) for s in hdr.shape[:3])
+            voxel = tuple(
+                round(v, 4) for v in nifti.get_nifti_pixdim(info["x"])
+            )
+            key = (shape, voxel, len(info["r"]))
+            groups.setdefault(key, []).append(case)
+
+        chunks = []
+        for (shape, voxel, K), cases in groups.items():
+            B = (
+                self._auto_batch_cases(shape, K)
+                if batch_cases == "auto"
+                else max(int(batch_cases), 1)
+            )
+            if debug:
+                B = 1  # debug intermediates are a per-case artifact set
+            chunks += [cases[i : i + B] for i in range(0, len(cases), B)]
+
+        def load_chunk(cases):
+            return [self._load_case(c) for c in cases]
+
         with ThreadPoolExecutor(max_workers=1) as pool:
             load_future = (
-                pool.submit(self._load_case, todo[0]) if todo else None
+                pool.submit(load_chunk, chunks[0]) if chunks else None
             )
-            for ci, case in enumerate(todo):
-                case_dir = join_path(self.output_folder, case)
-                summary_path = join_path(case_dir, "summary.json")
-                loaded = load_future.result()
-                if ci + 1 < len(todo):  # prefetch the next case's IO
-                    load_future = pool.submit(self._load_case, todo[ci + 1])
-                self.log("analyzing case %s" % case)
-                result, hdr, voxel_size = self.analyze_case(
-                    case, intensity_prior=intensity_prior, loaded=loaded,
-                    debug=debug,
-                )
-                if debug:
-                    self._save_debug(case_dir, result, hdr)
-                nifti.save_nifti(
-                    result.normalized_input, hdr, join_path(case_dir, "normalized_input.nii.gz")
-                )
-                nifti.save_nifti(
-                    result.anomaly, hdr, join_path(case_dir, "anomaly_score.nii.gz")
-                )
-                nifti.save_nifti(
-                    result.valid_mask, hdr, join_path(case_dir, "valid_mask.nii.gz")
-                )
-                nifti.save_nifti(
-                    result.averaged_label, hdr, join_path(case_dir, "averaged_label.nii.gz")
-                )
-                shutil.copyfile(
-                    self.data_dict[case]["x"],
-                    join_path(case_dir, "preprocessed_image.nii.gz"),
-                )
-                summary = {
-                    "preprocessed_image": self.data_dict[case]["x"],
-                    "intensity_prior": intensity_prior,
-                    "autoseg_threshold": result.threshold,
-                    "histogram_curves": {
-                        "x": result.curve_x.tolist(),
-                        "y": result.curve_y.tolist(),
-                        "r": result.curve_r.tolist(),
-                    },
-                }
-                # per-case histogram curve plot (lesion_analysis.py:198-199)
-                try:
-                    from deepwmh_tpu.eval.plots import hist_curve_plot
-
-                    hist_curve_plot(
-                        result.curve_x,
-                        result.curve_y,
-                        result.curve_r,
-                        result.curve_rs,
-                        join_path(case_dir, "histogram_curves.png"),
+            for ci, chunk in enumerate(chunks):
+                loaded_chunk = load_future.result()
+                if ci + 1 < len(chunks):  # prefetch the next chunk's IO
+                    load_future = pool.submit(load_chunk, chunks[ci + 1])
+                if len(chunk) == 1:
+                    case = chunk[0]
+                    self.log("analyzing case %s" % case)
+                    result, hdr, _ = self.analyze_case(
+                        case, intensity_prior=intensity_prior,
+                        loaded=loaded_chunk[0], debug=debug,
                     )
-                except Exception as e:  # plotting must never kill analysis
-                    self.log("histogram plot failed for %s: %s" % (case, e))
-                atomic_write_json(summary, summary_path)
+                    self._save_case_artifacts(case, result, hdr, intensity_prior)
+                    continue
+                self.log(
+                    "analyzing cases %s (one batched program)"
+                    % ", ".join(chunk)
+                )
+                self._analyze_chunk_batched(
+                    chunk, loaded_chunk, intensity_prior, mesh
+                )
 
         # segmentation (reference _parallel_segmentation) — for EVERY case,
         # including ones whose analysis was skipped as already done (a
@@ -384,3 +492,46 @@ class LesionAnalyzer:
 
         self.time_stamps.record("segmentation_end")
         self.log("stage-1 analysis finished for %d case(s)" % len(self.data_dict))
+
+    def _analyze_chunk_batched(self, chunk, loaded_chunk, intensity_prior, mesh):
+        # cases in a chunk share geometry; num_label_classes must also
+        # agree for one program — sub-split the rare disagreements
+        per_case_classes = [
+            int(np.max(l2.astype(np.int64))) + 1
+            for (_x, _h, _v, _r, _l1, l2) in loaded_chunk
+        ]
+        by_classes = {}
+        for i, c in enumerate(per_case_classes):
+            by_classes.setdefault(c, []).append(i)
+        for num_classes, idxs in by_classes.items():
+            cases = [chunk[i] for i in idxs]
+            loads = [loaded_chunk[i] for i in idxs]
+            x_raw, hdr, voxel_size = loads[0][0], loads[0][1], loads[0][2]
+            patch = patch_size_from_voxel(voxel_size)
+            if len(cases) == 1:
+                result, hdr, _ = self.analyze_case(
+                    cases[0], intensity_prior=intensity_prior, loaded=loads[0]
+                )
+                self._save_case_artifacts(cases[0], result, hdr, intensity_prior)
+                continue
+            xs = jnp.asarray(np.stack([ld[0] for ld in loads]))
+            refs = jnp.asarray(np.stack([ld[3] for ld in loads]))
+            l1s = jnp.asarray(np.stack([ld[4] for ld in loads]))
+            l2s = jnp.asarray(np.stack([ld[5] for ld in loads]))
+            out = nll_analysis_batch(
+                xs, refs, l1s, l2s,
+                patch_size=patch, voxel_size=voxel_size,
+                num_label_classes=num_classes, side=intensity_prior,
+                mesh=mesh,
+            )
+            out = [np.asarray(o) for o in out]
+            for i, case in enumerate(cases):
+                result = AnalysisResult(
+                    out[0][i], out[1][i], out[2][i], out[3][i],
+                    out[4][i], out[5][i], out[6][i], out[7][i],
+                    float(out[8][i]),
+                )
+                self._save_case_artifacts(
+                    case, result, loads[i][1], intensity_prior
+                )
+

@@ -197,7 +197,8 @@ class PipelineMultistage:
         self.log("== Stage I: initial segmentation ==")
         if not self.checkpoints.is_finished("STAGE_1_INITIAL_SEGMENTATION"):
             self.analyzer.analyze_and_do_segmentation(
-                intensity_prior=self.intensity_prior, do_postprocessing=True
+                intensity_prior=self.intensity_prior, do_postprocessing=True,
+                mesh=self.mesh,
             )
             self.checkpoints.set_finish("STAGE_1_INITIAL_SEGMENTATION")
         self.log("stage 1 complete.")

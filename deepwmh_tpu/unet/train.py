@@ -175,14 +175,31 @@ class Trainer:
 
         np_rng = np.random.RandomState(cfg.seed + start_epoch)
         ema_loss = None
+        # host->device overlap: sample + device_put the NEXT batch while the
+        # current step executes on device (dispatch is async, so the step
+        # call returns immediately; the executor thread hides the host-side
+        # sampling + H2D transfer). One worker keeps np_rng consumption
+        # strictly sequential, so batches are identical to the unprefetched
+        # loop.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _next_batch():
+            imgs, lbls = train_ds.sample_batch(
+                np_rng, cfg.batch_size, cfg.oversample_fg
+            )
+            return self._put_batch(imgs, lbls)
+
+        prefetcher = ThreadPoolExecutor(max_workers=1)
         for epoch in range(start_epoch, cfg.epochs):
             timer = Timer()
             losses = []
+            # prefetch stays within the epoch: the last pending batch is
+            # consumed before validation below touches np_rng on this thread
+            pending = prefetcher.submit(_next_batch)
             for b in range(cfg.batches_per_epoch):
-                imgs, lbls = train_ds.sample_batch(
-                    np_rng, cfg.batch_size, cfg.oversample_fg
-                )
-                imgs, lbls = self._put_batch(imgs, lbls)
+                imgs, lbls = pending.result()
+                if b + 1 < cfg.batches_per_epoch:
+                    pending = prefetcher.submit(_next_batch)
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, loss = self._train_step(
                     params, opt_state, imgs, lbls, step_rng
@@ -232,6 +249,7 @@ class Trainer:
                 % (epoch + 1, cfg.epochs, mean_loss, metric, best_metric, timer.elapsed())
             )
 
+        prefetcher.shutdown(wait=False)
         noval_mode = cfg.noval or val_ds is None or len(val_ds) == 0
         if noval_mode or not ckpt.checkpoint_exists(self.out_dir, ckpt.MODEL_BEST):
             ckpt.save_checkpoint(

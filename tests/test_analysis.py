@@ -127,3 +127,77 @@ def test_debug_intermediates(tmp_path):
         sd[ok] * 2.506
     )
     np.testing.assert_allclose(nll_at_thr, thr, rtol=1e-3, atol=1e-3)
+
+
+def _multi_case_cohort(tmp_path, n_cases=3, K=3, shape=(20, 20, 16)):
+    cases = []
+    for i in range(n_cases):
+        t, refs, l1s, l2s, _ = make_cohort(
+            tmp_path / ("c%d" % i), K=K, shape=shape, seed=17 + i
+        )
+        cases.append(("case%d" % i, t, refs, l1s, l2s))
+    return cases
+
+
+def test_batched_nll_matches_per_case(tmp_path):
+    """Same-geometry cases fused into one vmapped program produce the same
+    artifacts as the per-case path (bitwise up to float reassociation)."""
+    from deepwmh_tpu.pipeline.analysis import LesionAnalyzer
+
+    cases = _multi_case_cohort(tmp_path)
+
+    out_a = str(tmp_path / "per_case")
+    a = LesionAnalyzer(out_a)
+    for c in cases:
+        a.add_case(*c)
+    a.analyze_and_do_segmentation(batch_cases=1)
+
+    out_b = str(tmp_path / "batched")
+    b = LesionAnalyzer(out_b)
+    for c in cases:
+        b.add_case(*c)
+    b.analyze_and_do_segmentation(batch_cases=3)
+
+    import json
+
+    for name, _, _, _, _ in cases:
+        an_a = nifti.load_nifti_simple(os.path.join(out_a, name, "anomaly_score.nii.gz"))
+        an_b = nifti.load_nifti_simple(os.path.join(out_b, name, "anomaly_score.nii.gz"))
+        np.testing.assert_allclose(an_a, an_b, rtol=1e-3, atol=1e-3)
+        ta = json.load(open(os.path.join(out_a, name, "summary.json")))["autoseg_threshold"]
+        tb = json.load(open(os.path.join(out_b, name, "summary.json")))["autoseg_threshold"]
+        np.testing.assert_allclose(ta, tb, rtol=1e-4)
+        sa = nifti.load_nifti_simple(os.path.join(out_a, name, "segmentation_pp.nii.gz"))
+        sb = nifti.load_nifti_simple(os.path.join(out_b, name, "segmentation_pp.nii.gz"))
+        assert (sa == sb).mean() > 0.999
+
+
+def test_batched_nll_mesh_sharded(tmp_path):
+    """The case batch shards across a device mesh (batch 3 on 8 devices:
+    padded with a repeated case, results stripped)."""
+    import jax
+
+    from deepwmh_tpu.parallel.mesh import make_mesh
+    from deepwmh_tpu.pipeline.analysis import LesionAnalyzer
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    cases = _multi_case_cohort(tmp_path)
+    out_a = str(tmp_path / "nomesh")
+    a = LesionAnalyzer(out_a)
+    for c in cases:
+        a.add_case(*c)
+    a.analyze_and_do_segmentation(batch_cases=3)
+
+    out_m = str(tmp_path / "mesh")
+    m = LesionAnalyzer(out_m)
+    for c in cases:
+        m.add_case(*c)
+    m.analyze_and_do_segmentation(batch_cases=3, mesh=make_mesh())
+
+    for name, _, _, _, _ in cases:
+        an_a = nifti.load_nifti_simple(os.path.join(out_a, name, "anomaly_score.nii.gz"))
+        an_m = nifti.load_nifti_simple(os.path.join(out_m, name, "anomaly_score.nii.gz"))
+        np.testing.assert_allclose(an_a, an_m, rtol=1e-3, atol=1e-3)
