@@ -24,16 +24,65 @@ def main(argv=None):
         "registering a labeled atlas to each subject.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("-a", "--atlas-image", type=str, required=True)
-    parser.add_argument("-l", "--atlas-label", type=str, required=True,
+    parser.add_argument("-a", "--atlas-image", type=str)
+    parser.add_argument("-l", "--atlas-label", type=str,
                         help="4-class label volume (0 bg, 1 cerebrum, "
                         "2 cerebellum+brainstem, 3 cortex).")
-    parser.add_argument("-i", "--input-csv", type=str, required=True,
+    parser.add_argument("-i", "--input-csv", type=str,
                         help="CSV with columns (case, flair).")
-    parser.add_argument("-o", "--output-folder", type=str, required=True)
+    parser.add_argument("-o", "--output-folder", type=str)
     parser.add_argument("--affine-only", action="store_true")
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--make-atlas", type=str, metavar="PREFIX",
+                        help="Write <PREFIX>_image.nii.gz + "
+                        "<PREFIX>_label.nii.gz and use them as the atlas: "
+                        "from --from-aseg (a FreeSurfer aseg volume, "
+                        "remapped exactly as the reference's "
+                        "convert_FreeSurfer_aseg), or a built-in synthetic "
+                        "4-class head when no source is given.")
+    parser.add_argument("--from-aseg", type=str, metavar="ASEG",
+                        help="FreeSurfer aseg parcellation to remap into "
+                        "the 4-class atlas label (use with --make-atlas; "
+                        "pair with --aseg-image).")
+    parser.add_argument("--aseg-image", type=str, metavar="IMG",
+                        help="Intensity image in the aseg's grid, stored "
+                        "as the atlas image (with --from-aseg).")
     args = parser.parse_args(argv)
+
+    if args.make_atlas:
+        from deepwmh_tpu.registration.priors import (
+            convert_freesurfer_aseg,
+            synthetic_atlas,
+        )
+
+        img_path = args.make_atlas + "_image.nii.gz"
+        lbl_path = args.make_atlas + "_label.nii.gz"
+        if args.from_aseg:
+            if not args.aseg_image:
+                parser.error("--from-aseg requires --aseg-image")
+            aseg, hdr = nifti.load_nifti(args.from_aseg)
+            label = convert_freesurfer_aseg(aseg).astype(np.float32)
+            image = nifti.load_nifti_simple(args.aseg_image).astype(np.float32)
+        else:
+            image, label = synthetic_atlas()
+            hdr = nifti.NiftiHeader()
+            hdr.set_shape(image.shape)
+            hdr.set_zooms((2.0, 2.0, 2.0))
+        nifti.save_nifti(image, hdr, img_path)
+        nifti.save_nifti(label, hdr, lbl_path)
+        print("atlas written: %s, %s" % (img_path, lbl_path))
+        args.atlas_image = args.atlas_image or img_path
+        args.atlas_label = args.atlas_label or lbl_path
+        if not args.input_csv:
+            return  # atlas-only invocation
+
+    missing = [n for n, v in (("-a/--atlas-image", args.atlas_image),
+                              ("-l/--atlas-label", args.atlas_label),
+                              ("-i/--input-csv", args.input_csv),
+                              ("-o/--output-folder", args.output_folder))
+               if not v]
+    if missing:
+        parser.error("missing required arguments: %s" % ", ".join(missing))
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
 

@@ -89,3 +89,49 @@ def propagate_atlas(
         )
     brain_mask = (label > 0.5).astype(np.float32)
     return label, brain_mask
+
+
+def synthetic_atlas(shape=(96, 112, 96), spacing=(2.0, 2.0, 2.0), seed=0):
+    """Procedural 4-class brain atlas (image, label) in the scheme the
+    reference documents for its priors contract
+    (examples/Brain_labels.txt:1-6: 0 background, 1 cerebrum, 2 cerebellum
+    + brainstem, 3 cerebral cortex).
+
+    Geometry: an ellipsoidal head; the outer ~15% shell of the brain is
+    cortex (3); a lower-posterior lobe plus a central-inferior stem form
+    class 2; the interior remainder is cerebrum (1). The intensity image
+    gives each tissue a distinct T2-FLAIR-like level plus smooth spatial
+    modulation, which is what the affine+SVF registration keys on. It is a
+    *stand-in*: it makes the priors pipeline runnable (and testable) from
+    repo contents alone; for production use build the atlas from a real
+    labeled subject (DeepWMH_priors --make-atlas --from-aseg)."""
+    rng = np.random.RandomState(seed)
+    zz, yy, xx = np.meshgrid(
+        *[np.linspace(-1.0, 1.0, s) for s in shape], indexing="ij"
+    )
+    # head ellipsoid (slightly anisotropic axes)
+    r = np.sqrt((zz / 0.82) ** 2 + (yy / 0.92) ** 2 + (xx / 0.78) ** 2)
+    brain = r < 1.0
+    label = np.zeros(shape, np.int16)
+    label[brain] = 1
+    # cortex: outer shell
+    label[brain & (r > 0.85)] = 3
+    # cerebellum: posterior-inferior lobe
+    cb = (
+        np.sqrt(((zz + 0.45) / 0.38) ** 2 + ((yy + 0.55) / 0.42) ** 2
+                + (xx / 0.5) ** 2) < 1.0
+    )
+    # brainstem: central-inferior column
+    bs = (np.sqrt((yy * 0.0 + xx) ** 2 + (yy + 0.35) ** 2) < 0.14) & (
+        zz > 0.1
+    ) & (zz < 0.75)
+    label[brain & (cb | bs)] = 2
+
+    levels = {0: 0.0, 1: 210.0, 2: 190.0, 3: 160.0}
+    image = np.zeros(shape, np.float32)
+    for k, v in levels.items():
+        image[label == k] = v
+    # smooth modulation + light noise so similarity metrics have texture
+    image *= 1.0 + 0.12 * np.cos(2.5 * zz) * np.cos(1.8 * yy)
+    image += (rng.rand(*shape).astype(np.float32) - 0.5) * 6.0 * (label > 0)
+    return image.astype(np.float32), label.astype(np.float32)
