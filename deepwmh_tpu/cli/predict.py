@@ -44,7 +44,7 @@ def run_predict(
     from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
     from deepwmh_tpu.ops.brain import brain_extract
     from deepwmh_tpu.ops.components import remove_3mm_sparks
-    from deepwmh_tpu.ops.n4 import n4_bias_correction
+    from deepwmh_tpu.ops.n4 import n4_bias_correction_auto
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
     from deepwmh_tpu.unet.release import load_released_model
 
@@ -67,7 +67,9 @@ def run_predict(
             if skip_bfc:
                 nifti.save_nifti(data, hdr, pre_path)
             else:
-                corrected = np.asarray(n4_bias_correction(jnp.asarray(data)))
+                # big volumes route to the slab-sharded N4 on multi-device
+                # backends (ops/n4.py n4_bias_correction_auto)
+                corrected = np.asarray(n4_bias_correction_auto(jnp.asarray(data)))
                 nifti.save_nifti(corrected, hdr, pre_path)
 
         raw_seg = join_path(raw_seg_folder, "%s.nii.gz" % case)

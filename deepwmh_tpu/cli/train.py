@@ -34,7 +34,7 @@ def n4_preprocess_cases(cases, flairs, out_folder, skip_bfc=False):
     """N4-correct every FLAIR into <out>/<case>.nii.gz (idempotent)."""
     import jax.numpy as jnp
 
-    from deepwmh_tpu.ops.n4 import n4_bias_correction
+    from deepwmh_tpu.ops.n4 import n4_bias_correction_auto
 
     out_paths = {}
     for case, flair in zip(cases, flairs):
@@ -47,7 +47,7 @@ def n4_preprocess_cases(cases, flairs, out_folder, skip_bfc=False):
         if skip_bfc:
             nifti.save_nifti(data, hdr, out_path)
         else:
-            corrected = np.asarray(n4_bias_correction(jnp.asarray(data)))
+            corrected = np.asarray(n4_bias_correction_auto(jnp.asarray(data)))
             nifti.save_nifti(corrected, hdr, out_path)
     return out_paths
 

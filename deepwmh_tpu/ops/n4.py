@@ -97,11 +97,19 @@ def _smooth_field(residual, mask, n_control):
 
 
 def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE,
-             hist_stride: int = 4):
+             hist_stride: int = 4, psum_axis=None):
     """Histogram sharpening: returns E[u|v] per voxel (the expected
-    bias-free log intensity)."""
+    bias-free log intensity).
+
+    psum_axis: when run on a spatially sharded slab inside shard_map
+    (parallel/spatial.py), the intensity range and the histogram are
+    merged across shards over ICI; everything downstream of the (tiny)
+    histogram is replicated identically on every device."""
     vmin = jnp.min(jnp.where(mask > 0.5, v, jnp.inf))
     vmax = jnp.max(jnp.where(mask > 0.5, v, -jnp.inf))
+    if psum_axis is not None:
+        vmin = jax.lax.pmin(vmin, psum_axis)
+        vmax = jax.lax.pmax(vmax, psum_axis)
     vmax = jnp.where(vmax > vmin, vmax, vmin + 1.0)
     width = (vmax - vmin) / (nbins - 1)
 
@@ -127,6 +135,8 @@ def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE,
         )
         parts.append(jnp.sum(tri * w[:, None], axis=0))
     hist = jnp.concatenate(parts)
+    if psum_axis is not None:
+        hist = jax.lax.psum(hist, psum_axis)
 
     # Wiener deconvolution with a Gaussian of given FWHM (in bin units)
     pad_n = nbins * 2
@@ -262,3 +272,29 @@ def n4_bias_correction(
     if return_bias:
         return corrected, bias
     return corrected
+
+
+# volumes at/above this many voxels route to the slab-sharded N4 when more
+# than one device is visible (parallel/spatial.py HaloShardedOps): the
+# full-resolution arrays then never materialize on one chip
+N4_SHARD_MIN_VOXELS = 64_000_000
+
+_auto_ops = None
+
+
+def n4_bias_correction_auto(data, **kwargs):
+    """n4_bias_correction with automatic spatial sharding: big volumes
+    (>= N4_SHARD_MIN_VOXELS) on a multi-device backend run slab-sharded
+    over the mesh; everything else takes the single-device program."""
+    global _auto_ops
+    vox = 1
+    for s in np.shape(data):
+        vox *= int(s)
+    if vox >= N4_SHARD_MIN_VOXELS and jax.device_count() > 1:
+        if _auto_ops is None or _auto_ops.n != jax.device_count():
+            from deepwmh_tpu.parallel.mesh import make_mesh
+            from deepwmh_tpu.parallel.spatial import HaloShardedOps
+
+            _auto_ops = HaloShardedOps(make_mesh())
+        return _auto_ops.n4_bias_correction(data, **kwargs)
+    return n4_bias_correction(data, **kwargs)
