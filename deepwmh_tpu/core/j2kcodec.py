@@ -4,8 +4,12 @@ Closes the last compressed transfer syntaxes the reference hands to the
 dcm2niix binary (deepwmh/external_tools/dcm2niix.py:54):
 1.2.840.10008.1.2.4.90 (JPEG 2000 Lossless, reversible 5/3 wavelet) and
 .91 (JPEG 2000, irreversible 9/7). Scope: raw J2K codestreams and JP2
-containers, single tile, arbitrary code-block sizes and decomposition
-levels, LRCP/RLCP/RPCL/PCRL/CPRL progressions with any layer count,
+containers, single tile (any number of tile-parts), arbitrary code-block
+sizes and decomposition levels, LRCP/RLCP/RPCL/PCRL/CPRL progressions with
+any layer count, every code-block style (selective arithmetic bypass,
+per-pass termination, context reset, vertical stripe-causal contexts,
+predictable termination, segmentation symbols — the Kakadu-family
+defaults included), SOP/EPH markers, per-component COC/QCC overrides,
 grayscale and RGB (with the reversible/irreversible component transform),
 1-16 bit, signed or unsigned.
 
@@ -391,24 +395,61 @@ def _init_t1_states():
     return I, mps
 
 
-class _BlockDecoder:
-    """Decode one code-block's coding passes into magnitude + sign."""
+class _RawBitReader:
+    """Raw (bypass) codeword-segment bit reader (D.7): MSB-first bits; a
+    byte following 0xFF carries only 7 bits (the stuffing 0)."""
 
-    def __init__(self, w: int, h: int, orientation: int):
+    __slots__ = ("data", "pos", "buf", "bits", "last")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.bits = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.bits == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            if self.last == 0xFF:
+                self.buf = b & 0x7F
+                self.bits = 7
+            else:
+                self.buf = b
+                self.bits = 8
+            self.last = b
+        self.bits -= 1
+        return (self.buf >> self.bits) & 1
+
+
+class _BlockDecoder:
+    """Decode one code-block's coding passes into magnitude + sign.
+
+    vsc: vertical stripe-causal contexts (style bit 0x08) — for samples in
+    a stripe's last row, the row below (the next stripe) is treated as
+    insignificant during context formation."""
+
+    def __init__(self, w: int, h: int, orientation: int, vsc: bool = False):
         self.w, self.h = w, h
         self.orient = orientation  # 0 LL, 1 HL, 2 LH, 3 HH
+        self.vsc = vsc
         self.sig = np.zeros((h + 2, w + 2), np.uint8)   # 1-padded borders
         self.sgn = np.zeros((h + 2, w + 2), np.uint8)   # 1 = negative
         self.visited = np.zeros((h + 2, w + 2), np.uint8)
         self.refined = np.zeros((h + 2, w + 2), np.uint8)
         self.mag = np.zeros((h, w), np.int64)
 
+    def _stripe_causal(self, y):
+        return self.vsc and (y - 1) % 4 == 3
+
     def _zc_ctx(self, y, x):
         s = self.sig
+        below = 0 if self._stripe_causal(y) else 1
         h = int(s[y, x - 1]) + int(s[y, x + 1])
-        v = int(s[y - 1, x]) + int(s[y + 1, x])
+        v = int(s[y - 1, x]) + below * int(s[y + 1, x])
         d = (int(s[y - 1, x - 1]) + int(s[y - 1, x + 1])
-             + int(s[y + 1, x - 1]) + int(s[y + 1, x + 1]))
+             + below * (int(s[y + 1, x - 1]) + int(s[y + 1, x + 1])))
         o = self.orient
         if o == 0 or o == 2:  # LL, LH
             return int(_ZC_LL[h, v, min(d, 4)])
@@ -418,16 +459,19 @@ class _BlockDecoder:
 
     def _sc_decode(self, mq, y, x):
         s, g = self.sig, self.sgn
-        def contrib(a, b):
+        below = 0 if self._stripe_causal(y) else 1
+
+        def contrib(a, b, wb=1):
             sa = int(s[a]) * (1 - 2 * int(g[a]))
-            sb = int(s[b]) * (1 - 2 * int(g[b]))
+            sb = wb * int(s[b]) * (1 - 2 * int(g[b]))
             return max(-1, min(1, sa + sb))
+
         hc = contrib((y, x - 1), (y, x + 1))
-        vc = contrib((y - 1, x), (y + 1, x))
+        vc = contrib((y - 1, x), (y + 1, x), below)
         ctx, xor = _SC[(hc + 1, vc + 1)]
         return mq.decode(ctx) ^ xor
 
-    def sig_pass(self, mq, plane):
+    def sig_pass(self, mq, plane, raw=False):
         w, h = self.w, self.h
         sig, vis = self.sig, self.visited
         for y0 in range(1, h + 1, 4):
@@ -439,13 +483,19 @@ class _BlockDecoder:
                     if ctx == 0:
                         continue  # no significant neighbors
                     vis[y, x] = 1
-                    if mq.decode(ctx):
+                    if raw:
+                        if mq.bit():
+                            # raw sign: one bit, no context/xor (D.7)
+                            sig[y, x] = 1
+                            self.sgn[y, x] = mq.bit()
+                            self.mag[y - 1, x - 1] = 1 << plane
+                    elif mq.decode(ctx):
                         neg = self._sc_decode(mq, y, x)
                         sig[y, x] = 1
                         self.sgn[y, x] = neg
                         self.mag[y - 1, x - 1] = 1 << plane
 
-    def mag_pass(self, mq, plane):
+    def mag_pass(self, mq, plane, raw=False):
         w, h = self.w, self.h
         sig, vis, ref = self.sig, self.visited, self.refined
         s = sig
@@ -454,16 +504,22 @@ class _BlockDecoder:
                 for y in range(y0, min(y0 + 4, h + 1)):
                     if not sig[y, x] or vis[y, x]:
                         continue
-                    if ref[y, x]:
-                        ctx = 16
-                    else:
-                        nbr = (int(s[y, x-1]) + int(s[y, x+1]) + int(s[y-1, x])
-                               + int(s[y+1, x]) + int(s[y-1, x-1])
-                               + int(s[y-1, x+1]) + int(s[y+1, x-1])
-                               + int(s[y+1, x+1]))
-                        ctx = 15 if nbr else 14
+                    if raw:
                         ref[y, x] = 1
-                    bit = mq.decode(ctx)
+                        bit = mq.bit()
+                    else:
+                        if ref[y, x]:
+                            ctx = 16
+                        else:
+                            below = 0 if self._stripe_causal(y) else 1
+                            nbr = (int(s[y, x-1]) + int(s[y, x+1])
+                                   + int(s[y-1, x]) + below * int(s[y+1, x])
+                                   + int(s[y-1, x-1]) + int(s[y-1, x+1])
+                                   + below * (int(s[y+1, x-1])
+                                              + int(s[y+1, x+1])))
+                            ctx = 15 if nbr else 14
+                            ref[y, x] = 1
+                        bit = mq.decode(ctx)
                     self.mag[y - 1, x - 1] |= bit << plane
                     vis[y, x] = 1
 
@@ -521,25 +577,48 @@ class _BlockDecoder:
 
     def decode_passes(self, data: bytes, n_passes: int, msb_plane: int,
                       segsym: bool = False):
-        """Run n_passes starting from the cleanup of `msb_plane`."""
-        mq = _MQDecoder(data, 19)
-        mq.I, mq.mps = _init_t1_states()
+        """Run n_passes from one un-segmented codeword (style bits other
+        than the segmentation symbol all zero)."""
+        seg = _Segment(False)
+        seg.data = bytearray(data)
+        seg.passes = n_passes
+        self.decode_segments([seg], msb_plane, 0x20 if segsym else 0)
+
+    def decode_segments(self, segments, msb_plane: int, style: int):
+        """Run the coding passes of ordered codeword segments. MQ context
+        states persist across MQ segments (each gets a fresh arithmetic
+        coder on its own bytes); RESET (0x02) reinitializes the states at
+        every pass boundary; raw segments use the bypass bit reader."""
+        segsym = bool(style & 0x20)
+        I, mps = _init_t1_states()
         plane = msb_plane
         kind = 2  # 0 = sig, 1 = mag, 2 = cleanup; first pass is cleanup
-        for _ in range(n_passes):
-            if plane < 0:
-                raise J2kError("more passes than bit-planes")
-            if kind == 0:
-                self.sig_pass(mq, plane)
-            elif kind == 1:
-                self.mag_pass(mq, plane)
+        for seg in segments:
+            if seg.raw:
+                dec = _RawBitReader(bytes(seg.data))
             else:
-                self.cleanup_pass(mq, plane, segsym=segsym)
-            if kind == 2:
-                plane -= 1
-                kind = 0
-            else:
-                kind += 1
+                dec = _MQDecoder(bytes(seg.data), 19)
+                dec.I, dec.mps = I, mps  # shared, persistent states
+            for _ in range(seg.passes):
+                if plane < 0:
+                    raise J2kError("more passes than bit-planes")
+                if style & 0x02:  # RESET: fresh contexts each pass
+                    ni, nm = _init_t1_states()
+                    I[:] = ni
+                    mps[:] = nm
+                if kind == 0:
+                    self.sig_pass(dec, plane, raw=seg.raw)
+                elif kind == 1:
+                    self.mag_pass(dec, plane, raw=seg.raw)
+                else:
+                    if seg.raw:
+                        raise J2kError("cleanup pass in a raw segment")
+                    self.cleanup_pass(dec, plane, segsym=segsym)
+                if kind == 2:
+                    plane -= 1
+                    kind = 0
+                else:
+                    kind += 1
 
     def values(self):
         neg = self.sgn[1:-1, 1:-1].astype(bool)
@@ -665,7 +744,7 @@ _TLM, _PLM, _PLT, _POC, _RGN, _CRG = 0xFF55, 0xFF57, 0xFF58, 0xFF5F, 0xFF5E, 0xF
 
 class _Cod:
     __slots__ = ("prog", "layers", "mct", "levels", "cbw", "cbh", "style",
-                 "wavelet", "precw", "prech")
+                 "wavelet", "precw", "prech", "use_sop", "use_eph")
 
 
 def _parse_cod(seg):
@@ -685,9 +764,42 @@ def _parse_cod(seg):
     else:
         c.precw = [15] * (c.levels + 1)
         c.prech = [15] * (c.levels + 1)
-    if scod & 0x06:
-        raise J2kError("SOP/EPH markers not supported")
+    c.use_sop = bool(scod & 0x02)
+    c.use_eph = bool(scod & 0x04)
     return c
+
+
+def _parse_coc(seg, ncomp):
+    """COC: per-component coding-style override (A.6.2). Returns
+    (comp_index, partial _Cod with the COD-shared fields left None)."""
+    if ncomp < 257:
+        comp, off = seg[0], 1
+    else:
+        comp, off = struct.unpack_from(">H", seg, 0)[0], 2
+    scoc = seg[off]
+    c = _Cod()
+    c.prog = c.layers = c.mct = None  # tile-level (COD only)
+    c.use_sop = c.use_eph = None
+    c.levels = seg[off + 1]
+    c.cbw = 1 << ((seg[off + 2] & 15) + 2)
+    c.cbh = 1 << ((seg[off + 3] & 15) + 2)
+    c.style = seg[off + 4]
+    c.wavelet = seg[off + 5]
+    if scoc & 1:
+        c.precw = [(seg[off + 6 + i] & 15) for i in range(c.levels + 1)]
+        c.prech = [(seg[off + 6 + i] >> 4) for i in range(c.levels + 1)]
+    else:
+        c.precw = [15] * (c.levels + 1)
+        c.prech = [15] * (c.levels + 1)
+    return comp, c
+
+
+def _parse_qcc(seg, ncomp):
+    """QCC: per-component quantization override. Returns (comp_index,
+    SQcd-format bytes)."""
+    if ncomp < 257:
+        return seg[0], seg[1:]
+    return struct.unpack_from(">H", seg, 0)[0], seg[2:]
 
 
 def _parse_qcd(seg, levels):
@@ -712,9 +824,68 @@ def _parse_qcd(seg, levels):
     return guard, style, exps, mants
 
 
+class _Segment:
+    """One terminated codeword segment of a code-block (B.10.7): its own
+    byte range, decoded with its own MQ or raw coder instance."""
+
+    __slots__ = ("raw", "data", "passes")
+
+    def __init__(self, raw: bool):
+        self.raw = raw
+        self.data = bytearray()
+        self.passes = 0
+
+
+def _seg_index(p, style):
+    """Codeword-segment index containing global coding pass p (0-based;
+    pass 0 is the first cleanup) for the given code-block style."""
+    if style & 0x04:  # termall: every pass its own segment
+        return p
+    if style & 0x01:  # selective bypass: MQ for the first 10 passes (the
+        # 4 most significant bit-planes), then alternating raw(sig+mag) /
+        # MQ(cleanup) segments
+        if p < 10:
+            return 0
+        q, r = divmod(p - 10, 3)
+        return 1 + 2 * q + (0 if r < 2 else 1)
+    return 0
+
+
+def _seg_is_raw(p, style):
+    """Is the segment containing pass p raw-coded (bypass)?"""
+    if not style & 0x01:
+        return False
+    return p >= 10 and (p - 10) % 3 < 2
+
+
+def _segment_plan(p0, n, style):
+    """Split the n new passes starting at global pass p0 into per-segment
+    contributions [(seg_idx, first_pass, n_passes)] — one signalled length
+    each (B.10.7.1)."""
+    if not style & 0x05:
+        return [(0, p0, n)]
+    out = []
+    p = p0
+    while n > 0:
+        if style & 0x04:
+            out.append((p, p, 1))
+            p += 1
+            n -= 1
+            continue
+        if p < 10:
+            k = min(n, 10 - p)
+        else:
+            r = (p - 10) % 3
+            k = min(n, (2 - r) if r < 2 else 1)
+        out.append((_seg_index(p, style), p, k))
+        p += k
+        n -= k
+    return out
+
+
 class _Block:
     __slots__ = ("x0", "y0", "w", "h", "included", "msbs", "lblock",
-                 "passes", "data", "band")
+                 "passes", "segments", "band")
 
     def __init__(self, x0, y0, w, h, band):
         self.x0, self.y0, self.w, self.h = x0, y0, w, h
@@ -722,8 +893,13 @@ class _Block:
         self.msbs = 0
         self.lblock = 3
         self.passes = 0
-        self.data = bytearray()
+        self.segments = {}  # seg_idx -> _Segment
         self.band = band
+
+    def segment(self, idx, raw):
+        if idx not in self.segments:
+            self.segments[idx] = _Segment(raw)
+        return self.segments[idx]
 
 
 class _Band:
@@ -768,26 +944,29 @@ def _band_geometry(W, H, levels):
 
 
 def _parse_markers(data: bytes):
-    """Walk the main + tile headers; returns (siz, cod, qcd, body) where
-    body is the entropy-coded tile data between SOD and EOC/next SOT."""
+    """Walk the main + tile headers; returns (siz, cod, qcd, body, cocs,
+    qccs) where body is the concatenated entropy-coded data of every
+    tile-part (packets continue byte-contiguously across tile-part
+    boundaries, A.4.2) and cocs/qccs are the raw per-component override
+    segments (parsed later, once SIZ's component count is known)."""
     if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != _SOC:
         raise J2kError("not a JPEG 2000 codestream (missing SOC)")
     i = 2
     siz = cod = qcd = None
-    body = None
+    bodies = []
+    cocs, qccs = [], []
     n = len(data)
     sot_start = None
     psot = 0
+    expect_tpsot = 0
     while i + 2 <= n:
         m = struct.unpack_from(">H", data, i)[0]
         i += 2
         if m == _EOC:
             break
         if m == _SOD:
-            if body is not None:
-                raise J2kError("multiple tile-parts not supported")
             # tile-part body length comes from SOT's Psot (0 = to EOC);
-            # trusting "everything to EOC" would silently swallow a second
+            # trusting "everything to EOC" would silently swallow a later
             # tile-part's marker bytes as packet data
             if psot:
                 end = sot_start + psot
@@ -797,7 +976,7 @@ def _parse_markers(data: bytes):
                 end = n
                 if n >= 2 and struct.unpack_from(">H", data, n - 2)[0] == _EOC:
                     end = n - 2
-            body = data[i:end]
+            bodies.append(data[i:end])
             i = end
             continue
         seglen = struct.unpack_from(">H", data, i)[0]
@@ -809,27 +988,33 @@ def _parse_markers(data: bytes):
             cod = _parse_cod(seg)
         elif m == _QCD:
             qcd = seg
-        elif m in (_COC, _QCC):
-            raise J2kError("per-component COC/QCC overrides not supported")
+        elif m == _COC:
+            cocs.append(seg)
+        elif m == _QCC:
+            qccs.append(seg)
         elif m == _POC:
             raise J2kError("POC progression changes not supported")
         elif m == _SOT:
-            if body is not None:
-                raise J2kError("multiple tile-parts not supported")
             sot_start = i - seglen - 2  # the FF90 marker position
-            _isot, psot, tpsot, _tnsot = struct.unpack_from(">HIBB", seg, 0)
-            if tpsot != 0:
-                raise J2kError("multiple tile-parts not supported")
+            isot, psot, tpsot, _tnsot = struct.unpack_from(">HIBB", seg, 0)
+            if isot != 0:
+                raise J2kError("multiple tiles not supported")
+            if tpsot != expect_tpsot:
+                raise J2kError(
+                    "tile-parts out of order (TPsot %d, expected %d)"
+                    % (tpsot, expect_tpsot)
+                )
+            expect_tpsot += 1
         elif m in (_COM, _TLM, _PLM, _PLT, _RGN, _CRG):
             pass
         # unknown markers with lengths are skipped by construction
-    if siz is None or cod is None or qcd is None or body is None:
+    if siz is None or cod is None or qcd is None or not bodies:
         raise J2kError("incomplete codestream (need SIZ/COD/QCD/SOD)")
-    return siz, cod, qcd, body
+    return siz, cod, qcd, b"".join(bodies), cocs, qccs
 
 
 def _decode_codestream(data: bytes):
-    siz, cod, qcd, body = _parse_markers(data)
+    siz, cod, qcd, body, cocs, qccs = _parse_markers(data)
     _rsiz, W, H, x0, y0, tw, th, tx0, ty0, ncomp = struct.unpack_from(
         ">HIIIIIIIIH", siz, 0
     )
@@ -841,20 +1026,44 @@ def _decode_codestream(data: bytes):
         if xr != 1 or yr != 1:
             raise J2kError("subsampled components not supported")
         comps.append(((ssiz & 0x7F) + 1, bool(ssiz & 0x80)))  # (prec, signed)
-    if any(p != 15 for p in cod.precw) or any(p != 15 for p in cod.prech):
-        raise J2kError("non-default precincts not supported")
-    if cod.style & ~0x20:
-        raise J2kError("code-block style 0x%02x not supported" % cod.style)
-    segsym = bool(cod.style & 0x20)
-    reversible = cod.wavelet == 1
-    guard, qstyle, exps, mants = _parse_qcd(qcd, cod.levels)
+
+    # per-component coding/quantization (COC/QCC overrides)
+    comp_cod = [cod] * ncomp
+    for seg in cocs:
+        ci, c = _parse_coc(seg, ncomp)
+        if ci >= ncomp:
+            raise J2kError("COC for component %d of %d" % (ci, ncomp))
+        comp_cod[ci] = c
+    comp_qcd = [qcd] * ncomp
+    for seg in qccs:
+        ci, q = _parse_qcc(seg, ncomp)
+        if ci >= ncomp:
+            raise J2kError("QCC for component %d of %d" % (ci, ncomp))
+        comp_qcd[ci] = q
 
     L = cod.levels
+    for c in range(ncomp):
+        cc = comp_cod[c]
+        if cc.levels != L:
+            raise J2kError(
+                "per-component resolution counts differ (COC levels %d vs "
+                "COD %d)" % (cc.levels, L)
+            )
+        if any(p != 15 for p in cc.precw) or any(p != 15 for p in cc.prech):
+            raise J2kError("non-default precincts not supported")
+        if cc.style & ~0x3F:
+            raise J2kError("code-block style 0x%02x not supported" % cc.style)
+
+    qinfo = [_parse_qcd(comp_qcd[c], L) for c in range(ncomp)]
+    guard = qinfo[0][0]
+
     geom = _band_geometry(W, H, L)
 
     # build per component x resolution band/block structures
     structs = []
     for c in range(ncomp):
+        cc = comp_cod[c]
+        _g, qstyle, exps, mants = qinfo[c]
         res = []
         for r in range(L + 1):
             bands = []
@@ -870,19 +1079,19 @@ def _decode_codestream(data: bytes):
                 else:
                     b.exp = exps[band_index]
                     b.mant = mants[band_index]
-                b.nbx = max(0, -(-bw // cod.cbw))
-                b.nby = max(0, -(-bh // cod.cbh))
+                b.nbx = max(0, -(-bw // cc.cbw))
+                b.nby = max(0, -(-bh // cc.cbh))
                 b.blocks = {}
                 if b.nbx and b.nby:
                     b.incl_tree = _TagTree(b.nbx, b.nby)
                     b.msb_tree = _TagTree(b.nbx, b.nby)
                 for by in range(b.nby):
                     for bx in range(b.nbx):
-                        cx0 = bx * cod.cbw
-                        cy0 = by * cod.cbh
+                        cx0 = bx * cc.cbw
+                        cy0 = by * cc.cbh
                         b.blocks[(bx, by)] = _Block(
                             cx0, cy0,
-                            min(cod.cbw, bw - cx0), min(cod.cbh, bh - cy0), b
+                            min(cc.cbw, bw - cx0), min(cc.cbh, bh - cy0), b
                         )
                 bands.append(b)
             res.append(bands)
@@ -892,8 +1101,15 @@ def _decode_codestream(data: bytes):
     rd = _PacketBitReader(body)
 
     def one_packet(c, r, layer):
+        style = comp_cod[c].style
+        if cod.use_sop:
+            # SOP is optional per packet even when flagged (A.8.1)
+            if body[rd.pos : rd.pos + 2] == b"\xff\x91":
+                rd.pos += 6  # FF91 + Lsop(=0004) + Nsop
         if rd.bit() == 0:  # empty packet
             rd.align()
+            if cod.use_eph and body[rd.pos : rd.pos + 2] == b"\xff\x92":
+                rd.pos += 2
             return []
         order = []
         for band in structs[c][r]:
@@ -918,14 +1134,27 @@ def _decode_codestream(data: bytes):
                     np_new = _npasses_decode(rd)
                     while rd.bit():
                         blk.lblock += 1
-                    nbits = blk.lblock + int(math.floor(math.log2(np_new)))
-                    nbytes = rd.read(nbits)
+                    # one signalled length per codeword-segment
+                    # contribution (B.10.7.1; trivially one when neither
+                    # bypass nor termall splits the codeword)
+                    contribs = []
+                    for seg_idx, p_first, k in _segment_plan(
+                        blk.passes, np_new, style
+                    ):
+                        nbits = blk.lblock + int(math.floor(math.log2(k)))
+                        nbytes = rd.read(nbits)
+                        contribs.append((seg_idx, p_first, k, nbytes))
                     blk.passes += np_new
-                    order.append((blk, nbytes))
+                    order.append((blk, style, contribs))
         rd.align()
-        for blk, nbytes in order:
-            blk.data += body[rd.pos : rd.pos + nbytes]
-            rd.pos += nbytes
+        if cod.use_eph and body[rd.pos : rd.pos + 2] == b"\xff\x92":
+            rd.pos += 2
+        for blk, style, contribs in order:
+            for seg_idx, p_first, k, nbytes in contribs:
+                seg = blk.segment(seg_idx, _seg_is_raw(p_first, style))
+                seg.data += body[rd.pos : rd.pos + nbytes]
+                seg.passes += k
+                rd.pos += nbytes
         return order
 
     prog = cod.prog
@@ -956,6 +1185,9 @@ def _decode_codestream(data: bytes):
     out_comps = []
     for c in range(ncomp):
         prec, signed = comps[c]
+        style = comp_cod[c].style
+        segsym = bool(style & 0x20)
+        reversible = comp_cod[c].wavelet == 1
         planes = {}
         for r in range(L + 1):
             for band in structs[c][r]:
@@ -971,23 +1203,31 @@ def _decode_codestream(data: bytes):
                     if blk.passes == 0:
                         continue
                     msb_plane = mb - 1 - blk.msbs
+                    segs = [blk.segments[i] for i in sorted(blk.segments)]
                     vals = None
-                    try:
-                        # native Tier-1 (native/j2k_t1.cpp, ~100x Python)
-                        from deepwmh_tpu import native
+                    # native Tier-1 (native/j2k_t1.cpp, ~100x Python)
+                    # handles only the single-MQ-segment default styles;
+                    # bypass/termall/reset/VSC decode in Python
+                    if (
+                        style & ~0x20 == 0
+                        and len(segs) == 1
+                        and not segs[0].raw
+                    ):
+                        try:
+                            from deepwmh_tpu import native
 
-                        vals = native.j2k_decode_block_host(
-                            bytes(blk.data), blk.w, blk.h, band.orient,
-                            blk.passes, msb_plane, segsym,
-                        )
-                    except Exception:
-                        vals = None
+                            vals = native.j2k_decode_block_host(
+                                bytes(segs[0].data), blk.w, blk.h,
+                                band.orient, blk.passes, msb_plane, segsym,
+                            )
+                        except Exception:
+                            vals = None
                     if vals is None:
-                        dec = _BlockDecoder(blk.w, blk.h, band.orient)
-                        dec.decode_passes(
-                            bytes(blk.data), blk.passes, msb_plane,
-                            segsym=segsym,
+                        dec = _BlockDecoder(
+                            blk.w, blk.h, band.orient,
+                            vsc=bool(style & 0x08),
                         )
+                        dec.decode_segments(segs, msb_plane, style)
                         vals = dec.values()
                     coeffs[
                         blk.y0 : blk.y0 + blk.h, blk.x0 : blk.x0 + blk.w
@@ -1010,9 +1250,10 @@ def _decode_codestream(data: bytes):
         out_comps.append(img)
 
     # ---- multiple component transform + level shift ----
+    mct_reversible = cod.wavelet == 1  # tile-level choice governs MCT kind
     if cod.mct and ncomp >= 3:
         y, u, v = out_comps[0], out_comps[1], out_comps[2]
-        if reversible:  # RCT inverse
+        if mct_reversible:  # RCT inverse
             g = y - ((u + v) >> 2)
             r_ = v + g
             b_ = u + g
@@ -1026,7 +1267,7 @@ def _decode_codestream(data: bytes):
     for c in range(ncomp):
         prec, signed = comps[c]
         a = out_comps[c]
-        if not reversible:
+        if comp_cod[c].wavelet != 1:
             a = np.round(a)
         a = a.astype(np.int64)
         if not signed:

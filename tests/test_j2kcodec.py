@@ -219,3 +219,166 @@ def test_native_tier1_matches_python():
         finally:
             native.j2k_decode_block_host = saved
         np.testing.assert_array_equal(got_native, got_python)
+
+
+# --------------------------------------------------------------------------
+# real-world code-block styles + markers, validated against codestreams
+# produced by the SYSTEM libopenjp2 encoder (tests/openjpeg_enc.py drives it
+# via ctypes with per-feature flags PIL does not expose)
+# --------------------------------------------------------------------------
+
+
+def _openjpeg_encoder_or_skip():
+    import pytest
+
+    try:
+        from openjpeg_enc import get_encoder
+
+        return get_encoder()
+    except Exception as e:  # pragma: no cover - environment without the lib
+        pytest.skip("libopenjp2 encoder unavailable: %s" % e)
+
+
+def _style_image(seed=0, shape=(67, 53), prec=12):
+    rng = np.random.RandomState(seed)
+    # smooth structure + noise: exercises all pass types over many planes
+    g = np.meshgrid(*[np.linspace(0, 4, s) for s in shape], indexing="ij")
+    base = 900 * (np.sin(g[0]) + np.cos(1.3 * g[1])) + 1800
+    img = base + 250 * rng.rand(*shape)
+    return np.clip(img, 0, (1 << prec) - 1).astype(np.uint16)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("mode,name", [
+    (1, "bypass"),
+    (4, "termall"),
+    (5, "bypass+termall"),
+    (2, "reset"),
+    (8, "vsc"),
+    (1 | 8, "bypass+vsc"),
+    (1 | 2 | 4 | 8 | 16, "all-styles"),
+])
+def test_codeblock_styles_vs_openjpeg(mode, name):
+    from deepwmh_tpu.core import j2kcodec
+
+    enc = _openjpeg_encoder_or_skip()
+    img = _style_image()
+    stream = enc.encode(img, prec=12, mode=mode, levels=3)
+    # sanity: openjpeg itself decodes its own stream losslessly
+    from openjpeg_enc import pil_decode_j2k
+
+    np.testing.assert_array_equal(pil_decode_j2k(stream, prec=12), img)
+    got, prec = j2kcodec.decode(stream)
+    assert prec == 12
+    np.testing.assert_array_equal(got, img, err_msg=name)
+
+
+def test_sop_eph_markers_vs_openjpeg():
+    from deepwmh_tpu.core import j2kcodec
+
+    enc = _openjpeg_encoder_or_skip()
+    img = _style_image(seed=1)
+    stream = enc.encode(img, prec=12, csty=6, levels=3)
+    assert b"\xff\x91" in stream and b"\xff\x92" in stream
+    got, _ = j2kcodec.decode(stream)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_multilayer_bypass_vs_openjpeg():
+    """Layers split code-block contributions across packets; with bypass
+    the per-packet multi-segment length signalling must still line up."""
+    from deepwmh_tpu.core import j2kcodec
+
+    enc = _openjpeg_encoder_or_skip()
+    img = _style_image(seed=2)
+    stream = enc.encode(img, prec=12, mode=1, layers=3, levels=3)
+    got, _ = j2kcodec.decode(stream)
+    np.testing.assert_array_equal(got, img)
+
+
+def _split_into_tile_parts(stream: bytes, split_frac=0.5) -> bytes:
+    """Rewrite a single-tile-part codestream as TWO tile-parts, splitting
+    the entropy data at an arbitrary byte (legal per A.4.2: tile-part
+    boundaries need not align with packets for the purposes of the byte
+    concatenation the decoder must perform)."""
+    i = stream.find(b"\xff\x90")  # SOT
+    assert i >= 0
+    lsot = int.from_bytes(stream[i + 2 : i + 4], "big")
+    isot = int.from_bytes(stream[i + 4 : i + 6], "big")
+    sod = stream.find(b"\xff\x93", i)
+    assert sod >= 0
+    body_start = sod + 2
+    end = len(stream) - 2  # strip EOC
+    assert stream[end:] == b"\xff\xd9"
+    body = stream[body_start:end]
+    cut = max(1, int(len(body) * split_frac))
+    b1, b2 = body[:cut], body[cut:]
+
+    def tile_part(tpsot, tnsot, data):
+        psot = 2 + 10 + 2 + len(data)  # SOT + seg + SOD + data
+        return (b"\xff\x90" + (10).to_bytes(2, "big")
+                + isot.to_bytes(2, "big") + psot.to_bytes(4, "big")
+                + bytes([tpsot, tnsot]) + b"\xff\x93" + data)
+
+    header = stream[:i]
+    return header + tile_part(0, 2, b1) + tile_part(1, 2, b2) + b"\xff\xd9"
+
+
+def test_multiple_tile_parts():
+    from deepwmh_tpu.core import j2kcodec
+
+    enc = _openjpeg_encoder_or_skip()
+    img = _style_image(seed=3)
+    stream = enc.encode(img, prec=12, levels=3)
+    for frac in (0.3, 0.5, 0.8):
+        two_tp = _split_into_tile_parts(stream, frac)
+        got, _ = j2kcodec.decode(two_tp)
+        np.testing.assert_array_equal(got, img, err_msg="frac=%s" % frac)
+    # out-of-order tile-parts still fail loudly
+    bad = _split_into_tile_parts(stream, 0.5)
+    j = bad.find(b"\xff\x90")
+    j2 = bad.find(b"\xff\x90", j + 2)
+    bad = bytearray(bad)
+    bad[j + 10], bad[j2 + 10] = 1, 0  # swap TPsot values (SOT: FF90 Lsot Isot Psot TPsot)
+    with pytest.raises(j2kcodec.J2kError, match="tile-parts out of order"):
+        j2kcodec.decode(bytes(bad))
+
+
+def test_dicom_jpeg2000_bypass_series(tmp_path):
+    """End-to-end: a DICOM series whose frames are openjpeg-encoded with
+    the bypass style decodes through series_to_volume."""
+    import os
+    import struct
+
+    from deepwmh_tpu.core.dicom import series_to_volume
+    from test_dicom import _el_explicit, _encapsulate, _write_signed_body
+
+    enc = _openjpeg_encoder_or_skip()
+    rng = np.random.RandomState(4)
+    vol = (rng.rand(31, 27, 2) * 4000).astype(np.uint16)
+    for k in range(2):
+        stream = enc.encode(vol[:, :, k], prec=12, mode=1, levels=2)
+        meta = _el_explicit(0x0002, 0x0010, b"UI",
+                            b"1.2.840.10008.1.2.4.90\x00")
+        body = b""
+        body += _el_explicit(0x0008, 0x0018, b"UI", b"7.7.%d" % k)
+        body += _el_explicit(0x0020, 0x000E, b"UI", b"7.7")
+        body += _el_explicit(0x0020, 0x0013, b"IS", str(k + 1).encode())
+        body += _el_explicit(0x0020, 0x0032, b"DS", b"0\\0\\%d" % k)
+        body += _el_explicit(0x0020, 0x0037, b"DS", b"1\\0\\0\\0\\1\\0")
+        body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", 31))
+        body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", 27))
+        body += _el_explicit(0x0028, 0x0030, b"DS", b"1\\1")
+        body += _el_explicit(0x0018, 0x0050, b"DS", b"1")
+        body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+        body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+        body += _encapsulate(stream)
+        with open(str(tmp_path / ("j2kbp%d.dcm" % k)), "wb") as f:
+            f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    paths = sorted(
+        str(tmp_path / f) for f in os.listdir(tmp_path)
+    )
+    got, _, _ = series_to_volume(paths)
+    np.testing.assert_allclose(got, vol.astype(np.float32))
