@@ -382,3 +382,43 @@ def test_dicom_jpeg2000_bypass_series(tmp_path):
     )
     got, _, _ = series_to_volume(paths)
     np.testing.assert_allclose(got, vol.astype(np.float32))
+
+
+def test_coc_qcc_overrides():
+    """Per-component COC/QCC overrides: insert override segments carrying
+    the same parameters as COD/QCD into a real stream (openjpeg never emits
+    them for grayscale) — the decoder must route through the override path
+    and still reconstruct exactly; a COC for a missing component fails."""
+    from deepwmh_tpu.core import j2kcodec
+
+    enc = _openjpeg_encoder_or_skip()
+    img = _style_image(seed=5)
+    stream = enc.encode(img, prec=12, mode=1, levels=3)
+
+    i = stream.find(b"\xff\x52")  # COD
+    lcod = int.from_bytes(stream[i + 2 : i + 4], "big")
+    cod_seg = stream[i + 4 : i + 2 + lcod]
+    # COD: Scod Prog Layers(2) MCT Levels cbw cbh style wavelet
+    scod = cod_seg[0]
+    coc_payload = bytes([0]) + bytes([scod & 1]) + cod_seg[5:10]
+    coc = b"\xff\x53" + (2 + len(coc_payload)).to_bytes(2, "big") + coc_payload
+
+    j = stream.find(b"\xff\x5c")  # QCD
+    lqcd = int.from_bytes(stream[j + 2 : j + 4], "big")
+    qcd_seg = stream[j + 4 : j + 2 + lqcd]
+    qcc_payload = bytes([0]) + qcd_seg
+    qcc = b"\xff\x5d" + (2 + len(qcc_payload)).to_bytes(2, "big") + qcc_payload
+
+    k = stream.find(b"\xff\x90")  # insert before SOT (end of main header)
+    patched = stream[:k] + coc + qcc + stream[k:]
+    got, _ = j2kcodec.decode(patched)
+    np.testing.assert_array_equal(got, img)
+
+    bad_coc = b"\xff\x53" + (2 + len(coc_payload)).to_bytes(2, "big") + (
+        bytes([3]) + coc_payload[1:]
+    )
+    bad = stream[:k] + bad_coc + stream[k:]
+    import pytest
+
+    with pytest.raises(j2kcodec.J2kError, match="COC for component"):
+        j2kcodec.decode(bad)
