@@ -474,12 +474,12 @@ def main():
     # value order under the wall-clock budget: per-stage medians, then the
     # two training-prep throughputs, then training steps
     stages = if_time(lambda: bench_stages(predictor, vol, spacing))
+    nll_cases_per_min = if_time(bench_nll)
+    train_steps_per_sec = if_time(lambda: bench_training(plan))
     reg = if_time(bench_registration) or {}
     reg_pairs_per_min = reg.get("quick_pairs_per_min")
     reg_prod_pairs_per_min = reg.get("production_pairs_per_min")
     reg_quality = if_time(bench_registration_quality)
-    train_steps_per_sec = if_time(lambda: bench_training(plan))
-    nll_cases_per_min = if_time(bench_nll)
 
     print(
         json.dumps(

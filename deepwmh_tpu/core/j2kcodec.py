@@ -299,12 +299,16 @@ class _PacketBitReader:
         self.bits = 0
         self.last = 0
 
+    def _next_byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise J2kError("packet header past end of data")
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
     def bit(self) -> int:
         if self.bits == 0:
-            if self.pos >= len(self.data):
-                raise J2kError("packet header past end of data")
-            b = self.data[self.pos]
-            self.pos += 1
+            b = self._next_byte()
             if self.last == 0xFF:
                 self.buf = b & 0x7F
                 self.bits = 7
@@ -395,32 +399,20 @@ def _init_t1_states():
     return I, mps
 
 
-class _RawBitReader:
-    """Raw (bypass) codeword-segment bit reader (D.7): MSB-first bits; a
-    byte following 0xFF carries only 7 bits (the stuffing 0)."""
+class _RawBitReader(_PacketBitReader):
+    """Raw (bypass) codeword-segment bit reader (D.7). Identical MSB-first
+    bit-unstuffing to the packet-header reader (a byte following 0xFF
+    carries only 7 bits); the one semantic difference is end-of-data —
+    exhausted raw segments pad with 0xFF instead of raising (a terminated
+    segment may end mid-stripe; the spec's marker-range fill)."""
 
-    __slots__ = ("data", "pos", "buf", "bits", "last")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.buf = 0
-        self.bits = 0
-        self.last = 0
-
-    def bit(self) -> int:
-        if self.bits == 0:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+    def _next_byte(self) -> int:
+        if self.pos >= len(self.data):
             self.pos += 1
-            if self.last == 0xFF:
-                self.buf = b & 0x7F
-                self.bits = 7
-            else:
-                self.buf = b
-                self.bits = 8
-            self.last = b
-        self.bits -= 1
-        return (self.buf >> self.bits) & 1
+            return 0xFF
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
 
 
 class _BlockDecoder:
@@ -1055,7 +1047,6 @@ def _decode_codestream(data: bytes):
             raise J2kError("code-block style 0x%02x not supported" % cc.style)
 
     qinfo = [_parse_qcd(comp_qcd[c], L) for c in range(ncomp)]
-    guard = qinfo[0][0]
 
     geom = _band_geometry(W, H, L)
 
@@ -1063,7 +1054,7 @@ def _decode_codestream(data: bytes):
     structs = []
     for c in range(ncomp):
         cc = comp_cod[c]
-        _g, qstyle, exps, mants = qinfo[c]
+        _guard, qstyle, exps, mants = qinfo[c]
         res = []
         for r in range(L + 1):
             bands = []
@@ -1188,6 +1179,9 @@ def _decode_codestream(data: bytes):
         style = comp_cod[c].style
         segsym = bool(style & 0x20)
         reversible = comp_cod[c].wavelet == 1
+        # guard bits are per-component (a QCC may override the QCD's):
+        # M_b = G + eps_b - 1 must use THIS component's G (T.800 E.1)
+        guard = qinfo[c][0]
         planes = {}
         for r in range(L + 1):
             for band in structs[c][r]:
@@ -1252,6 +1246,14 @@ def _decode_codestream(data: bytes):
     # ---- multiple component transform + level shift ----
     mct_reversible = cod.wavelet == 1  # tile-level choice governs MCT kind
     if cod.mct and ncomp >= 3:
+        for c in range(3):
+            if (comp_cod[c].wavelet == 1) != mct_reversible:
+                # mixing the RCT integer inverse with float components (or
+                # vice versa) is non-conformant; fail as a decode error
+                # rather than a TypeError deep in numpy
+                raise J2kError(
+                    "MCT with mismatched per-component wavelets"
+                )
         y, u, v = out_comps[0], out_comps[1], out_comps[2]
         if mct_reversible:  # RCT inverse
             g = y - ((u + v) >> 2)

@@ -328,10 +328,11 @@ class HaloShardedOps:
         psum-merged, and each device evaluates the smooth field / final
         upsample ONLY for its own rows with global-coordinate gathers.
 
-        Differences vs the single-device op (both sub-percent on real
-        volumes, covered by tests): the histogram subsample (every 4th
-        voxel) is taken per shard instead of globally, and the control-cell
-        extents derive from the shard-aligned padded depth."""
+        The knot geometry and upsample endpoint alignment follow the
+        single-device padded extents, so results match the single-device
+        op to float tolerance (tests assert <1e-3 relative); the one
+        remaining semantic difference is that the histogram subsample
+        (every 4th voxel) is taken per shard instead of globally."""
         import math
 
         from deepwmh_tpu.ops.n4 import (
@@ -434,7 +435,11 @@ class HaloShardedOps:
                 )
                 ext = jnp.concatenate([prv, small, nxt], axis=0)
                 r = me * n_out_rows + jnp.arange(n_out_rows, dtype=jnp.float32)
-                x = r * ((Ds_ref - 1) / max(Dp_ref - 1, 1))
+                # endpoint alignment matches the single-device op exactly:
+                # it resizes the small field straight to the ORIGINAL depth
+                # (rows beyond shape[0] are shard padding, cropped later;
+                # their extrapolated values are harmless)
+                x = r * ((Ds_ref - 1) / max(shape[0] - 1, 1))
                 lo = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, Ds_ref - 2)
                 w = x - lo.astype(jnp.float32)
                 loc = jnp.clip(lo - me * rows_small + 1, 0, rows_small)
@@ -482,8 +487,17 @@ class HaloShardedOps:
                 from deepwmh_tpu.ops.grid import _linear_resize_axis
 
                 lb = lerp_rows_local(log_bias, xl.shape[0], me)
-                lb = _linear_resize_axis(lb, 1, Hp)
-                lb = _linear_resize_axis(lb, 2, Wp)
+                # H/W likewise resize to the ORIGINAL extents (matching the
+                # single-device endpoint alignment), then edge-pad to the
+                # shrink-padded slab shape; padded columns are mask-0 and
+                # cropped, so their bias values never matter
+                lb = _linear_resize_axis(lb, 1, shape[1])
+                lb = _linear_resize_axis(lb, 2, shape[2])
+                lb = jnp.pad(
+                    lb,
+                    ((0, 0), (0, Hp - shape[1]), (0, Wp - shape[2])),
+                    mode="edge",
+                )
                 # unit geometric mean inside the mask (global psum)
                 num = jax.lax.psum(jnp.sum(lb * ml), axis)
                 den = jnp.maximum(jax.lax.psum(jnp.sum(ml), axis), 1.0)

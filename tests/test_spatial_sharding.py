@@ -119,7 +119,7 @@ def test_sharded_n4_matches_single(rng):
 
     m = brain > 0.5
     rel = np.abs(got[m] - want[m]) / np.maximum(np.abs(want[m]), 1.0)
-    assert rel.max() < 0.02, rel.max()
+    assert rel.max() < 1e-3, rel.max()
 
     # and the bias is actually reduced vs the input
     cv_in = vol[m].std() / vol[m].mean()
@@ -128,9 +128,9 @@ def test_sharded_n4_matches_single(rng):
 
 
 def test_sharded_n4_unaligned_depth(rng):
-    """Depth not divisible by shards*shrink: shard-aligned padding shifts
-    the control cells slightly; the corrected volume still matches within
-    a few percent and removes the bias."""
+    """Depth not divisible by shards*shrink: the shard padding must not
+    move the control lattice or the upsample endpoints — parity stays at
+    float tolerance."""
     import jax.numpy as jnp
 
     from deepwmh_tpu.ops.n4 import n4_bias_correction
@@ -151,4 +151,4 @@ def test_sharded_n4_unaligned_depth(rng):
     want = np.asarray(n4_bias_correction(jnp.asarray(vol), **kw))
     m = brain > 0.5
     rel = np.abs(got[m] - want[m]) / np.maximum(np.abs(want[m]), 1.0)
-    assert rel.max() < 0.05, rel.max()
+    assert rel.max() < 1e-3, rel.max()
