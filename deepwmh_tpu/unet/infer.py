@@ -11,8 +11,14 @@ TPU design, two modes:
   network's total stride and run the whole volume through the U-Net once
   per mirror flip (fullvol_tta). The reference's half-overlap sweep
   computes every interior voxel ~2.5x; doing each voxel once is measured
-  2.4x faster at identical weights. Flips are applied/undone with
-  index-driven flip+select pairs so the forward appears once per program.
+  2.4x faster. NOT bitwise-equivalent to the patch sweep: the network's
+  instance norms see whole-volume statistics instead of per-patch ones
+  (and no Gaussian-weighted overlap averaging), a small activation-
+  statistics shift for a patch-trained net — segmentation agreement with
+  the patch sweep on trained weights is asserted by
+  tests/test_unet.py::test_fullvol_agrees_with_patch_on_trained_model.
+  Flips are applied/undone with index-driven flip+select pairs so the
+  forward appears once per program.
 - **Patch sweep** (above FULLVOL_MAX_VOXELS, or mode='patch'): a single
   jitted lax.scan over half-overlapping patch positions — patch extraction
   (dynamic_slice), mirror-TTA forward passes (static flip set, one batched
