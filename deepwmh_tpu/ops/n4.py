@@ -124,8 +124,16 @@ def _sharpen(v, mask, nbins=NBINS, fwhm=FWHM, noise=WIENER_NOISE,
     # with no visible change to the corrected output.
     pos = (v - vmin) / jnp.maximum(width, 1e-30)
     pos = jnp.clip(pos, 0.0, float(nbins - 1))
-    pos_flat = pos.reshape(-1)[::hist_stride]
-    w = mask.reshape(-1)[::hist_stride]
+    if pos.ndim == 3 and hist_stride == 4:
+        # quarter-sample SPATIALLY (every other D row and H column, all of
+        # W): a flat [::4] lowers to a serialized per-element gather on TPU
+        # — profiled at ~4 ms x 150 iterations = 80% of the whole N4 —
+        # while major-axis strided slices are pure addressing
+        pos_flat = pos[::2, ::2, :].reshape(-1)
+        w = mask[::2, ::2, :].reshape(-1)
+    else:
+        pos_flat = pos.reshape(-1)[::hist_stride]
+        w = mask.reshape(-1)[::hist_stride]
     CHUNK = 25
     parts = []
     for b0 in range(0, nbins, CHUNK):

@@ -66,8 +66,14 @@ class Trainer:
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         # remat: batch-2 training at the flagship plan does not even
-        # compile on a 16GB chip without it (see UNet3D.remat)
-        self.model = UNet3D(plan=plan, remat=True)
+        # compile on a 16GB chip without it (see UNet3D.remat).
+        # decompose_fullres stays OFF for training: the depth-decomposed
+        # lowering wins only at batch-1 whole-volume inference shapes — at
+        # batched patch shapes it is measured slower and its extra
+        # pad/slice graph interacts badly with remat compile times. The
+        # parameter tree is identical either way, so checkpoints trained
+        # here load into decomposed inference models freely.
+        self.model = UNet3D(plan=plan, remat=True, decompose_fullres=False)
         self.logger = logger or SimpleTxtLog(os.path.join(out_dir, "training_log.txt"))
         if mesh is not None and cfg.batch_size % int(mesh.size) != 0:
             # DP shards the batch axis; the global batch is part of the
