@@ -425,13 +425,16 @@ def bench_nll():
         )
         _sync(out[0])
 
+    per_case_b = None
     try:
         run_b()  # compile
         per_case_b = _median_time(run_b) / B
-        per_case = min(per_case, per_case_b)
-    except Exception:
-        pass
-    return 60.0 / per_case
+    except Exception as e:
+        print("bench_nll: batched path failed: %r" % (e,), flush=True)
+    return {
+        "per_case": 60.0 / per_case,
+        "batched": None if per_case_b is None else 60.0 / per_case_b,
+    }
 
 
 def main():
@@ -474,7 +477,9 @@ def main():
     # value order under the wall-clock budget: per-stage medians, then the
     # two training-prep throughputs, then training steps
     stages = if_time(lambda: bench_stages(predictor, vol, spacing))
-    nll_cases_per_min = if_time(bench_nll)
+    nll = if_time(bench_nll) or {}
+    nll_cases_per_min = nll.get("per_case")
+    nll_batched = nll.get("batched")
     train_steps_per_sec = if_time(lambda: bench_training(plan))
     reg = if_time(bench_registration) or {}
     reg_pairs_per_min = reg.get("quick_pairs_per_min")
@@ -504,6 +509,9 @@ def main():
                 "registration_recovery": reg_quality,
                 "nll_cases_per_min_per_chip": (
                     None if nll_cases_per_min is None else round(nll_cases_per_min, 2)
+                ),
+                "nll_cases_per_min_batched": (
+                    None if nll_batched is None else round(nll_batched, 2)
                 ),
                 "train_steps_per_sec": (
                     None if train_steps_per_sec is None else round(train_steps_per_sec, 3)

@@ -420,11 +420,18 @@ class LesionAnalyzer:
 
         chunks = []
         for (shape, voxel, K), cases in groups.items():
-            B = (
-                self._auto_batch_cases(shape, K)
-                if batch_cases == "auto"
-                else max(int(batch_cases), 1)
-            )
+            if batch_cases == "auto":
+                # batching pays when the case axis shards across a MESH; on
+                # a single device the vmapped program is measured SLOWER
+                # than the per-case path (bench.py bench_nll), so auto
+                # batches only under a mesh
+                B = (
+                    self._auto_batch_cases(shape, K)
+                    if mesh is not None
+                    else 1
+                )
+            else:
+                B = max(int(batch_cases), 1)
             if debug:
                 B = 1  # debug intermediates are a per-case artifact set
             chunks += [cases[i : i + B] for i in range(0, len(cases), B)]
