@@ -1,27 +1,103 @@
-"""Mesh-sharded sliding-window inference.
+"""Mesh-sharded inference.
 
-SURVEY.md §2.2's TPU answer to the reference's single-GPU inference: the
-patch-position list is split across the 'dp' mesh axis (volume and weights
-replicated), every device sweeps its shard of patches with the shared
-accumulate_patches scan, and the partial Gaussian accumulators are merged
-with one psum over ICI. Near-linear scaling in the number of chips for the
-sliding-window sweep — useful when a single volume must return in minimum
-latency (the driver's dryrun exercises this path on a virtual mesh).
+SURVEY.md §2.2's TPU answer to the reference's single-GPU inference, in
+the same two modes as the single-chip predictor:
+
+- **Full-volume** (default when the padded volume fits HBM): the mirror
+  TTA flips are split across the 'dp' mesh axis — each device runs
+  whole-volume forwards for its flip subset on the replicated volume and
+  the softmax accumulators merge with one psum over ICI. 8-flip TTA on 8
+  chips is one forward's latency.
+- **Patch sweep** (above FULLVOL_MAX_VOXELS or mode='patch'): the
+  patch-position list is split across the mesh (volume and weights
+  replicated), every device sweeps its shard of patches with the shared
+  accumulate_patches scan, and the partial Gaussian accumulators are
+  psum-merged.
+
+Near-linear scaling in the number of chips either way — useful when a
+single volume must return in minimum latency (the driver's dryrun
+exercises both paths on a virtual mesh).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from deepwmh_tpu.unet.infer import (
     ALL_FLIPS,
+    FULLVOL_MAX_VOXELS,
     NO_FLIPS,
     accumulate_patches,
+    fullvol_shape,
     gaussian_importance_map,
 )
 from deepwmh_tpu.unet.preprocess import pad_to, padded_shape
+
+
+def build_fullvol_tta_sharded(apply_fn, num_classes, flips, mesh):
+    """Build the flip-sharded whole-volume TTA program: each device runs
+    batch-1 forwards for its flip subset (padding slots skip the forward
+    entirely via lax.cond), one psum merges the softmax sums. Returns
+    (fn(params, volume), tab, wts) — cache fn per shape to avoid
+    recompiling; volume must be padded to the network stride; the result
+    is f32 [D,H,W,C]."""
+    axis = mesh.axis_names[0]
+    n = int(mesh.shape[axis])
+    C = num_classes
+    nf = len(flips)
+    fpd = -(-nf // n)  # flips per device (block assignment, padded)
+    total = n * fpd
+    tab = np.zeros((total, 3), np.bool_)
+    wts = np.zeros((total,), np.float32)
+    for i, f in enumerate(flips):
+        tab[i] = f
+        wts[i] = 1.0
+
+    def shard_fn(params, vol, tab_l, w_l):
+        shape = vol.shape + (C,)
+
+        def body(i, acc):
+            def fwd(_):
+                v = vol
+                for a in range(3):
+                    v = jnp.where(tab_l[i, a], jnp.flip(v, a), v)
+                logits = apply_fn(params, v[None, ..., None])
+                if isinstance(logits, (list, tuple)):
+                    logits = logits[0]
+                p = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+                for a in range(3):
+                    p = jnp.where(tab_l[i, a], jnp.flip(p, a), p)
+                return p
+
+            def skip(_):
+                z = jnp.zeros(shape, jnp.float32)
+                return jax.lax.pcast(z, (axis,), to="varying")
+
+            return acc + jax.lax.cond(w_l[i] > 0, fwd, skip, None)
+
+        acc = jnp.zeros(shape, jnp.float32)
+        acc = jax.lax.pcast(acc, (axis,), to="varying")
+        acc = jax.lax.fori_loop(0, fpd, body, acc)
+        return jax.lax.psum(acc, axis) / nf
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis)),
+            out_specs=P(),
+        )
+    )
+    return fn, jnp.asarray(tab), jnp.asarray(wts)
+
+
+def fullvol_tta_sharded(params, volume, apply_fn, num_classes, flips, mesh):
+    """One-shot convenience wrapper over build_fullvol_tta_sharded."""
+    fn, tab, wts = build_fullvol_tta_sharded(apply_fn, num_classes, flips, mesh)
+    return fn(params, volume, tab, wts)
 
 
 def _positions_for_mesh(image_size, patch_size, n_devices, step_fraction=0.5):
@@ -33,21 +109,37 @@ def _positions_for_mesh(image_size, patch_size, n_devices, step_fraction=0.5):
 
 
 class ShardedSlidingWindowPredictor:
-    """Drop-in sharded variant of SlidingWindowPredictor."""
+    """Drop-in sharded variant of SlidingWindowPredictor (same `mode`
+    semantics: 'auto' runs flip-sharded whole-volume inference when the
+    padded volume fits HBM, patch-sharded sweeps otherwise)."""
 
-    def __init__(self, model, params, plan, mesh, tta: bool = False, step_fraction=0.5):
+    def __init__(self, model, params, plan, mesh, tta: bool = False, step_fraction=0.5,
+                 mode: str = "auto"):
         self.model = model
         self.params = params
         self.plan = plan
         self.mesh = mesh
         self.tta = tta
         self.step_fraction = step_fraction
+        self.mode = mode
         self.patch_size = tuple(int(p) for p in plan.patch_size)
         self.gauss = gaussian_importance_map(self.patch_size)
         from deepwmh_tpu.utils.misc import BoundedCache
 
         self._apply = lambda p, x: model.apply({"params": p}, x)
         self._compiled = BoundedCache(maxsize=8)
+
+    def _use_fullvol(self, res_shape) -> bool:
+        if self.mode == "patch":
+            return False
+        vox = int(np.prod(fullvol_shape(res_shape, self.plan)))
+        if self.mode == "fullvol":
+            if vox > FULLVOL_MAX_VOXELS:
+                raise ValueError(
+                    "volume %s exceeds FULLVOL_MAX_VOXELS" % (res_shape,)
+                )
+            return True
+        return vox <= FULLVOL_MAX_VOXELS
 
     def _build(self):
         # shapes are carried by the jitted call's arguments; the cache key
@@ -79,6 +171,18 @@ class ShardedSlidingWindowPredictor:
     def predict_volume(self, volume):
         vol = jnp.asarray(volume, jnp.float32)
         orig = vol.shape
+        flips = ALL_FLIPS if self.tta else NO_FLIPS
+        if self._use_fullvol(orig):
+            target = fullvol_shape(orig, self.plan)
+            vol = pad_to(vol, target)
+            key = ("fullvol", target, len(flips))
+            if key not in self._compiled:
+                self._compiled[key] = build_fullvol_tta_sharded(
+                    self._apply, int(self.plan.num_classes), flips, self.mesh
+                )
+            fn, tab, wts = self._compiled[key]
+            probs = fn(self.params, vol, tab, wts)
+            return probs[: orig[0], : orig[1], : orig[2]]
         target = padded_shape(orig, self.patch_size)
         vol = pad_to(vol, target)
         n_dev = self.mesh.devices.size

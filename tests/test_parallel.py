@@ -44,9 +44,38 @@ def test_sharded_inference_matches_single(rng):
     single = SlidingWindowPredictor(model, params, plan, tta=False, mode="patch")
     want = np.asarray(single.predict_volume(vol))
 
-    sharded = ShardedSlidingWindowPredictor(model, params, plan, mesh, tta=False)
+    sharded = ShardedSlidingWindowPredictor(model, params, plan, mesh, tta=False, mode="patch")
     got = np.asarray(sharded.predict_volume(vol))
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(got.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_sharded_fullvol_matches_single_fullvol(rng):
+    """Flip-sharded whole-volume TTA across the mesh equals the single-
+    device whole-volume TTA (same forwards, psum-merged)."""
+    n = min(8, jax.device_count())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(n)
+    plan = tiny_plan()
+    model = UNet3D(plan=plan)
+    params = init_params(model, jax.random.PRNGKey(3))
+    vol = jnp.asarray(rng.rand(24, 20, 28), jnp.float32)
+
+    single = SlidingWindowPredictor(model, params, plan, tta=True, mode="fullvol")
+    want = np.asarray(single.predict_volume(vol))
+    sharded = ShardedSlidingWindowPredictor(model, params, plan, mesh, tta=True)
+    got = np.asarray(sharded.predict_volume(vol))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    # no-TTA: one real flip on an n-device mesh (all padding slots skip)
+    s1 = ShardedSlidingWindowPredictor(model, params, plan, mesh, tta=False)
+    g1 = np.asarray(s1.predict_volume(vol))
+    w1 = np.asarray(
+        SlidingWindowPredictor(model, params, plan, tta=False,
+                               mode="fullvol").predict_volume(vol)
+    )
+    np.testing.assert_allclose(g1, w1, rtol=2e-3, atol=2e-3)
