@@ -50,12 +50,26 @@ def _conv3d_depth_decomposed(x, w, stride):
     pad_total = max((out_d - 1) * sd + kd - D, 0)
     lo = pad_total // 2
     hi = pad_total - lo
-    xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
+    # Depth-tap extraction WITHOUT strided slices: a stride-sd slice on TPU
+    # is profiled at ~15x the cost of a contiguous one (it gathers). Pad
+    # the depth axis to a multiple of sd, split it into (out, sd), and
+    # take contiguous slices: xp row od*sd + dz == x2[:, od + dz//sd,
+    # dz%sd] (extra zero rows at the tail are never indexed).
+    qmax = (kd - 1) // sd
+    dp_target = max(-(-(D + lo + hi) // sd), out_d + qmax) * sd
+    xp = jnp.pad(
+        x, ((0, 0), (lo, dp_target - D - lo), (0, 0), (0, 0), (0, 0))
+    )
+    x2 = xp.reshape((N, dp_target // sd, sd, H, W, Ci))
     out = None
     for dz in range(kd):
-        # output depth od reads input depth od*sd - lo + dz
-        xs = jax.lax.slice_in_dim(
-            xp, dz, dz + (out_d - 1) * sd + 1, stride=sd, axis=1
+        # output depth od reads input depth od*sd - lo + dz (xp row
+        # od*sd + dz)
+        q, rpar = divmod(dz, sd)
+        xs = jax.lax.slice(
+            x2,
+            (0, q, rpar, 0, 0, 0),
+            (N, q + out_d, rpar + 1, H, W, Ci),
         )
         y = jax.lax.conv_general_dilated(
             xs.reshape((N * out_d, H, W, Ci)),

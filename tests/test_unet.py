@@ -329,3 +329,31 @@ def test_fullvol_agrees_with_patch_on_trained_model(rng):
         "fullvol regressed vs patch sweep: %.3f vs %.3f"
         % (dice(seg_b), dice(seg_a))
     )
+
+
+def test_decomposed_conv_matches_native(rng):
+    """Conv3D's depth-decomposed 2D lowering is the exact same math as the
+    native 3D convolution (f32), across strides, odd depths and
+    anisotropic kernels."""
+    from deepwmh_tpu.unet.model import Conv3D
+
+    for shape, kernel, stride in [
+        ((2, 12, 14, 10, 5), (3, 3, 3), (1, 1, 1)),
+        ((1, 13, 10, 9, 4), (3, 3, 3), (2, 2, 2)),
+        ((1, 12, 10, 8, 4), (3, 3, 3), (2, 2, 1)),
+        ((1, 9, 10, 8, 3), (1, 3, 3), (1, 2, 2)),
+        ((1, 8, 9, 7, 2), (3, 3, 3), (2, 1, 2)),
+    ]:
+        x = jnp.asarray(rng.rand(*shape), jnp.float32)
+        kw = dict(features=6, kernel_size=kernel, strides=stride,
+                  dtype=jnp.float32)
+        m_ref = Conv3D(decompose=False, **kw)
+        m_dec = Conv3D(decompose=True, **kw)
+        p = m_ref.init(jax.random.PRNGKey(0), x)
+        a = m_ref.apply(p, x)
+        b = m_dec.apply(p, x)
+        assert a.shape == b.shape, (shape, kernel, stride, a.shape, b.shape)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg="shape=%s kernel=%s stride=%s" % (shape, kernel, stride),
+        )
