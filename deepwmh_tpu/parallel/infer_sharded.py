@@ -28,11 +28,12 @@ from jax.sharding import PartitionSpec as P
 
 from deepwmh_tpu.unet.infer import (
     ALL_FLIPS,
-    FULLVOL_MAX_VOXELS,
     NO_FLIPS,
     accumulate_patches,
+    flip_forward,
     fullvol_shape,
     gaussian_importance_map,
+    use_fullvol,
 )
 from deepwmh_tpu.unet.preprocess import pad_to, padded_shape
 
@@ -61,16 +62,8 @@ def build_fullvol_tta_sharded(apply_fn, num_classes, flips, mesh):
 
         def body(i, acc):
             def fwd(_):
-                v = vol
-                for a in range(3):
-                    v = jnp.where(tab_l[i, a], jnp.flip(v, a), v)
-                logits = apply_fn(params, v[None, ..., None])
-                if isinstance(logits, (list, tuple)):
-                    logits = logits[0]
-                p = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
-                for a in range(3):
-                    p = jnp.where(tab_l[i, a], jnp.flip(p, a), p)
-                return p
+                # the same per-flip forward as the single-chip fullvol_tta
+                return flip_forward(params, vol, apply_fn, C, tab_l[i])
 
             def skip(_):
                 z = jnp.zeros(shape, jnp.float32)
@@ -92,12 +85,6 @@ def build_fullvol_tta_sharded(apply_fn, num_classes, flips, mesh):
         )
     )
     return fn, jnp.asarray(tab), jnp.asarray(wts)
-
-
-def fullvol_tta_sharded(params, volume, apply_fn, num_classes, flips, mesh):
-    """One-shot convenience wrapper over build_fullvol_tta_sharded."""
-    fn, tab, wts = build_fullvol_tta_sharded(apply_fn, num_classes, flips, mesh)
-    return fn(params, volume, tab, wts)
 
 
 def _positions_for_mesh(image_size, patch_size, n_devices, step_fraction=0.5):
@@ -130,16 +117,7 @@ class ShardedSlidingWindowPredictor:
         self._compiled = BoundedCache(maxsize=8)
 
     def _use_fullvol(self, res_shape) -> bool:
-        if self.mode == "patch":
-            return False
-        vox = int(np.prod(fullvol_shape(res_shape, self.plan)))
-        if self.mode == "fullvol":
-            if vox > FULLVOL_MAX_VOXELS:
-                raise ValueError(
-                    "volume %s exceeds FULLVOL_MAX_VOXELS" % (res_shape,)
-                )
-            return True
-        return vox <= FULLVOL_MAX_VOXELS
+        return use_fullvol(self.mode, res_shape, self.plan)
 
     def _build(self):
         # shapes are carried by the jitted call's arguments; the cache key

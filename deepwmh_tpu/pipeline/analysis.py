@@ -382,12 +382,18 @@ class LesionAnalyzer:
         # summary.json is the completion marker: written LAST
         atomic_write_json(summary, join_path(case_dir, "summary.json"))
 
-    def _auto_batch_cases(self, shape, K) -> int:
+    def _auto_batch_cases(self, shape, K, n_devices: int = 1) -> int:
         """Cases per XLA program: the core holds ~5 K-stacked f32 volumes
-        per case; budget ~6 GB of HBM for the batch."""
+        per case, budgeted at ~6 GB of HBM PER DEVICE. With a mesh the
+        batch rounds to a device multiple (nll_analysis_batch pads partial
+        batches by repeating a case — a full multiple wastes nothing) and
+        is capped at 4 rounds per device."""
         vox = int(np.prod(shape))
         per_case = (5 * K + 10) * 4 * vox
-        return int(max(1, min(8, 6_000_000_000 // max(per_case, 1))))
+        per_device = int(max(1, 6_000_000_000 // max(per_case, 1)))
+        if n_devices <= 1:
+            return min(8, per_device)
+        return min(4 * n_devices, max(1, per_device) * n_devices)
 
     def analyze_and_do_segmentation(self, intensity_prior="+", do_postprocessing=True,
                                     debug=False, batch_cases="auto", mesh=None):
@@ -426,7 +432,7 @@ class LesionAnalyzer:
                 # than the per-case path (bench.py bench_nll), so auto
                 # batches only under a mesh
                 B = (
-                    self._auto_batch_cases(shape, K)
+                    self._auto_batch_cases(shape, K, int(mesh.size))
                     if mesh is not None
                     else 1
                 )

@@ -217,6 +217,40 @@ def fullvol_shape(shape, plan):
     )
 
 
+def flip_forward(params, volume, apply_fn, num_classes, flip_flags):
+    """One TTA forward: flip the volume per the (traced, boolean [3])
+    flip_flags, run a batch-1 forward, softmax in f32, flip the
+    probabilities back. Shared by the single-chip and the mesh-sharded
+    whole-volume TTA loops so the two paths cannot drift."""
+    v = volume
+    for a in range(3):
+        v = jnp.where(flip_flags[a], jnp.flip(v, a), v)
+    logits = apply_fn(params, v[None, ..., None])
+    if isinstance(logits, (list, tuple)):
+        logits = logits[0]
+    p = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+    for a in range(3):
+        p = jnp.where(flip_flags[a], jnp.flip(p, a), p)
+    return p
+
+
+def use_fullvol(mode: str, res_shape, plan) -> bool:
+    """Shared mode routing for the single-chip and sharded predictors:
+    'patch' forces the sweep; 'fullvol' forces whole-volume (raising above
+    FULLVOL_MAX_VOXELS); 'auto' picks whole-volume when it fits HBM."""
+    if mode == "patch":
+        return False
+    vox = int(np.prod(fullvol_shape(res_shape, plan)))
+    if mode == "fullvol":
+        if vox > FULLVOL_MAX_VOXELS:
+            raise ValueError(
+                "volume %s exceeds FULLVOL_MAX_VOXELS; use mode='auto'"
+                % (res_shape,)
+            )
+        return True
+    return vox <= FULLVOL_MAX_VOXELS
+
+
 def fullvol_tta(params, volume, apply_fn, num_classes, flips):
     """Whole-volume fully-convolutional TTA forward: mean softmax over the
     mirror-flip set, one batch-1 forward per flip.
@@ -236,16 +270,7 @@ def fullvol_tta(params, volume, apply_fn, num_classes, flips):
     flip_tab = jnp.asarray(np.array(flips, np.bool_))  # [n, 3]
 
     def body(i, acc):
-        v = volume
-        for a in range(3):
-            v = jnp.where(flip_tab[i, a], jnp.flip(v, a), v)
-        logits = apply_fn(params, v[None, ..., None])
-        if isinstance(logits, (list, tuple)):
-            logits = logits[0]
-        p = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
-        for a in range(3):
-            p = jnp.where(flip_tab[i, a], jnp.flip(p, a), p)
-        return acc + p
+        return acc + flip_forward(params, volume, apply_fn, C, flip_tab[i])
 
     acc = jax.lax.fori_loop(0, n, body, jnp.zeros((D, H, W, C), jnp.float32))
     return acc / n
@@ -280,17 +305,7 @@ class SlidingWindowPredictor:
         self._case_cache = BoundedCache(maxsize=8)
 
     def _use_fullvol(self, res_shape) -> bool:
-        if self.mode == "patch":
-            return False
-        vox = int(np.prod(fullvol_shape(res_shape, self.plan)))
-        if self.mode == "fullvol":
-            if vox > FULLVOL_MAX_VOXELS:
-                raise ValueError(
-                    "volume %s exceeds FULLVOL_MAX_VOXELS; use mode='auto'"
-                    % (res_shape,)
-                )
-            return True
-        return vox <= FULLVOL_MAX_VOXELS
+        return use_fullvol(self.mode, res_shape, self.plan)
 
     def predict_volume(self, volume):
         """volume: preprocessed [D,H,W] at plan spacing. Returns softmax
