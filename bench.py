@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import tempfile
 import time
 
@@ -287,12 +288,12 @@ def bench_registration():
             )
             warm2.launch(verbose=False)
             reg2 = GroupRegistration(
-                srcs, tgts[1:], os.path.join(tmp, "reg2"),
+                srcs, tgts[1:2], os.path.join(tmp, "reg2"),
                 quick=True, large_deformation=True,
             )
             t0 = time.time()
             reg2.launch(verbose=False)
-            prod_ppm = len(tgts[1:]) / (time.time() - t0) * 60.0
+            prod_ppm = len(tgts[1:2]) / (time.time() - t0) * 60.0
         except Exception:
             pass
         return {"quick_pairs_per_min": quick_ppm,
@@ -428,7 +429,9 @@ def bench_nll():
     per_case_b = None
     try:
         run_b()  # compile
-        per_case_b = _median_time(run_b) / B
+        # single observation: the batched path exists for the mesh case;
+        # one post-compile run is enough to catch a gross regression
+        per_case_b = _median_time(run_b, reps=1) / B
     except Exception as e:
         print("bench_nll: batched path failed: %r" % (e,), flush=True)
     return {
@@ -442,7 +445,10 @@ def main():
     # varies wildly with contention. The headline number is measured first;
     # each extra section runs only while budget remains, so ONE JSON line is
     # always printed even on a congested chip.
-    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "640"))
+    # 780s fits every section with ~2min of contention margin (measured:
+    # headline+mfu ~215s, stages 10s, nll ~120s, registration ~165s,
+    # quality ~75s, training ~80s)
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "780"))
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
 
@@ -466,25 +472,41 @@ def main():
     vol_per_min = 60.0 / per_volume
     mfu, flops = bench_mfu(predictor, vol, spacing, best_per_volume)
 
-    def if_time(fn, fallback=None):
+    t_start = time.time()
+    dropped = []
+
+    def if_time(name, fn, fallback=None):
+        # progress goes to stderr: stdout must stay ONE JSON line
         if time.time() >= deadline:
+            dropped.append(name)
+            print("bench: %s SKIPPED (budget exhausted at %.0fs)"
+                  % (name, time.time() - t_start), file=sys.stderr, flush=True)
             return fallback
+        t0 = time.time()
         try:
-            return fn()
-        except Exception:
+            out = fn()
+            print("bench: %s done in %.1fs (%.0fs elapsed)"
+                  % (name, time.time() - t0, time.time() - t_start),
+                  file=sys.stderr, flush=True)
+            return out
+        except Exception as e:
+            dropped.append(name)
+            print("bench: %s FAILED in %.1fs: %r"
+                  % (name, time.time() - t0, e), file=sys.stderr, flush=True)
             return fallback
 
     # value order under the wall-clock budget: per-stage medians, then the
-    # two training-prep throughputs, then training steps
-    stages = if_time(lambda: bench_stages(predictor, vol, spacing))
-    nll = if_time(bench_nll) or {}
+    # two training-prep throughputs (quality before train: it is the
+    # regression signal the driver tracks), then training steps
+    stages = if_time("stages", lambda: bench_stages(predictor, vol, spacing))
+    nll = if_time("nll", bench_nll) or {}
     nll_cases_per_min = nll.get("per_case")
     nll_batched = nll.get("batched")
-    train_steps_per_sec = if_time(lambda: bench_training(plan))
-    reg = if_time(bench_registration) or {}
+    reg = if_time("registration", bench_registration) or {}
     reg_pairs_per_min = reg.get("quick_pairs_per_min")
     reg_prod_pairs_per_min = reg.get("production_pairs_per_min")
-    reg_quality = if_time(bench_registration_quality)
+    reg_quality = if_time("registration_quality", bench_registration_quality)
+    train_steps_per_sec = if_time("training", lambda: bench_training(plan))
 
     print(
         json.dumps(
@@ -516,6 +538,8 @@ def main():
                 "train_steps_per_sec": (
                     None if train_steps_per_sec is None else round(train_steps_per_sec, 3)
                 ),
+                "bench_wall_seconds": round(time.time() - t_start, 1),
+                "sections_dropped": dropped,
             }
         )
     )
