@@ -15,10 +15,18 @@ SMOOTH = 1e-5
 
 
 def softmax_ce(logits, target):
-    """Mean voxel cross-entropy. target: integer [N,D,H,W]."""
+    """Mean voxel cross-entropy. target: integer [N,D,H,W].
+
+    The label lookup is a one-hot multiply-sum rather than
+    take_along_axis: profiled on a v5e, the size-2-axis gather lowered to
+    a serialized ~86 ms fusion per train step while the one-hot form fuses
+    into the softmax for free (C is tiny; the extra multiplies are noise).
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)
-    return -jnp.mean(ll)
+    onehot = jax.nn.one_hot(
+        target.astype(jnp.int32), logits.shape[-1], dtype=logp.dtype
+    )
+    return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
 
 
 def soft_dice(logits, target, batch_dice: bool = True):

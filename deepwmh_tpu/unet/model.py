@@ -134,7 +134,9 @@ class ConvNormAct(nn.Module):
         # instance norm == group norm with one channel per group; flax
         # computes the statistics in f32 even with bf16 compute dtype, so
         # bf16 here saves the f32 round-trip bandwidth without giving up
-        # stable statistics
+        # stable statistics. (A stats-on-flattened-view variant that tried
+        # to steer XLA's layout choice measured exactly equal at inference
+        # and 10% slower in the train step — negative result, don't retry.)
         x = nn.GroupNorm(
             num_groups=None,
             group_size=1,
@@ -155,13 +157,17 @@ class UNet3D(nn.Module):
 
     plan: Plan
     dtype: jnp.dtype = jnp.bfloat16
-    # rematerialize conv-block activations in the backward pass: ~30% more
+    # rematerialize conv-block activations in the backward pass: more
     # backward FLOPs for a large cut in live activation memory. Without it
     # the nnU-Net-recipe batch-2 training step at the flagship plan
     # (128x160x128 patches) fails to COMPILE on a 16GB v5e; with it both
     # batch sizes fit. Training turns it on; inference (no backward) has
-    # nothing to rematerialize, so the flag is free there.
+    # nothing to rematerialize, so the flag is free there. Remat is
+    # SELECTIVE: only stages 0-1 (full and half resolution) hold
+    # activations big enough to matter (hundreds of MB per block vs tens
+    # at stage 2+), so deeper blocks skip the recompute entirely.
     remat: bool = False
+    remat_max_stage: int = 1
     # lower the full-resolution convs (stage 0 + the first downsample) as
     # depth-decomposed 2D convolutions — exact same math, measured 1.4-2.4x
     # faster on TPU where XLA's 3D conv lowering is weakest (see Conv3D)
@@ -176,11 +182,16 @@ class UNet3D(nn.Module):
         # explicit names keep the parameter tree IDENTICAL between the
         # remat and plain variants (nn.remat changes auto-generated scope
         # names), so trained checkpoints load into inference models freely
-        blk = nn.remat(ConvNormAct) if self.remat else ConvNormAct
+        rematted = nn.remat(ConvNormAct)
         n_blocks = 0
 
-        def Conv(f, k, s, dt, decompose=False):
+        def Conv(f, k, s, dt, decompose=False, stage=0):
             nonlocal n_blocks
+            blk = (
+                rematted
+                if self.remat and stage <= self.remat_max_stage
+                else ConvNormAct
+            )
             m = blk(f, k, s, dt, decompose and self.decompose_fullres,
                     name="ConvNormAct_%d" % n_blocks)
             n_blocks += 1
@@ -193,9 +204,9 @@ class UNet3D(nn.Module):
             # convs whose INPUT sits at full resolution: stage 0's two and
             # the stride conv entering stage 1
             x = Conv(feats[i], plan.conv_kernels[i], stride, self.dtype,
-                     decompose=i <= 1)(x)
+                     decompose=i <= 1, stage=i)(x)
             x = Conv(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype,
-                     decompose=i == 0)(x)
+                     decompose=i == 0, stage=i)(x)
             if i < P:
                 skips.append(x)
 
@@ -223,9 +234,9 @@ class UNet3D(nn.Module):
             )(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
             x = Conv(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype,
-                     decompose=i == 0)(x)
+                     decompose=i == 0, stage=i)(x)
             x = Conv(feats[i], plan.conv_kernels[i], (1, 1, 1), self.dtype,
-                     decompose=i == 0)(x)
+                     decompose=i == 0, stage=i)(x)
             # heads exist at every level so the param tree is invariant to
             # the deep_supervision flag (init once, use either way)
             logits = nn.Conv(

@@ -33,7 +33,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from deepwmh_tpu.unet import checkpoint as ckpt
-from deepwmh_tpu.unet.augment import AugmentConfig, augment_batch
+from deepwmh_tpu.unet.augment import AugmentConfig, augment_samples
 from deepwmh_tpu.unet.data import SegDataset
 from deepwmh_tpu.unet.losses import deep_supervision_loss, hard_dice
 from deepwmh_tpu.unet.model import UNet3D
@@ -133,7 +133,7 @@ class Trainer:
     def _train_step_impl(self, params, opt_state, images, labels, rng):
         """images [N,D,H,W] f32, labels [N,D,H,W] i32."""
         if self.cfg.augment:
-            images, labels = augment_batch(rng, images, labels, self.cfg.aug)
+            images, labels = self._augment(rng, images, labels)
 
         def loss_fn(p):
             outs = self.model.apply(
@@ -145,6 +145,30 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def _augment(self, rng, images, labels):
+        """Per-sample augmentation; the spatial warp runs under a runtime
+        lax.cond (p_rotscale=0.2 means 80% of samples skip its ~320 ms of
+        gathers). Single-device: a host-level per-sample loop. Under a dp
+        mesh: the same loop inside shard_map over the local shard, so
+        every device augments its own samples concurrently and the cond
+        stays a true conditional (indexing a dp-sharded batch from the
+        host-level loop would serialize devices; vmap would lower the
+        cond to a both-branches select)."""
+        keys = jax.random.split(rng, images.shape[0])
+        if self.mesh is None:
+            return augment_samples(keys, images, labels, self.cfg.aug)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        P_ = PartitionSpec
+        aug = shard_map(
+            lambda k, i, l: augment_samples(k, i, l, self.cfg.aug),
+            mesh=self.mesh,
+            in_specs=(P_("dp"), P_("dp"), P_("dp")),
+            out_specs=(P_("dp"), P_("dp")),
+        )
+        return aug(keys, images, labels)
 
     def _eval_step_impl(self, params, images, labels):
         logits = self.model.apply({"params": params}, images[..., None])
