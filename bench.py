@@ -330,7 +330,7 @@ def bench_registration_quality():
     )
 
     cfg = SVFConfig(shrinks=(8, 4), iters=(200, 160), n_squaring=4,
-                    exact_exp_grad=True)
+                    exact_polish_iters=30)
     disp, _ = register_svf(fixed, moving, cfg=cfg)
     warped = np.asarray(
         displacement_warp(jnp.asarray(moving), jnp.asarray(disp))
