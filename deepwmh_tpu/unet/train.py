@@ -158,11 +158,10 @@ class Trainer:
         keys = jax.random.split(rng, images.shape[0])
         if self.mesh is None:
             return augment_samples(keys, images, labels, self.cfg.aug)
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec
 
         P_ = PartitionSpec
-        aug = shard_map(
+        aug = jax.shard_map(
             lambda k, i, l: augment_samples(k, i, l, self.cfg.aug),
             mesh=self.mesh,
             in_specs=(P_("dp"), P_("dp"), P_("dp")),
