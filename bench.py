@@ -279,7 +279,7 @@ def bench_registration():
 
         # production config: the composed quick+large-deformation setup
         # DeepWMH_train defaults to (registration/group.py) — warm 1 pair,
-        # measure 2
+        # measure 1 (single observation; per-launch overhead included)
         prod_ppm = None
         try:
             warm2 = GroupRegistration(
@@ -448,7 +448,8 @@ def main():
     # 780s fits every section with ~2min of contention margin (measured:
     # headline+mfu ~215s, stages 10s, nll ~120s, registration ~165s,
     # quality ~75s, training ~80s)
-    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "780"))
+    t_start = time.time()  # anchor: bench_wall_seconds + elapsed prints
+    deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "780"))
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
 
@@ -472,7 +473,6 @@ def main():
     vol_per_min = 60.0 / per_volume
     mfu, flops = bench_mfu(predictor, vol, spacing, best_per_volume)
 
-    t_start = time.time()
     dropped = []
 
     def if_time(name, fn, fallback=None):

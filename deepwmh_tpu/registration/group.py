@@ -158,8 +158,8 @@ class GroupRegistration:
             # ANTs_group_registration.py:191-201 applies large-deformation
             # strength THEN quick's coarser pyramid): large-deformation
             # capacity (iteration budget, 2^4 integration subdivisions,
-            # exact exp gradient) on the quick pyramid (finest level
-            # dropped).
+            # hybrid exact-polish exp gradient) on the quick pyramid
+            # (finest level dropped).
             self.affine_cfg = AffineConfig(shrinks=(8, 4), iters=(200, 120))
             # hybrid exp gradient: first-order VJP for the bulk of each
             # level, the last 30 iterations exact — measured on a 19.5-vox

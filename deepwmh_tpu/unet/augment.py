@@ -46,7 +46,11 @@ def _maybe(key, p):
 
 def augment_sample(key, image, label, cfg: AugmentConfig = AugmentConfig()):
     """image: [D,H,W] float32 (z-scored), label: [D,H,W] int. Returns the
-    augmented pair. Fully traceable; all branches execute and select."""
+    augmented pair. Fully traceable. Intensity branches always execute and
+    select; the expensive spatial warp runs under lax.cond so it is SKIPPED
+    at runtime when the (single, scalar) coin says no — wrapping this in
+    vmap batches the predicate and silently re-executes the warp for every
+    sample, so keep per-sample dispatch (see augment_samples below)."""
     keys = jax.random.split(key, 13)
     shape = image.shape
     center = jnp.array([(s - 1) / 2.0 for s in shape], jnp.float32)

@@ -21,12 +21,16 @@ def softmax_ce(logits, target):
     take_along_axis: profiled on a v5e, the size-2-axis gather lowered to
     a serialized ~86 ms fusion per train step while the one-hot form fuses
     into the softmax for free (C is tiny; the extra multiplies are noise).
+    The where() keeps non-target logps out of the sum entirely, so a fully
+    suppressed class (logp=-inf) never produces (-inf)*0 = NaN — the loss
+    stays finite as the take_along_axis form did.
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     onehot = jax.nn.one_hot(
         target.astype(jnp.int32), logits.shape[-1], dtype=logp.dtype
     )
-    return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
+    picked = jnp.where(onehot > 0, logp, 0.0)
+    return -jnp.mean(jnp.sum(picked, axis=-1))
 
 
 def soft_dice(logits, target, batch_dice: bool = True):

@@ -158,14 +158,11 @@ class Trainer:
         keys = jax.random.split(rng, images.shape[0])
         if self.mesh is None:
             return augment_samples(keys, images, labels, self.cfg.aug)
-        from jax.sharding import PartitionSpec
-
-        P_ = PartitionSpec
         aug = jax.shard_map(
             lambda k, i, l: augment_samples(k, i, l, self.cfg.aug),
             mesh=self.mesh,
-            in_specs=(P_("dp"), P_("dp"), P_("dp")),
-            out_specs=(P_("dp"), P_("dp")),
+            in_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")),
         )
         return aug(keys, images, labels)
 

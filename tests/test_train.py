@@ -57,6 +57,28 @@ def test_losses_basic(rng):
     assert float(soft_dice(perfect, target)) < 1e-3
 
 
+def test_ce_finite_with_suppressed_nontarget_class(rng):
+    """A fully suppressed non-target class (logit -> -inf, so logp = -inf)
+    must not poison the loss: the one-hot CE is a where-select, never a
+    (-inf)*0 multiply (regression test for the NaN the multiply form had)."""
+    from deepwmh_tpu.unet.losses import softmax_ce
+
+    logits = jnp.asarray(rng.randn(1, 4, 4, 4, 3), jnp.float32)
+    target = jnp.zeros((1, 4, 4, 4), jnp.int32)
+    logits = logits.at[0, 0, 0, 0, 2].set(-jnp.inf)
+    v = float(softmax_ce(logits, target))
+    assert np.isfinite(v), v
+    # still matches the gather form where both are defined
+    ref = -float(
+        jnp.mean(
+            jnp.take_along_axis(
+                jax.nn.log_softmax(logits, -1), target[..., None], -1
+            )
+        )
+    )
+    np.testing.assert_allclose(v, ref, rtol=1e-6)
+
+
 def test_hard_dice():
     a = jnp.zeros((4, 4, 4)).at[:2].set(1)
     np.testing.assert_allclose(float(hard_dice(a, a)), 1.0, atol=1e-4)
