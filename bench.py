@@ -449,7 +449,40 @@ def main():
     # headline+mfu ~215s, stages 10s, nll ~120s, registration ~165s,
     # quality ~75s, training ~80s)
     t_start = time.time()  # anchor: bench_wall_seconds + elapsed prints
-    deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", "780"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "780"))
+    deadline = t_start + budget
+
+    # Dead-man timer: the TPU sits behind a tunnel that can hang
+    # indefinitely (observed: jax.devices() itself never returns). The
+    # soft per-section budget below can't fire while the main thread is
+    # blocked inside the runtime (a blocked native call also defers Python
+    # signal handlers, so SIGALRM is not enough); a daemon-thread timer
+    # guarantees the ONE JSON line the driver records either way. Generous
+    # margin over the soft budget: a cold compile through the remote
+    # compile helper can legitimately take many minutes, and a
+    # slow-but-live run must never be recorded as a zero.
+    import threading
+
+    def _deadman():
+        print(
+            json.dumps(
+                {
+                    "metric": "FLAIR volumes/min/chip (N4+preproc+inference, mirror TTA)",
+                    "value": 0.0,
+                    "unit": "volumes/min/chip",
+                    "vs_baseline": 0.0,
+                    "error": "hard deadline hit — TPU runtime unresponsive (tunnel outage?)",
+                    "bench_wall_seconds": round(time.time() - t_start, 1),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", str(budget + 1800)))
+    _deadman_timer = threading.Timer(hard_s, _deadman)
+    _deadman_timer.daemon = True
+    _deadman_timer.start()
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
 
@@ -508,6 +541,7 @@ def main():
     reg_quality = if_time("registration_quality", bench_registration_quality)
     train_steps_per_sec = if_time("training", lambda: bench_training(plan))
 
+    _deadman_timer.cancel()  # all device work done; the final print can't hang
     print(
         json.dumps(
             {
