@@ -16,6 +16,7 @@ inter-class-variance semantics so the Otsu masks are comparable.
 import os
 import sys
 import types
+import warnings
 
 import numpy as np
 import pytest
@@ -74,8 +75,12 @@ def ref_modules():
         sys.modules["skimage"] = sk
         sys.modules["skimage.filters"] = skf
 
-    from deepwmh.analysis import image_ops as ref_ops  # noqa: E402
-    from deepwmh.analysis import lesion_analysis as ref_la  # noqa: E402
+    # the reference's own code emits a SyntaxWarning at import
+    # (misc.py's '-\|/' progress-animation literal) — not ours to fix
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        from deepwmh.analysis import image_ops as ref_ops  # noqa: E402
+        from deepwmh.analysis import lesion_analysis as ref_la  # noqa: E402
 
     return ref_ops, ref_la
 
