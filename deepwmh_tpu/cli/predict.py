@@ -29,6 +29,88 @@ from deepwmh_tpu.core.artifacts import join_path, mkdir
 from deepwmh_tpu.core.manifests import check_dataset
 
 
+def make_output_folders(output_folder):
+    """Create the reference's output layout; returns a dict of the six
+    folders (deepwmh/main/predict.py:109-117)."""
+    out = mkdir(output_folder)
+    seg_folder = mkdir(join_path(out, "002_Segmentations"))
+    return {
+        "images": mkdir(join_path(out, "001_Preprocessed_Images")),
+        "raw": mkdir(join_path(seg_folder, "001_raw")),
+        "post_3mm": mkdir(join_path(seg_folder, "002_postproc_3mm")),
+        "post_fov": mkdir(join_path(seg_folder, "003_postproc_fov")),
+        "previews": mkdir(join_path(out, "003_Previews")),
+    }
+
+
+def predict_one_case(
+    predictor,
+    case,
+    image_path,
+    folders,
+    skip_bfc: bool = False,
+    make_previews: bool = True,
+):
+    """One case through the full inference path (N4 → U-Net → 3mm → FOV →
+    GIF) with a warm predictor. Shared by the batch CLI and the serving
+    loop; every artifact is loadability-probed so re-running resumes."""
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
+    from deepwmh_tpu.ops.brain import brain_extract
+    from deepwmh_tpu.ops.components import remove_3mm_sparks
+    from deepwmh_tpu.ops.n4 import n4_bias_correction_auto
+
+    pre_path = join_path(folders["images"], "%s_0000.nii.gz" % case)
+    if not nifti.try_load_nifti(pre_path):
+        data, hdr = nifti.load_nifti(image_path)
+        if skip_bfc:
+            nifti.save_nifti(data, hdr, pre_path)
+        else:
+            # big volumes route to the slab-sharded N4 on multi-device
+            # backends (ops/n4.py n4_bias_correction_auto)
+            corrected = np.asarray(n4_bias_correction_auto(jnp.asarray(data)))
+            nifti.save_nifti(corrected, hdr, pre_path)
+
+    raw_seg = join_path(folders["raw"], "%s.nii.gz" % case)
+    if not nifti.try_load_nifti(raw_seg):
+        data, hdr = nifti.load_nifti(pre_path)
+        spacing = nifti.get_nifti_pixdim(pre_path)
+        seg, _fg = predictor.predict_case(data, spacing)
+        nifti.save_nifti(np.asarray(seg), hdr, raw_seg)
+
+    seg_3mm = join_path(folders["post_3mm"], "%s.nii.gz" % case)
+    if not nifti.try_load_nifti(seg_3mm):
+        seg, hdr = nifti.load_nifti(raw_seg)
+        spacing = nifti.get_nifti_pixdim(raw_seg)
+        seg_pp = np.asarray(remove_3mm_sparks(jnp.asarray(seg), spacing))
+        nifti.save_nifti(seg_pp, hdr, seg_3mm)
+
+    seg_fov = join_path(folders["post_fov"], "%s.nii.gz" % case)
+    if not nifti.try_load_nifti(seg_fov):
+        flair, hdr = nifti.load_nifti(pre_path)
+        spacing = tuple(nifti.get_nifti_pixdim(pre_path))
+        mask = np.asarray(brain_extract(jnp.asarray(flair), spacing))
+        seg = nifti.load_nifti_simple(seg_3mm)
+        nifti.save_nifti(((seg * mask) > 0.5).astype(np.float32), hdr, seg_fov)
+
+    if make_previews:
+        out_gif = join_path(folders["previews"], "%s.gif" % case)
+        if not try_load_gif(out_gif):
+            data = nifti.load_nifti_simple(image_path)
+            s0, s1 = nii_slice_range(data, axis="axial")
+            seg = nifti.load_nifti_simple(seg_fov)
+            nii_as_gif(
+                data,
+                out_gif,
+                axis="axial",
+                lesion_mask=seg,
+                side_by_side=True,
+                slice_range=(s0, s1),
+            )
+    return seg_fov
+
+
 def run_predict(
     input_images,
     case_names,
@@ -39,75 +121,21 @@ def run_predict(
     make_previews: bool = True,
     checkpoint_name: str = "model_best",
 ):
-    import jax.numpy as jnp
-
-    from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
-    from deepwmh_tpu.ops.brain import brain_extract
-    from deepwmh_tpu.ops.components import remove_3mm_sparks
-    from deepwmh_tpu.ops.n4 import n4_bias_correction_auto
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
     from deepwmh_tpu.unet.release import load_released_model
 
     model, params, plan = load_released_model(model_dir, checkpoint_name)
     predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
 
-    out = mkdir(output_folder)
-    image_folder = mkdir(join_path(out, "001_Preprocessed_Images"))
-    seg_folder = mkdir(join_path(out, "002_Segmentations"))
-    raw_seg_folder = mkdir(join_path(seg_folder, "001_raw"))
-    post_3mm_folder = mkdir(join_path(seg_folder, "002_postproc_3mm"))
-    post_fov_folder = mkdir(join_path(seg_folder, "003_postproc_fov"))
-    preview_folder = mkdir(join_path(out, "003_Previews"))
-
+    folders = make_output_folders(output_folder)
     for case, image_path in zip(case_names, input_images):
         print(">> case %s" % case, flush=True)
-        pre_path = join_path(image_folder, "%s_0000.nii.gz" % case)
-        if not nifti.try_load_nifti(pre_path):
-            data, hdr = nifti.load_nifti(image_path)
-            if skip_bfc:
-                nifti.save_nifti(data, hdr, pre_path)
-            else:
-                # big volumes route to the slab-sharded N4 on multi-device
-                # backends (ops/n4.py n4_bias_correction_auto)
-                corrected = np.asarray(n4_bias_correction_auto(jnp.asarray(data)))
-                nifti.save_nifti(corrected, hdr, pre_path)
-
-        raw_seg = join_path(raw_seg_folder, "%s.nii.gz" % case)
-        if not nifti.try_load_nifti(raw_seg):
-            data, hdr = nifti.load_nifti(pre_path)
-            spacing = nifti.get_nifti_pixdim(pre_path)
-            seg, _fg = predictor.predict_case(data, spacing)
-            nifti.save_nifti(np.asarray(seg), hdr, raw_seg)
-
-        seg_3mm = join_path(post_3mm_folder, "%s.nii.gz" % case)
-        if not nifti.try_load_nifti(seg_3mm):
-            seg, hdr = nifti.load_nifti(raw_seg)
-            spacing = nifti.get_nifti_pixdim(raw_seg)
-            seg_pp = np.asarray(remove_3mm_sparks(jnp.asarray(seg), spacing))
-            nifti.save_nifti(seg_pp, hdr, seg_3mm)
-
-        seg_fov = join_path(post_fov_folder, "%s.nii.gz" % case)
-        if not nifti.try_load_nifti(seg_fov):
-            flair, hdr = nifti.load_nifti(pre_path)
-            spacing = tuple(nifti.get_nifti_pixdim(pre_path))
-            mask = np.asarray(brain_extract(jnp.asarray(flair), spacing))
-            seg = nifti.load_nifti_simple(seg_3mm)
-            nifti.save_nifti(((seg * mask) > 0.5).astype(np.float32), hdr, seg_fov)
-
-        if make_previews:
-            out_gif = join_path(preview_folder, "%s.gif" % case)
-            if not try_load_gif(out_gif):
-                data = nifti.load_nifti_simple(image_path)
-                s0, s1 = nii_slice_range(data, axis="axial")
-                seg = nifti.load_nifti_simple(seg_fov)
-                nii_as_gif(
-                    data,
-                    out_gif,
-                    axis="axial",
-                    lesion_mask=seg,
-                    side_by_side=True,
-                    slice_range=(s0, s1),
-                )
+        predict_one_case(
+            predictor, case, image_path, folders,
+            skip_bfc=skip_bfc, make_previews=make_previews,
+        )
+    image_folder = folders["images"]
+    post_fov_folder = folders["post_fov"]
 
     print("")
     print(">>> Prediction done.")

@@ -1,0 +1,214 @@
+"""Spool-directory inference serving: compile once, stream volumes.
+
+Production-serving mode the reference has no equivalent of (its
+DeepWMH_predict pays nnU-Net process startup + CUDA init per invocation,
+deepwmh/main/predict.py:153-156). Here the released model is loaded and
+compiled ONCE per shape bucket, then volumes stream through the warm
+predictor as they arrive:
+
+  spool/<case>.nii.gz          a request (any NIfTI; case = file stem)
+  spool/.work/<server_id>/     claimed requests (atomic os.rename claim)
+  spool/.done/<case>.json      receipt: timings + output paths
+  spool/.failed/<case>.nii.gz  the input that failed (+ <case>.err trace)
+  spool/STOP                   sentinel: finish the current case and exit
+  spool/.status/<server_id>.json   live counters for observability
+
+Outputs use the exact DeepWMH_predict layout under `output_folder`
+(001_Preprocessed_Images/, 002_Segmentations/..., 003_Previews/).
+
+Scale-out is N independent servers (one per chip or host) pointed at one
+spool on a shared filesystem: the rename claim is atomic on POSIX, so
+each request runs exactly once — the same share-nothing files-as-contract
+model the reference uses for --distributed a/b registration
+(deepwmh/external_tools/ANTs_group_registration.py:248-258), applied to
+serving.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+
+from deepwmh_tpu.core.artifacts import join_path, mkdir
+
+_NIFTI_EXTS = (".nii.gz", ".nii")
+
+
+def case_name_of(filename: str):
+    """Request file → case name (stem without the NIfTI extension), or
+    None if the file is not a NIfTI request."""
+    for ext in _NIFTI_EXTS:
+        if filename.endswith(ext) and len(filename) > len(ext):
+            return filename[: -len(ext)], ext
+    return None
+
+
+class SpoolServer:
+    """Warm-model inference server over a spool directory."""
+
+    def __init__(
+        self,
+        spool_dir,
+        output_folder,
+        model_dir,
+        skip_bfc: bool = False,
+        tta: bool = True,
+        make_previews: bool = True,
+        checkpoint_name: str = "model_best",
+        poll_interval: float = 2.0,
+        server_id: str | None = None,
+    ):
+        from deepwmh_tpu.cli.predict import make_output_folders
+        from deepwmh_tpu.unet.infer import SlidingWindowPredictor
+        from deepwmh_tpu.unet.release import load_released_model
+
+        self.spool_dir = mkdir(spool_dir)
+        self.folders = make_output_folders(output_folder)
+        self.skip_bfc = skip_bfc
+        self.make_previews = make_previews
+        self.poll_interval = float(poll_interval)
+        self.server_id = server_id or ("srv%d" % os.getpid())
+
+        self.work_dir = mkdir(join_path(mkdir(join_path(self.spool_dir, ".work")),
+                                        self.server_id))
+        self.done_dir = mkdir(join_path(self.spool_dir, ".done"))
+        self.failed_dir = mkdir(join_path(self.spool_dir, ".failed"))
+        self.status_dir = mkdir(join_path(self.spool_dir, ".status"))
+
+        model, params, plan = load_released_model(model_dir, checkpoint_name)
+        self.predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
+
+        self._t0 = time.time()
+        self.served = 0
+        self.failed = 0
+        self._stop = False
+
+    # -- claim/process/ack ------------------------------------------------
+
+    def claim_one(self):
+        """Atomically claim the oldest pending request; returns
+        (case, claimed_path) or None. os.rename is atomic within a
+        filesystem, so concurrent servers never double-claim."""
+        pending = []
+        for fn in os.listdir(self.spool_dir):
+            parsed = case_name_of(fn)
+            if parsed is None:
+                continue
+            path = join_path(self.spool_dir, fn)
+            try:
+                pending.append((os.path.getmtime(path), fn, parsed))
+            except OSError:
+                continue  # raced: another server already claimed it
+        pending.sort()
+        for _mt, fn, (case, ext) in pending:
+            src = join_path(self.spool_dir, fn)
+            dst = join_path(self.work_dir, fn)
+            try:
+                os.rename(src, dst)
+            except OSError:
+                continue  # lost the race for this one; try the next
+            return case, dst
+        return None
+
+    def process(self, case, claimed_path):
+        from deepwmh_tpu.cli.predict import predict_one_case
+
+        t0 = time.time()
+        try:
+            seg_path = predict_one_case(
+                self.predictor, case, claimed_path, self.folders,
+                skip_bfc=self.skip_bfc, make_previews=self.make_previews,
+            )
+        except Exception:
+            self.failed += 1
+            err_path = join_path(self.failed_dir, "%s.err" % case)
+            with open(err_path, "w") as f:
+                f.write(traceback.format_exc())
+            os.rename(claimed_path,
+                      join_path(self.failed_dir, os.path.basename(claimed_path)))
+            self._write_status(case, time.time() - t0, ok=False)
+            return False
+        latency = time.time() - t0
+        self.served += 1
+        receipt = {
+            "case": case,
+            "server_id": self.server_id,
+            "latency_s": round(latency, 3),
+            "segmentation": seg_path,
+            "finished_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        tmp = join_path(self.done_dir, ".%s.json.tmp" % case)
+        with open(tmp, "w") as f:
+            json.dump(receipt, f, indent=1)
+        os.replace(tmp, join_path(self.done_dir, "%s.json" % case))
+        os.remove(claimed_path)
+        self._write_status(case, latency, ok=True)
+        return True
+
+    def _write_status(self, case, latency, ok):
+        status = {
+            "server_id": self.server_id,
+            "served": self.served,
+            "failed": self.failed,
+            "last_case": case,
+            "last_ok": ok,
+            "last_latency_s": round(latency, 3),
+            "uptime_s": round(time.time() - self._t0, 1),
+        }
+        tmp = join_path(self.status_dir, ".%s.tmp" % self.server_id)
+        with open(tmp, "w") as f:
+            json.dump(status, f, indent=1)
+        os.replace(tmp, join_path(self.status_dir, "%s.json" % self.server_id))
+
+    # -- loops -------------------------------------------------------------
+
+    def recover_work(self):
+        """Re-spool requests a previous server with this id claimed but
+        never finished (crash recovery); returns how many."""
+        n = 0
+        for fn in os.listdir(self.work_dir):
+            if case_name_of(fn) is not None:
+                os.rename(join_path(self.work_dir, fn),
+                          join_path(self.spool_dir, fn))
+                n += 1
+        return n
+
+    def stop_requested(self):
+        return self._stop or os.path.exists(join_path(self.spool_dir, "STOP"))
+
+    def request_stop(self):
+        self._stop = True
+
+    def drain(self):
+        """Process everything currently claimable; returns (served, failed)
+        deltas for this call."""
+        s0, f0 = self.served, self.failed
+        while not self.stop_requested():
+            claimed = self.claim_one()
+            if claimed is None:
+                break
+            case, path = claimed
+            print(">> case %s" % case, flush=True)
+            self.process(case, path)
+        return self.served - s0, self.failed - f0
+
+    def serve_forever(self):
+        """Poll the spool until STOP (sentinel file or request_stop()).
+        The current case always finishes before exit."""
+        print(
+            "serving: spool=%s id=%s (touch %s to stop)"
+            % (self.spool_dir, self.server_id, join_path(self.spool_dir, "STOP")),
+            flush=True,
+        )
+        self.recover_work()
+        while not self.stop_requested():
+            served, failed = self.drain()
+            if served == 0 and failed == 0 and not self.stop_requested():
+                time.sleep(self.poll_interval)
+        print(
+            "serving stopped: %d served, %d failed, %.0fs uptime"
+            % (self.served, self.failed, time.time() - self._t0),
+            flush=True,
+        )

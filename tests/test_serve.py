@@ -1,0 +1,177 @@
+"""Spool-directory serving (pipeline/serve.py + cli/serve.py).
+
+The reference has no serving mode (its only inference surface is the
+batch CLI, deepwmh/main/predict.py); these tests cover the new
+capability's contract: atomic claims, receipts, failure quarantine,
+crash recovery, STOP, and the --once CLI drive.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from deepwmh_tpu.core import nifti
+from deepwmh_tpu.pipeline.serve import SpoolServer, case_name_of
+from deepwmh_tpu.unet import checkpoint as ckpt
+from deepwmh_tpu.unet.model import UNet3D, init_params
+from deepwmh_tpu.unet.plan import Plan
+from deepwmh_tpu.unet.release import release_model
+
+
+def tiny_model_dir(tmp_path):
+    plan = Plan(
+        target_spacing=[2.0, 2.0, 2.0],
+        patch_size=[16, 16, 16],
+        batch_size=2,
+        pool_kernels=[[2, 2, 2], [2, 2, 2]],
+        conv_kernels=[[3, 3, 3], [3, 3, 3], [3, 3, 3]],
+        base_features=4,
+        max_features=8,
+    )
+    model = UNet3D(plan=plan)
+    params = init_params(model, jax.random.PRNGKey(0))
+    train_dir = str(tmp_path / "train")
+    ckpt.save_checkpoint(train_dir, "model_best", params, meta={"epoch": 1})
+    rel_dir = str(tmp_path / "release")
+    release_model(train_dir, plan, rel_dir, make_tarball=False)
+    return rel_dir
+
+
+def head_volume(shape=(24, 24, 20), seed=0):
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    r = np.sqrt(sum(a**2 for a in g))
+    tex = np.random.RandomState(seed).rand(*shape).astype(np.float32)
+    return ((r < 0.8) * (200 + 30 * tex)).astype(np.float32)
+
+
+def spool_request(spool, case, seed=0):
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape((24, 24, 20))
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    nifti.save_nifti(head_volume(seed=seed), hdr, os.path.join(spool, case + ".nii.gz"))
+
+
+def test_case_name_of():
+    assert case_name_of("abc.nii.gz") == ("abc", ".nii.gz")
+    assert case_name_of("a.b.nii") == ("a.b", ".nii")
+    assert case_name_of("STOP") is None
+    assert case_name_of(".nii.gz") is None
+    assert case_name_of("notes.txt") is None
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """One server draining two requests — shared across assertions."""
+    tmp_path = tmp_path_factory.mktemp("serve")
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    spool_request(spool, "caseA", seed=0)
+    spool_request(spool, "caseB", seed=1)
+
+    srv = SpoolServer(
+        spool, str(tmp_path / "out"), model_dir,
+        skip_bfc=True, tta=False, make_previews=False, server_id="t1",
+    )
+    served, failed = srv.drain()
+    return srv, spool, str(tmp_path / "out"), served, failed
+
+
+def test_drain_serves_all(served):
+    srv, spool, out, n_served, n_failed = served
+    assert (n_served, n_failed) == (2, 0)
+    for case in ("caseA", "caseB"):
+        seg = os.path.join(out, "002_Segmentations", "003_postproc_fov", case + ".nii.gz")
+        assert nifti.try_load_nifti(seg), seg
+        receipt = os.path.join(spool, ".done", case + ".json")
+        r = json.load(open(receipt))
+        assert r["case"] == case and r["latency_s"] >= 0
+        assert r["segmentation"].endswith(case + ".nii.gz")
+    # spool empty, nothing left claimed
+    assert [f for f in os.listdir(spool) if case_name_of(f)] == []
+    assert os.listdir(os.path.join(spool, ".work", "t1")) == []
+
+
+def test_status_file(served):
+    srv, spool, out, *_ = served
+    status = json.load(open(os.path.join(spool, ".status", "t1.json")))
+    assert status["served"] == 2 and status["failed"] == 0
+    assert status["last_ok"] is True
+
+
+def test_failed_request_is_quarantined(served):
+    srv, spool, out, *_ = served
+    bad = os.path.join(spool, "broken.nii.gz")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a nifti file")
+    served_n, failed_n = srv.drain()
+    assert (served_n, failed_n) == (0, 1)
+    assert os.path.isfile(os.path.join(spool, ".failed", "broken.nii.gz"))
+    err = open(os.path.join(spool, ".failed", "broken.err")).read()
+    assert "Traceback" in err
+    # a failure must not poison subsequent requests
+    spool_request(spool, "caseC", seed=2)
+    assert srv.drain() == (1, 0)
+
+
+def test_stop_sentinel(served):
+    srv, spool, out, *_ = served
+    spool_request(spool, "caseD", seed=3)
+    stop = os.path.join(spool, "STOP")
+    open(stop, "w").close()
+    try:
+        assert srv.stop_requested()
+        assert srv.drain() == (0, 0)  # refuses new work
+    finally:
+        os.remove(stop)
+    assert srv.drain() == (1, 0)  # resumes after STOP removed
+
+
+def test_crash_recovery(served):
+    srv, spool, out, *_ = served
+    # simulate a crashed claim: a request stuck in this server's work dir
+    spool_request(spool, "caseE", seed=4)
+    os.rename(
+        os.path.join(spool, "caseE.nii.gz"),
+        os.path.join(spool, ".work", "t1", "caseE.nii.gz"),
+    )
+    assert srv.drain() == (0, 0)  # not claimable while stuck
+    assert srv.recover_work() == 1
+    assert srv.drain() == (1, 0)
+
+
+def test_claim_is_exclusive(served):
+    """Claims are consume-once: a claimed request is gone from the spool,
+    so a second server's claim_one can never double-run it (exclusivity
+    is a property of the atomic rename, not of server identity)."""
+    srv, spool, out, *_ = served
+    spool_request(spool, "caseF", seed=5)
+    first = srv.claim_one()
+    assert first is not None and first[0] == "caseF"
+    assert srv.claim_one() is None  # already claimed — no double-claim
+    os.rename(first[1], os.path.join(spool, "caseF.nii.gz"))  # put it back
+    assert srv.drain() == (1, 0)
+
+
+def test_serve_cli_once(tmp_path):
+    from deepwmh_tpu.cli.serve import main
+
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    spool_request(spool, "cli_case", seed=7)
+    rc = main([
+        "-m", model_dir, "-s", spool, "-o", str(tmp_path / "out"),
+        "--once", "--skip-bfc", "--disable-tta", "--no-previews",
+        "--server-id", "cli1",
+    ])
+    assert rc == 0
+    seg = os.path.join(
+        str(tmp_path / "out"), "002_Segmentations", "003_postproc_fov",
+        "cli_case.nii.gz",
+    )
+    assert nifti.try_load_nifti(seg)
+    assert os.path.isfile(os.path.join(spool, ".done", "cli_case.json"))
