@@ -43,6 +43,11 @@ def main(argv=None):
                         help="Stable id for this server's work/status files "
                         "(default: srv<pid>); reuse an id to recover its "
                         "crashed claims.")
+    parser.add_argument("--mesh", action="store_true",
+                        help="Shard each volume's TTA/patch sweep over all "
+                        "local devices (minimum per-volume latency). "
+                        "Without this, scale throughput by running one "
+                        "server per chip against the same spool.")
     parser.add_argument("--skip-bfc", action="store_true",
                         help="[Advanced] Skip N4 bias field correction.")
     parser.add_argument("--disable-tta", action="store_true",
@@ -59,6 +64,15 @@ def main(argv=None):
 
     from deepwmh_tpu.pipeline.serve import SpoolServer
 
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from deepwmh_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print("mesh: sharding each sweep over %d device(s)" % jax.device_count())
+
     server = SpoolServer(
         args.spool,
         args.output_folder,
@@ -69,6 +83,7 @@ def main(argv=None):
         checkpoint_name=args.checkpoint,
         poll_interval=args.poll_interval,
         server_id=args.server_id,
+        mesh=mesh,
     )
 
     # finish the in-flight case, then exit cleanly

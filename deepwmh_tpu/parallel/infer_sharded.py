@@ -35,7 +35,12 @@ from deepwmh_tpu.unet.infer import (
     gaussian_importance_map,
     use_fullvol,
 )
-from deepwmh_tpu.unet.preprocess import pad_to, padded_shape
+from deepwmh_tpu.unet.preprocess import (
+    pad_to,
+    padded_shape,
+    preprocess_case,
+    resample_to_shape,
+)
 
 
 def build_fullvol_tta_sharded(apply_fn, num_classes, flips, mesh):
@@ -172,3 +177,64 @@ class ShardedSlidingWindowPredictor:
             self._compiled[key] = self._build()
         probs = self._compiled[key](self.params, vol, pos, pos_w)
         return probs[: orig[0], : orig[1], : orig[2]]
+
+    def predict_case(self, data, spacing, apply_n4: bool = False):
+        """Raw volume + spacing -> (segmentation uint8, fg probability) in
+        the ORIGINAL grid — the mesh variant of
+        SlidingWindowPredictor.predict_case (unet/infer.py): the whole case
+        pipeline is ONE jitted program, with the sweep flip- or
+        patch-sharded over the mesh. Preprocessing/resampling run
+        replicated (they are ~2% of the program; sharding them would buy
+        nothing and cost collectives)."""
+        data = jnp.asarray(data, jnp.float32)
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = ("case", data.shape, spacing_r, apply_n4)
+        if key not in self._compiled:
+            self._compiled[key] = self._build_case_fn(
+                data.shape, spacing_r, apply_n4
+            )
+        return self._compiled[key](self.params, data)
+
+    def _build_case_fn(self, orig_shape, spacing, apply_n4):
+        plan = self.plan
+        patch_size = self.patch_size
+        flips = ALL_FLIPS if self.tta else NO_FLIPS
+        C = int(plan.num_classes)
+        res_shape = tuple(
+            max(int(round(orig_shape[a] * spacing[a] / plan.target_spacing[a])), 1)
+            for a in range(3)
+        )
+        if self._use_fullvol(res_shape):
+            target = fullvol_shape(res_shape, plan)
+            sweep, tab, wts = build_fullvol_tta_sharded(
+                self._apply, C, flips, self.mesh
+            )
+
+            def run_sweep(params, vol):
+                return sweep(params, vol, tab, wts)
+
+        else:
+            target = padded_shape(res_shape, patch_size)
+            pos, pos_w = _positions_for_mesh(
+                target, patch_size, self.mesh.devices.size, self.step_fraction
+            )
+            sharded = self._build()
+
+            def run_sweep(params, vol):
+                return sharded(params, vol, pos, pos_w)
+
+        def fn(params, raw):
+            vol = raw
+            if apply_n4:
+                from deepwmh_tpu.ops.n4 import n4_bias_correction
+
+                vol = n4_bias_correction(vol)
+            vol = preprocess_case(vol, spacing, plan)
+            vol = pad_to(vol, target)
+            probs = run_sweep(params, vol)
+            fg = probs[: res_shape[0], : res_shape[1], : res_shape[2], 1]
+            fg_orig = resample_to_shape(fg, orig_shape, order=1)
+            seg = (fg_orig > 0.5).astype(jnp.uint8)
+            return seg, fg_orig
+
+        return jax.jit(fn)

@@ -59,6 +59,7 @@ class SpoolServer:
         checkpoint_name: str = "model_best",
         poll_interval: float = 2.0,
         server_id: str | None = None,
+        mesh=None,
     ):
         from deepwmh_tpu.cli.predict import make_output_folders
         from deepwmh_tpu.unet.infer import SlidingWindowPredictor
@@ -78,7 +79,18 @@ class SpoolServer:
         self.status_dir = mkdir(join_path(self.spool_dir, ".status"))
 
         model, params, plan = load_released_model(model_dir, checkpoint_name)
-        self.predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
+        if mesh is not None:
+            # flip-/patch-sharded sweep across the mesh: minimum per-volume
+            # latency when several chips serve one spool as ONE server
+            from deepwmh_tpu.parallel.infer_sharded import (
+                ShardedSlidingWindowPredictor,
+            )
+
+            self.predictor = ShardedSlidingWindowPredictor(
+                model, params, plan, mesh, tta=tta
+            )
+        else:
+            self.predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
 
         self._t0 = time.time()
         self.served = 0

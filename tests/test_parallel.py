@@ -79,3 +79,32 @@ def test_sharded_fullvol_matches_single_fullvol(rng):
                                mode="fullvol").predict_volume(vol)
     )
     np.testing.assert_allclose(g1, w1, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_predict_case_matches_single(rng):
+    """The fused case program (resample -> z-score -> sharded sweep ->
+    resample back -> threshold) equals the single-device predict_case for
+    both sweep modes (the serve CLI's --mesh path)."""
+    n = min(8, jax.device_count())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(n)
+    plan = tiny_plan()
+    model = UNet3D(plan=plan)
+    params = init_params(model, jax.random.PRNGKey(5))
+    vol = np.asarray(rng.rand(20, 24, 18), np.float32) * 100.0
+    spacing = (1.3, 0.9, 1.1)
+
+    for mode in ("fullvol", "patch"):
+        single = SlidingWindowPredictor(model, params, plan, tta=True, mode=mode)
+        want_seg, want_fg = single.predict_case(vol, spacing)
+        sharded = ShardedSlidingWindowPredictor(
+            model, params, plan, mesh, tta=True, mode=mode
+        )
+        got_seg, got_fg = sharded.predict_case(vol, spacing)
+        assert got_fg.shape == vol.shape
+        np.testing.assert_allclose(
+            np.asarray(got_fg), np.asarray(want_fg), rtol=2e-3, atol=2e-3
+        )
+        agree = (np.asarray(got_seg) == np.asarray(want_seg)).mean()
+        assert agree > 0.999, (mode, agree)

@@ -175,3 +175,27 @@ def test_serve_cli_once(tmp_path):
     )
     assert nifti.try_load_nifti(seg)
     assert os.path.isfile(os.path.join(spool, ".done", "cli_case.json"))
+
+
+def test_serve_with_mesh(tmp_path):
+    """SpoolServer(mesh=...) serves through the sharded predictor (the
+    DeepWMH_serve --mesh path)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from deepwmh_tpu.parallel.mesh import make_mesh
+
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    spool_request(spool, "mesh_case", seed=9)
+    srv = SpoolServer(
+        spool, str(tmp_path / "out"), model_dir,
+        skip_bfc=True, tta=True, make_previews=False, server_id="m1",
+        mesh=make_mesh(min(8, jax.device_count())),
+    )
+    assert srv.drain() == (1, 0)
+    seg = os.path.join(
+        str(tmp_path / "out"), "002_Segmentations", "003_postproc_fov",
+        "mesh_case.nii.gz",
+    )
+    assert nifti.try_load_nifti(seg)
