@@ -159,8 +159,10 @@ def main(argv=None):
     parser.add_argument("-o", "--output-folder", type=str, required=True,
                         help="Output folder for preprocessed images and segmentations.")
     parser.add_argument("-g", "--gpu", type=int, default=0,
-                        help="Accelerator id (kept for CLI compatibility; JAX "
-                        "selects the TPU automatically).")
+                        help="Local accelerator index to pin this run to — "
+                        "the reference's CUDA_VISIBLE_DEVICES role "
+                        "(predict.py:150); lets N CLI runs share a "
+                        "multi-chip host, one chip each.")
     parser.add_argument("--skip-bfc", action="store_true",
                         help="[Advanced] Skip N4 bias field correction.")
     parser.add_argument("--disable-tta", action="store_true",
@@ -177,6 +179,11 @@ def main(argv=None):
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.gpu:
+        from deepwmh_tpu.parallel.mesh import select_device
+
+        select_device(args.gpu)
 
     if len(args.case_names) != len(args.input_images):
         raise SystemExit(

@@ -43,6 +43,10 @@ def main(argv=None):
                         help="Stable id for this server's work/status files "
                         "(default: srv<pid>); reuse an id to recover its "
                         "crashed claims.")
+    parser.add_argument("-g", "--device", type=int, default=None,
+                        help="Local accelerator index to pin this server to "
+                        "(one server per chip against a shared spool). "
+                        "Mutually exclusive with --mesh.")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard each volume's TTA/patch sweep over all "
                         "local devices (minimum per-volume latency). "
@@ -64,6 +68,8 @@ def main(argv=None):
 
     from deepwmh_tpu.pipeline.serve import SpoolServer
 
+    if args.mesh and args.device is not None:
+        parser.error("--mesh and --device are mutually exclusive")
     mesh = None
     if args.mesh:
         import jax
@@ -72,6 +78,11 @@ def main(argv=None):
 
         mesh = make_mesh()
         print("mesh: sharding each sweep over %d device(s)" % jax.device_count())
+    elif args.device is not None:
+        from deepwmh_tpu.parallel.mesh import select_device
+
+        dev = select_device(args.device)
+        print("pinned to device %d (%s)" % (args.device, dev.device_kind))
 
     server = SpoolServer(
         args.spool,

@@ -228,7 +228,10 @@ def main(argv=None):
     parser.add_argument("-j", "--num-CPU-cores", type=int, default=8,
                         help="Kept for CLI compatibility (compute runs on TPU).")
     parser.add_argument("-g", "--gpu", type=int, default=0,
-                        help="Kept for CLI compatibility.")
+                        help="Local accelerator index to pin this run to "
+                        "(the reference's CUDA_VISIBLE_DEVICES role); "
+                        "disables the auto device mesh unless --mesh is "
+                        "explicitly set.")
     parser.add_argument("-r", "--release-model", type=str, required=False)
     parser.add_argument("--core-folder", type=str, required=False)
     parser.add_argument("--skip-bfc", action="store_true",
@@ -299,6 +302,14 @@ def main(argv=None):
 
     mesh = None
     use_mesh = args.mesh if args.mesh is not None else jax.device_count() > 1
+    if args.gpu:
+        # the reference's -g role (CUDA_VISIBLE_DEVICES, train.py:268):
+        # pin this run to one chip — e.g. two cohorts training on one host
+        from deepwmh_tpu.parallel.mesh import select_device
+
+        select_device(args.gpu)
+        use_mesh = False if args.mesh is None else use_mesh
+        print("pinned to device %d" % args.gpu)
     if use_mesh:
         from deepwmh_tpu.parallel.mesh import make_mesh
 

@@ -68,6 +68,23 @@ def init_distributed_from_env() -> bool:
     )
 
 
+def select_device(index: int):
+    """Pin all subsequent (unsharded) computation to one local device —
+    the TPU role of the reference's `-g` flag, which sets
+    CUDA_VISIBLE_DEVICES to pick the GPU (deepwmh/main/predict.py:150,
+    DCNN_multistage.py:191). Lets N single-chip servers/CLIs share a
+    multi-chip host, one chip each. Returns the selected device."""
+    import jax
+
+    devs = jax.devices()
+    if not 0 <= index < len(devs):
+        raise ValueError(
+            "device index %d out of range (0..%d)" % (index, len(devs) - 1)
+        )
+    jax.config.update("jax_default_device", devs[index])
+    return devs[index]
+
+
 def device_info() -> dict:
     import jax
 

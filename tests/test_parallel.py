@@ -108,3 +108,22 @@ def test_sharded_predict_case_matches_single(rng):
         )
         agree = (np.asarray(got_seg) == np.asarray(want_seg)).mean()
         assert agree > 0.999, (mode, agree)
+
+
+def test_select_device_pins_placement():
+    """select_device (the CLIs' -g/--device role) routes subsequent
+    unsharded computation to the chosen local device."""
+    from deepwmh_tpu.parallel.mesh import select_device
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    try:
+        dev = select_device(1)
+        x = jnp.zeros((4,)) + 1.0
+        assert x.devices() == {dev}
+        with pytest.raises(ValueError):
+            select_device(jax.device_count())
+    finally:
+        jax.config.update("jax_default_device", None)
+    y = jnp.zeros((2,))
+    assert y.devices() == {jax.devices()[0]}
