@@ -53,7 +53,13 @@ def predict_one_case(
 ):
     """One case through the full inference path (N4 → U-Net → 3mm → FOV →
     GIF) with a warm predictor. Shared by the batch CLI and the serving
-    loop; every artifact is loadability-probed so re-running resumes."""
+    loop; every artifact is loadability-probed so re-running resumes.
+
+    A FRESH case (no artifacts yet — every serve request, and the common
+    batch case) runs the whole device pipeline as ONE fused program
+    (predict_case_full): one dispatch instead of four, no intermediate
+    reloads. A partially-computed case falls back to the stage-by-stage
+    path so resume granularity is unchanged."""
     import jax.numpy as jnp
 
     from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
@@ -62,6 +68,24 @@ def predict_one_case(
     from deepwmh_tpu.ops.n4 import n4_bias_correction_auto
 
     pre_path = join_path(folders["images"], "%s_0000.nii.gz" % case)
+    raw_seg = join_path(folders["raw"], "%s.nii.gz" % case)
+    seg_3mm = join_path(folders["post_3mm"], "%s.nii.gz" % case)
+    seg_fov = join_path(folders["post_fov"], "%s.nii.gz" % case)
+
+    fresh = not any(
+        nifti.try_load_nifti(p) for p in (pre_path, raw_seg, seg_3mm, seg_fov)
+    )
+    if fresh:
+        data, hdr = nifti.load_nifti(image_path)
+        spacing = nifti.get_nifti_pixdim(image_path)
+        pre, seg, s3, fov, _fg = predictor.predict_case_full(
+            data, spacing, apply_n4=not skip_bfc
+        )
+        nifti.save_nifti(np.asarray(pre), hdr, pre_path)
+        nifti.save_nifti(np.asarray(seg), hdr, raw_seg)
+        nifti.save_nifti(np.asarray(s3), hdr, seg_3mm)
+        nifti.save_nifti(np.asarray(fov), hdr, seg_fov)
+
     if not nifti.try_load_nifti(pre_path):
         data, hdr = nifti.load_nifti(image_path)
         if skip_bfc:
@@ -72,21 +96,18 @@ def predict_one_case(
             corrected = np.asarray(n4_bias_correction_auto(jnp.asarray(data)))
             nifti.save_nifti(corrected, hdr, pre_path)
 
-    raw_seg = join_path(folders["raw"], "%s.nii.gz" % case)
     if not nifti.try_load_nifti(raw_seg):
         data, hdr = nifti.load_nifti(pre_path)
         spacing = nifti.get_nifti_pixdim(pre_path)
         seg, _fg = predictor.predict_case(data, spacing)
         nifti.save_nifti(np.asarray(seg), hdr, raw_seg)
 
-    seg_3mm = join_path(folders["post_3mm"], "%s.nii.gz" % case)
     if not nifti.try_load_nifti(seg_3mm):
         seg, hdr = nifti.load_nifti(raw_seg)
         spacing = nifti.get_nifti_pixdim(raw_seg)
         seg_pp = np.asarray(remove_3mm_sparks(jnp.asarray(seg), spacing))
         nifti.save_nifti(seg_pp, hdr, seg_3mm)
 
-    seg_fov = join_path(folders["post_fov"], "%s.nii.gz" % case)
     if not nifti.try_load_nifti(seg_fov):
         flair, hdr = nifti.load_nifti(pre_path)
         spacing = tuple(nifti.get_nifti_pixdim(pre_path))

@@ -195,6 +195,24 @@ class ShardedSlidingWindowPredictor:
             )
         return self._compiled[key](self.params, data)
 
+    def predict_case_full(self, data, spacing, apply_n4: bool = False):
+        """Mesh variant of SlidingWindowPredictor.predict_case_full: the
+        whole case INCLUDING 3 mm spark removal and brain-FOV masking as
+        one jitted program, with the sweep sharded over the mesh (the
+        postprocessing runs replicated — it is a few percent of the
+        program)."""
+        from deepwmh_tpu.unet.infer import _build_full_case_fn
+
+        data = jnp.asarray(data, jnp.float32)
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = ("full", data.shape, spacing_r, apply_n4)
+        if key not in self._compiled:
+            case_fn = self._build_case_fn(data.shape, spacing_r, False)
+            self._compiled[key] = _build_full_case_fn(
+                case_fn, spacing_r, apply_n4
+            )
+        return self._compiled[key](self.params, data)
+
     def _build_case_fn(self, orig_shape, spacing, apply_n4):
         plan = self.plan
         patch_size = self.patch_size

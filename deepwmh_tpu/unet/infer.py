@@ -396,3 +396,50 @@ class SlidingWindowPredictor:
             return seg, fg_orig
 
         return jax.jit(fn)
+
+    def predict_case_full(self, data, spacing, apply_n4: bool = False):
+        """The ENTIRE per-case pipeline — optional N4, resample/z-score,
+        sweep, resample back, threshold, 3 mm spark removal, brain-FOV
+        masking — as ONE jitted program. Returns
+        (pre, seg_raw, seg_3mm, seg_fov, fg), all in the original grid.
+
+        Versus dispatching the four stages separately (the resumable
+        artifact-by-artifact path in cli/predict.py), this saves three
+        program dispatches and six host<->device transfers per case —
+        which matters behind a remote-attached TPU where every dispatch
+        pays tunnel RTT. Numerically identical to the staged path (same
+        ops, same order; tested)."""
+        data = jnp.asarray(data, jnp.float32)
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = ("full", data.shape, spacing_r, apply_n4)
+        if key not in self._case_cache:
+            case_fn = self._build_case_fn(data.shape, spacing_r, False)
+            self._case_cache[key] = _build_full_case_fn(
+                case_fn, spacing_r, apply_n4
+            )
+        return self._case_cache[key](self.params, data)
+
+
+def _build_full_case_fn(case_fn, spacing, apply_n4):
+    """Fuse (N4 ->) case_fn -> 3mm spark removal -> brain-FOV masking into
+    one program. case_fn: jitted (params, pre) -> (seg, fg) in the original
+    grid; spacing static."""
+    from deepwmh_tpu.ops.brain import brain_extract
+    from deepwmh_tpu.ops.components import remove_3mm_sparks
+
+    def full(params, raw):
+        if apply_n4:
+            from deepwmh_tpu.ops.n4 import n4_bias_correction
+
+            pre = n4_bias_correction(raw)
+        else:
+            pre = raw
+        seg, fg = case_fn(params, pre)
+        # dtypes match the staged path's saved artifacts exactly:
+        # seg uint8, seg_3mm/seg_fov float32 0/1 masks
+        seg_3mm = remove_3mm_sparks(seg, spacing)
+        mask = brain_extract(pre, spacing)
+        seg_fov = ((seg_3mm * mask) > 0.5).astype(jnp.float32)
+        return pre, seg, seg_3mm, seg_fov, fg
+
+    return jax.jit(full)

@@ -125,3 +125,44 @@ def test_cli_argparse_main(tmp_path, rng, capsys):
     assert os.path.isfile(
         os.path.join(out, "002_Segmentations/003_postproc_fov/c1.nii.gz")
     )
+
+
+def test_fused_matches_staged(tmp_path, rng):
+    """A fresh case (fused single-program path) produces the same four
+    artifacts as the stage-by-stage resume path."""
+    import jax
+
+    from deepwmh_tpu.cli.predict import make_output_folders, predict_one_case
+    from deepwmh_tpu.unet.infer import SlidingWindowPredictor
+    from deepwmh_tpu.unet.model import UNet3D, init_params
+
+    plan = tiny_plan()
+    model = UNet3D(plan=plan)
+    params = init_params(model, jax.random.PRNGKey(0))
+    predictor = SlidingWindowPredictor(model, params, plan, tta=False)
+
+    shape = (24, 24, 20)
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    head = (np.sqrt(sum(a**2 for a in g)) < 0.8).astype(np.float32)
+    vol = head * (200 + 20 * rng.rand(*shape).astype(np.float32))
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    img_path = str(tmp_path / "subj.nii.gz")
+    nifti.save_nifti(vol, hdr, img_path)
+
+    fused = make_output_folders(str(tmp_path / "fused"))
+    predict_one_case(predictor, "subj", img_path, fused,
+                     skip_bfc=True, make_previews=False)
+
+    staged = make_output_folders(str(tmp_path / "staged"))
+    # pre-seeding the preprocessed artifact forces the stage-by-stage path
+    nifti.save_nifti(vol, hdr, os.path.join(staged["images"], "subj_0000.nii.gz"))
+    predict_one_case(predictor, "subj", img_path, staged,
+                     skip_bfc=True, make_previews=False)
+
+    for key, name in [("images", "subj_0000.nii.gz"), ("raw", "subj.nii.gz"),
+                      ("post_3mm", "subj.nii.gz"), ("post_fov", "subj.nii.gz")]:
+        a = nifti.load_nifti_simple(os.path.join(fused[key], name))
+        b = nifti.load_nifti_simple(os.path.join(staged[key], name))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3, err_msg=key)
