@@ -50,6 +50,7 @@ def predict_one_case(
     folders,
     skip_bfc: bool = False,
     make_previews: bool = True,
+    preloaded=None,
 ):
     """One case through the full inference path (N4 → U-Net → 3mm → FOV →
     GIF) with a warm predictor. Shared by the batch CLI and the serving
@@ -59,7 +60,11 @@ def predict_one_case(
     batch case) runs the whole device pipeline as ONE fused program
     (predict_case_full): one dispatch instead of four, no intermediate
     reloads. A partially-computed case falls back to the stage-by-stage
-    path so resume granularity is unchanged."""
+    path so resume granularity is unchanged.
+
+    preloaded: optional (data, hdr) for image_path, already loaded — the
+    serving loop prefetches the next request's IO while the current one
+    computes and passes it here."""
     import jax.numpy as jnp
 
     from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
@@ -75,9 +80,14 @@ def predict_one_case(
     fresh = not any(
         nifti.try_load_nifti(p) for p in (pre_path, raw_seg, seg_3mm, seg_fov)
     )
+    raw_data = None
     if fresh:
-        data, hdr = nifti.load_nifti(image_path)
-        spacing = nifti.get_nifti_pixdim(image_path)
+        if preloaded is not None:
+            data, hdr = preloaded
+        else:
+            data, hdr = nifti.load_nifti(image_path)
+        raw_data = data
+        spacing = [float(abs(z)) for z in hdr.zooms[:3]]
         pre, seg, s3, fov, _fg = predictor.predict_case_full(
             data, spacing, apply_n4=not skip_bfc
         )
@@ -118,7 +128,10 @@ def predict_one_case(
     if make_previews:
         out_gif = join_path(folders["previews"], "%s.gif" % case)
         if not try_load_gif(out_gif):
-            data = nifti.load_nifti_simple(image_path)
+            data = (
+                raw_data if raw_data is not None
+                else nifti.load_nifti_simple(image_path)
+            )
             s0, s1 = nii_slice_range(data, axis="axial")
             seg = nifti.load_nifti_simple(seg_fov)
             nii_as_gif(

@@ -124,7 +124,7 @@ class SpoolServer:
             return case, dst
         return None
 
-    def process(self, case, claimed_path):
+    def process(self, case, claimed_path, preloaded=None):
         from deepwmh_tpu.cli.predict import predict_one_case
 
         t0 = time.time()
@@ -132,6 +132,7 @@ class SpoolServer:
             seg_path = predict_one_case(
                 self.predictor, case, claimed_path, self.folders,
                 skip_bfc=self.skip_bfc, make_previews=self.make_previews,
+                preloaded=preloaded,
             )
         except Exception:
             self.failed += 1
@@ -193,17 +194,55 @@ class SpoolServer:
     def request_stop(self):
         self._stop = True
 
+    def _start_load(self, claimed):
+        """Begin loading a claimed request's volume in a daemon thread;
+        returns (claimed, thread, box). A load error leaves the box empty —
+        process() then loads (and fails) through the normal path so the
+        quarantine traceback is the real one."""
+        import threading
+
+        from deepwmh_tpu.core import nifti
+
+        box = {}
+
+        def run():
+            try:
+                box["v"] = nifti.load_nifti(claimed[1])
+            except Exception:
+                pass
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return claimed, t, box
+
+    def _unclaim(self, claimed):
+        """Return a claimed-but-unprocessed request to the spool (STOP
+        arrived between claim and process)."""
+        os.rename(claimed[1],
+                  join_path(self.spool_dir, os.path.basename(claimed[1])))
+
     def drain(self):
-        """Process everything currently claimable; returns (served, failed)
-        deltas for this call."""
+        """Process everything currently claimable, prefetching the next
+        request's IO while the current one computes; returns
+        (served, failed) deltas for this call."""
         s0, f0 = self.served, self.failed
-        while not self.stop_requested():
+        cur = None
+        if not self.stop_requested():
             claimed = self.claim_one()
-            if claimed is None:
-                break
-            case, path = claimed
+            cur = self._start_load(claimed) if claimed else None
+        while cur is not None:
+            nxt = None
+            if not self.stop_requested():
+                claimed = self.claim_one()
+                nxt = self._start_load(claimed) if claimed else None
+            (case, path), thread, box = cur
+            thread.join()
             print(">> case %s" % case, flush=True)
-            self.process(case, path)
+            self.process(case, path, preloaded=box.get("v"))
+            if self.stop_requested() and nxt is not None:
+                self._unclaim(nxt[0])
+                nxt = None
+            cur = nxt
         return self.served - s0, self.failed - f0
 
     def serve_forever(self):

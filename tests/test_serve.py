@@ -199,3 +199,29 @@ def test_serve_with_mesh(tmp_path):
         "mesh_case.nii.gz",
     )
     assert nifti.try_load_nifti(seg)
+
+
+def test_stop_mid_drain_unclaims_prefetched(served):
+    """STOP arriving while a case computes: the in-flight case finishes,
+    the already-claimed (prefetched) next request goes back to the spool."""
+    srv, spool, out, *_ = served
+    spool_request(spool, "caseG", seed=6)
+    spool_request(spool, "caseH", seed=7)
+    stop = os.path.join(spool, "STOP")
+    orig = srv.process
+
+    def process_and_stop(case, path, preloaded=None):
+        open(stop, "w").close()
+        return orig(case, path, preloaded=preloaded)
+
+    srv.process = process_and_stop
+    try:
+        result = srv.drain()
+    finally:
+        srv.process = orig
+        os.remove(stop)
+    assert result == (1, 0)
+    # the second request is back in the spool, claimable again
+    pending = sorted(f for f in os.listdir(spool) if case_name_of(f))
+    assert len(pending) == 1
+    assert srv.drain() == (1, 0)
