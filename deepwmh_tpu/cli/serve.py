@@ -39,6 +39,10 @@ def main(argv=None):
                         help="Drain the spool once and exit instead of polling.")
     parser.add_argument("--poll-interval", type=float, default=2.0,
                         help="Seconds between spool polls when idle.")
+    parser.add_argument("--settle-seconds", type=float, default=2.0,
+                        help="Only claim requests whose mtime is this old — "
+                        "guards against claiming files mid-copy. Clients "
+                        "that rename into the spool can set 0.")
     parser.add_argument("--server-id", type=str, default=None,
                         help="Stable id for this server's work/status files "
                         "(default: srv<pid>); reuse an id to recover its "
@@ -95,6 +99,7 @@ def main(argv=None):
         poll_interval=args.poll_interval,
         server_id=args.server_id,
         mesh=mesh,
+        settle_seconds=args.settle_seconds,
     )
 
     # finish the in-flight case, then exit cleanly

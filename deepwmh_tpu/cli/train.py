@@ -227,7 +227,7 @@ def main(argv=None):
     parser.add_argument("-o", "--output-folder", type=str, required=True)
     parser.add_argument("-j", "--num-CPU-cores", type=int, default=8,
                         help="Kept for CLI compatibility (compute runs on TPU).")
-    parser.add_argument("-g", "--gpu", type=int, default=0,
+    parser.add_argument("-g", "--gpu", type=int, default=None,
                         help="Local accelerator index to pin this run to "
                         "(the reference's CUDA_VISIBLE_DEVICES role); "
                         "disables the auto device mesh unless --mesh is "
@@ -302,7 +302,7 @@ def main(argv=None):
 
     mesh = None
     use_mesh = args.mesh if args.mesh is not None else jax.device_count() > 1
-    if args.gpu:
+    if args.gpu is not None:
         # the reference's -g role (CUDA_VISIBLE_DEVICES, train.py:268):
         # pin this run to one chip — e.g. two cohorts training on one host
         from deepwmh_tpu.parallel.mesh import select_device

@@ -29,18 +29,14 @@ from jax.sharding import PartitionSpec as P
 from deepwmh_tpu.unet.infer import (
     ALL_FLIPS,
     NO_FLIPS,
+    CaseProgramMixin,
     accumulate_patches,
     flip_forward,
     fullvol_shape,
     gaussian_importance_map,
     use_fullvol,
 )
-from deepwmh_tpu.unet.preprocess import (
-    pad_to,
-    padded_shape,
-    preprocess_case,
-    resample_to_shape,
-)
+from deepwmh_tpu.unet.preprocess import pad_to, padded_shape
 
 
 def build_fullvol_tta_sharded(apply_fn, num_classes, flips, mesh):
@@ -100,10 +96,12 @@ def _positions_for_mesh(image_size, patch_size, n_devices, step_fraction=0.5):
     )
 
 
-class ShardedSlidingWindowPredictor:
+class ShardedSlidingWindowPredictor(CaseProgramMixin):
     """Drop-in sharded variant of SlidingWindowPredictor (same `mode`
     semantics: 'auto' runs flip-sharded whole-volume inference when the
-    padded volume fits HBM, patch-sharded sweeps otherwise)."""
+    padded volume fits HBM, patch-sharded sweeps otherwise). predict_case/
+    predict_case_full come from CaseProgramMixin — only the sweep differs.
+    """
 
     def __init__(self, model, params, plan, mesh, tta: bool = False, step_fraction=0.5,
                  mode: str = "auto"):
@@ -119,7 +117,8 @@ class ShardedSlidingWindowPredictor:
         from deepwmh_tpu.utils.misc import BoundedCache
 
         self._apply = lambda p, x: model.apply({"params": p}, x)
-        self._compiled = BoundedCache(maxsize=8)
+        self._compiled = BoundedCache(maxsize=8)   # predict_volume sweeps
+        self._case_cache = BoundedCache(maxsize=8)  # fused case programs
 
     def _use_fullvol(self, res_shape) -> bool:
         return use_fullvol(self.mode, res_shape, self.plan)
@@ -178,50 +177,17 @@ class ShardedSlidingWindowPredictor:
         probs = self._compiled[key](self.params, vol, pos, pos_w)
         return probs[: orig[0], : orig[1], : orig[2]]
 
-    def predict_case(self, data, spacing, apply_n4: bool = False):
-        """Raw volume + spacing -> (segmentation uint8, fg probability) in
-        the ORIGINAL grid — the mesh variant of
-        SlidingWindowPredictor.predict_case (unet/infer.py): the whole case
-        pipeline is ONE jitted program, with the sweep flip- or
-        patch-sharded over the mesh. Preprocessing/resampling run
-        replicated (they are ~2% of the program; sharding them would buy
-        nothing and cost collectives)."""
-        data = jnp.asarray(data, jnp.float32)
-        spacing_r = tuple(round(float(s), 4) for s in spacing)
-        key = ("case", data.shape, spacing_r, apply_n4)
-        if key not in self._compiled:
-            self._compiled[key] = self._build_case_fn(
-                data.shape, spacing_r, apply_n4
-            )
-        return self._compiled[key](self.params, data)
-
-    def predict_case_full(self, data, spacing, apply_n4: bool = False):
-        """Mesh variant of SlidingWindowPredictor.predict_case_full: the
-        whole case INCLUDING 3 mm spark removal and brain-FOV masking as
-        one jitted program, with the sweep sharded over the mesh (the
-        postprocessing runs replicated — it is a few percent of the
-        program)."""
-        from deepwmh_tpu.unet.infer import _build_full_case_fn
-
-        data = jnp.asarray(data, jnp.float32)
-        spacing_r = tuple(round(float(s), 4) for s in spacing)
-        key = ("full", data.shape, spacing_r, apply_n4)
-        if key not in self._compiled:
-            case_fn = self._build_case_fn(data.shape, spacing_r, False)
-            self._compiled[key] = _build_full_case_fn(
-                case_fn, spacing_r, apply_n4
-            )
-        return self._compiled[key](self.params, data)
-
-    def _build_case_fn(self, orig_shape, spacing, apply_n4):
+    def _make_run_sweep(self, res_shape):
+        """Mesh sweep builder for CaseProgramMixin: flip-sharded whole-
+        volume TTA when the resampled volume fits HBM, patch-sharded
+        Gaussian sweeps otherwise. The rest of the case program (N4,
+        resample, threshold, postprocessing) runs replicated — it is a few
+        percent of the program; sharding it would buy nothing and cost
+        collectives."""
         plan = self.plan
         patch_size = self.patch_size
         flips = ALL_FLIPS if self.tta else NO_FLIPS
         C = int(plan.num_classes)
-        res_shape = tuple(
-            max(int(round(orig_shape[a] * spacing[a] / plan.target_spacing[a])), 1)
-            for a in range(3)
-        )
         if self._use_fullvol(res_shape):
             target = fullvol_shape(res_shape, plan)
             sweep, tab, wts = build_fullvol_tta_sharded(
@@ -241,18 +207,4 @@ class ShardedSlidingWindowPredictor:
             def run_sweep(params, vol):
                 return sharded(params, vol, pos, pos_w)
 
-        def fn(params, raw):
-            vol = raw
-            if apply_n4:
-                from deepwmh_tpu.ops.n4 import n4_bias_correction
-
-                vol = n4_bias_correction(vol)
-            vol = preprocess_case(vol, spacing, plan)
-            vol = pad_to(vol, target)
-            probs = run_sweep(params, vol)
-            fg = probs[: res_shape[0], : res_shape[1], : res_shape[2], 1]
-            fg_orig = resample_to_shape(fg, orig_shape, order=1)
-            seg = (fg_orig > 0.5).astype(jnp.uint8)
-            return seg, fg_orig
-
-        return jax.jit(fn)
+        return run_sweep, target

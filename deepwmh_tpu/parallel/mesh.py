@@ -73,13 +73,17 @@ def select_device(index: int):
     the TPU role of the reference's `-g` flag, which sets
     CUDA_VISIBLE_DEVICES to pick the GPU (deepwmh/main/predict.py:150,
     DCNN_multistage.py:191). Lets N single-chip servers/CLIs share a
-    multi-chip host, one chip each. Returns the selected device."""
+    multi-chip host, one chip each. Returns the selected device.
+
+    Indexes jax.local_devices(): on a multi-host pod the flag picks among
+    THIS host's chips (a remote device is not addressable as a default)."""
     import jax
 
-    devs = jax.devices()
+    devs = jax.local_devices()
     if not 0 <= index < len(devs):
         raise ValueError(
-            "device index %d out of range (0..%d)" % (index, len(devs) - 1)
+            "device index %d out of range (0..%d local devices)"
+            % (index, len(devs) - 1)
         )
     jax.config.update("jax_default_device", devs[index])
     return devs[index]

@@ -1,0 +1,151 @@
+"""Per-case inference pipeline: N4 → U-Net sweep → 3 mm postproc → brain
+FOV mask → GIF preview, with the reference's artifact layout and resume
+semantics (deepwmh/main/predict.py:109-192).
+
+Shared by the batch CLI (cli/predict.py) and the serving loop
+(pipeline/serve.py). A FRESH case (no artifacts yet — every serve request,
+and the common batch case) runs the whole device pipeline as ONE fused
+program (CaseProgramMixin.predict_case_full): one dispatch instead of
+four and no intermediate artifact reloads. A partially-computed case
+falls back to the stage-by-stage path so resume granularity is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deepwmh_tpu.core import nifti
+from deepwmh_tpu.core.artifacts import join_path, mkdir
+
+
+def make_output_folders(output_folder):
+    """Create the reference's output layout; returns a dict of the five
+    folders (deepwmh/main/predict.py:109-117)."""
+    out = mkdir(output_folder)
+    seg_folder = mkdir(join_path(out, "002_Segmentations"))
+    return {
+        "images": mkdir(join_path(out, "001_Preprocessed_Images")),
+        "raw": mkdir(join_path(seg_folder, "001_raw")),
+        "post_3mm": mkdir(join_path(seg_folder, "002_postproc_3mm")),
+        "post_fov": mkdir(join_path(seg_folder, "003_postproc_fov")),
+        "previews": mkdir(join_path(out, "003_Previews")),
+    }
+
+
+def _can_fuse(shape, skip_bfc) -> bool:
+    """The fused program runs N4 single-device (replicated under a mesh);
+    volumes big enough for the slab-sharded N4 keep the staged path so
+    n4_bias_correction_auto can route them (ops/n4.py)."""
+    import jax
+
+    from deepwmh_tpu.ops.n4 import N4_SHARD_MIN_VOXELS
+
+    if skip_bfc or jax.device_count() == 1:
+        return True
+    return int(np.prod(shape)) < N4_SHARD_MIN_VOXELS
+
+
+def predict_one_case(
+    predictor,
+    case,
+    image_path,
+    folders,
+    skip_bfc: bool = False,
+    make_previews: bool = True,
+    preloaded=None,
+):
+    """One case through the full inference path with a warm predictor;
+    every artifact is loadability-probed so re-running resumes. See the
+    module docstring for the fused fresh-case fast path.
+
+    preloaded: optional (data, hdr) for image_path, already loaded — the
+    serving loop prefetches the next request's IO while the current one
+    computes and passes it here."""
+    import jax.numpy as jnp
+
+    from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
+    from deepwmh_tpu.ops.brain import brain_extract
+    from deepwmh_tpu.ops.components import remove_3mm_sparks
+    from deepwmh_tpu.ops.n4 import n4_bias_correction_auto
+
+    pre_path = join_path(folders["images"], "%s_0000.nii.gz" % case)
+    raw_seg = join_path(folders["raw"], "%s.nii.gz" % case)
+    seg_3mm = join_path(folders["post_3mm"], "%s.nii.gz" % case)
+    seg_fov = join_path(folders["post_fov"], "%s.nii.gz" % case)
+
+    raw_data = None
+    fov_data = None
+    fused = not any(
+        nifti.try_load_nifti(p) for p in (pre_path, raw_seg, seg_3mm, seg_fov)
+    )
+    if fused:
+        if preloaded is not None:
+            data, hdr = preloaded
+        else:
+            data, hdr = nifti.load_nifti(image_path)
+        if not _can_fuse(data.shape, skip_bfc):
+            fused = False
+        else:
+            raw_data = data
+            spacing = [float(abs(z)) for z in hdr.zooms[:3]]
+            pre, seg, s3, fov, _fg = predictor.predict_case_full(
+                data, spacing, apply_n4=not skip_bfc
+            )
+            fov_data = np.asarray(fov)
+            nifti.save_nifti(np.asarray(pre), hdr, pre_path)
+            nifti.save_nifti(np.asarray(seg), hdr, raw_seg)
+            nifti.save_nifti(np.asarray(s3), hdr, seg_3mm)
+            nifti.save_nifti(fov_data, hdr, seg_fov)
+
+    if not fused:
+        # stage-by-stage path: resume granularity = one artifact
+        if not nifti.try_load_nifti(pre_path):
+            data, hdr = nifti.load_nifti(image_path)
+            if skip_bfc:
+                nifti.save_nifti(data, hdr, pre_path)
+            else:
+                # big volumes route to the slab-sharded N4 on multi-device
+                # backends (ops/n4.py n4_bias_correction_auto)
+                corrected = np.asarray(n4_bias_correction_auto(jnp.asarray(data)))
+                nifti.save_nifti(corrected, hdr, pre_path)
+
+        if not nifti.try_load_nifti(raw_seg):
+            data, hdr = nifti.load_nifti(pre_path)
+            spacing = nifti.get_nifti_pixdim(pre_path)
+            seg, _fg = predictor.predict_case(data, spacing)
+            nifti.save_nifti(np.asarray(seg), hdr, raw_seg)
+
+        if not nifti.try_load_nifti(seg_3mm):
+            seg, hdr = nifti.load_nifti(raw_seg)
+            spacing = nifti.get_nifti_pixdim(raw_seg)
+            seg_pp = np.asarray(remove_3mm_sparks(jnp.asarray(seg), spacing))
+            nifti.save_nifti(seg_pp, hdr, seg_3mm)
+
+        if not nifti.try_load_nifti(seg_fov):
+            flair, hdr = nifti.load_nifti(pre_path)
+            spacing = tuple(nifti.get_nifti_pixdim(pre_path))
+            mask = np.asarray(brain_extract(jnp.asarray(flair), spacing))
+            seg = nifti.load_nifti_simple(seg_3mm)
+            nifti.save_nifti(((seg * mask) > 0.5).astype(np.float32), hdr, seg_fov)
+
+    if make_previews:
+        out_gif = join_path(folders["previews"], "%s.gif" % case)
+        if not try_load_gif(out_gif):
+            data = (
+                raw_data if raw_data is not None
+                else nifti.load_nifti_simple(image_path)
+            )
+            s0, s1 = nii_slice_range(data, axis="axial")
+            seg = (
+                fov_data if fov_data is not None
+                else nifti.load_nifti_simple(seg_fov)
+            )
+            nii_as_gif(
+                data,
+                out_gif,
+                axis="axial",
+                lesion_mask=seg,
+                side_by_side=True,
+                slice_range=(s0, s1),
+            )
+    return seg_fov

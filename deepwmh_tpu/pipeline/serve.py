@@ -60,8 +60,9 @@ class SpoolServer:
         poll_interval: float = 2.0,
         server_id: str | None = None,
         mesh=None,
+        settle_seconds: float = 2.0,
     ):
-        from deepwmh_tpu.cli.predict import make_output_folders
+        from deepwmh_tpu.pipeline.inference import make_output_folders
         from deepwmh_tpu.unet.infer import SlidingWindowPredictor
         from deepwmh_tpu.unet.release import load_released_model
 
@@ -70,6 +71,7 @@ class SpoolServer:
         self.skip_bfc = skip_bfc
         self.make_previews = make_previews
         self.poll_interval = float(poll_interval)
+        self.settle_seconds = float(settle_seconds)
         self.server_id = server_id or ("srv%d" % os.getpid())
 
         self.work_dir = mkdir(join_path(mkdir(join_path(self.spool_dir, ".work")),
@@ -102,17 +104,27 @@ class SpoolServer:
     def claim_one(self):
         """Atomically claim the oldest pending request; returns
         (case, claimed_path) or None. os.rename is atomic within a
-        filesystem, so concurrent servers never double-claim."""
+        filesystem, so concurrent servers never double-claim.
+
+        A request is only claimable once its mtime is settle_seconds old:
+        a client cp/scp-ing into the spool (a non-atomic write) keeps
+        bumping mtime while it streams, so the guard skips half-written
+        files instead of quarantining them mid-copy. Clients that write to
+        a temp name and rename into the spool are claimable immediately."""
         pending = []
+        now = time.time()
         for fn in os.listdir(self.spool_dir):
             parsed = case_name_of(fn)
             if parsed is None:
                 continue
             path = join_path(self.spool_dir, fn)
             try:
-                pending.append((os.path.getmtime(path), fn, parsed))
+                mt = os.path.getmtime(path)
             except OSError:
                 continue  # raced: another server already claimed it
+            if now - mt < self.settle_seconds:
+                continue  # possibly still being written
+            pending.append((mt, fn, parsed))
         pending.sort()
         for _mt, fn, (case, ext) in pending:
             src = join_path(self.spool_dir, fn)
@@ -125,7 +137,7 @@ class SpoolServer:
         return None
 
     def process(self, case, claimed_path, preloaded=None):
-        from deepwmh_tpu.cli.predict import predict_one_case
+        from deepwmh_tpu.pipeline.inference import predict_one_case
 
         t0 = time.time()
         try:

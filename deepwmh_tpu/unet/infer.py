@@ -281,7 +281,114 @@ _fullvol_jit = jax.jit(
 )
 
 
-class SlidingWindowPredictor:
+class CaseProgramMixin:
+    """predict_case / predict_case_full shared by the single-device and
+    mesh-sharded predictors (parallel/infer_sharded.py). A subclass
+    provides `_make_run_sweep(res_shape) -> (run_sweep, target)` — the
+    sweep over a `target`-padded preprocessed volume returning softmax
+    [D,H,W,C] — plus `self.plan`, `self.params` and a BoundedCache at
+    `self._case_cache`. Everything around the sweep (N4, resample/z-score,
+    resample back, threshold, postprocessing) is defined once here so the
+    single-device and mesh paths cannot silently diverge."""
+
+    def _res_shape(self, orig_shape, spacing):
+        plan = self.plan
+        return tuple(
+            max(int(round(orig_shape[a] * spacing[a] / plan.target_spacing[a])), 1)
+            for a in range(3)
+        )
+
+    def predict_case(self, data, spacing, apply_n4: bool = False):
+        """Raw volume + spacing -> (segmentation uint8, fg probability) in
+        the ORIGINAL grid.
+
+        The WHOLE case pipeline — optional N4, resample to plan spacing,
+        z-score, pad, sweep, resample softmax back, threshold — is ONE
+        jitted program per input shape: eager per-op dispatch costs
+        hundreds of ms per op through remote-attached TPUs, so nothing runs
+        outside jit. (Softmax channel-sums are preserved by the linear
+        resample back, so argmax == fg > 0.5.)"""
+        data = jnp.asarray(data, jnp.float32)
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = (data.shape, spacing_r, apply_n4)
+        if key not in self._case_cache:
+            # build with the SAME rounded spacing as the cache key, so cases
+            # that collide on the key get identical resampling geometry
+            self._case_cache[key] = self._build_case_fn(
+                data.shape, spacing_r, apply_n4
+            )
+        return self._case_cache[key](self.params, data)
+
+    def predict_case_full(self, data, spacing, apply_n4: bool = False):
+        """The ENTIRE per-case pipeline — optional N4, resample/z-score,
+        sweep, resample back, threshold, 3 mm spark removal, brain-FOV
+        masking — as ONE jitted program. Returns
+        (pre, seg_raw, seg_3mm, seg_fov, fg), all in the original grid.
+
+        Versus dispatching the four stages separately (the resumable
+        artifact-by-artifact path in pipeline/inference.py), this saves
+        three program dispatches and six host<->device transfers per case —
+        which matters behind a remote-attached TPU where every dispatch
+        pays tunnel RTT. Numerically identical to the staged path (same
+        ops, same order; tested)."""
+        data = jnp.asarray(data, jnp.float32)
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = ("full", data.shape, spacing_r, apply_n4)
+        if key not in self._case_cache:
+            case_fn = self._build_case_fn(data.shape, spacing_r, False)
+            self._case_cache[key] = _build_full_case_fn(
+                case_fn, spacing_r, apply_n4
+            )
+        return self._case_cache[key](self.params, data)
+
+    def _build_case_fn(self, orig_shape, spacing, apply_n4):
+        plan = self.plan
+        res_shape = self._res_shape(orig_shape, spacing)
+        run_sweep, target = self._make_run_sweep(res_shape)
+
+        def fn(params, raw):
+            vol = raw
+            if apply_n4:
+                from deepwmh_tpu.ops.n4 import n4_bias_correction
+
+                vol = n4_bias_correction(vol)
+            vol = preprocess_case(vol, spacing, plan)
+            vol = pad_to(vol, target)
+            probs = run_sweep(params, vol)
+            fg = probs[: res_shape[0], : res_shape[1], : res_shape[2], 1]
+            fg_orig = resample_to_shape(fg, orig_shape, order=1)
+            seg = (fg_orig > 0.5).astype(jnp.uint8)
+            return seg, fg_orig
+
+        return jax.jit(fn)
+
+
+def _build_full_case_fn(case_fn, spacing, apply_n4):
+    """Fuse (N4 ->) case_fn -> 3mm spark removal -> brain-FOV masking into
+    one program. case_fn: jitted (params, pre) -> (seg, fg) in the original
+    grid; spacing static."""
+    from deepwmh_tpu.ops.brain import brain_extract
+    from deepwmh_tpu.ops.components import remove_3mm_sparks
+
+    def full(params, raw):
+        if apply_n4:
+            from deepwmh_tpu.ops.n4 import n4_bias_correction
+
+            pre = n4_bias_correction(raw)
+        else:
+            pre = raw
+        seg, fg = case_fn(params, pre)
+        # dtypes match the staged path's saved artifacts exactly:
+        # seg uint8, seg_3mm/seg_fov float32 0/1 masks
+        seg_3mm = remove_3mm_sparks(seg, spacing)
+        mask = brain_extract(pre, spacing)
+        seg_fov = ((seg_3mm * mask) > 0.5).astype(jnp.float32)
+        return pre, seg, seg_3mm, seg_fov, fg
+
+    return jax.jit(full)
+
+
+class SlidingWindowPredictor(CaseProgramMixin):
     """Caches compiled sweeps per padded shape; the user-facing predictor.
 
     mode: 'auto' (default) runs whole-volume fully-convolutional inference
@@ -335,111 +442,30 @@ class SlidingWindowPredictor:
             )
         return probs[: orig[0], : orig[1], : orig[2]]
 
-    def predict_case(self, data, spacing, apply_n4: bool = False):
-        """Raw volume + spacing -> (segmentation uint8, fg probability) in
-        the ORIGINAL grid.
-
-        The WHOLE case pipeline — optional N4, resample to plan spacing,
-        z-score, pad, sliding-window sweep, resample softmax back, threshold
-        — is ONE jitted program per input shape: eager per-op dispatch costs
-        hundreds of ms per op through remote-attached TPUs, so nothing runs
-        outside jit. (Softmax channel-sums are preserved by the linear
-        resample back, so argmax == fg > 0.5.)"""
-        data = jnp.asarray(data, jnp.float32)
-        spacing_r = tuple(round(float(s), 4) for s in spacing)
-        key = (data.shape, spacing_r, apply_n4)
-        if key not in self._case_cache:
-            # build with the SAME rounded spacing as the cache key, so cases
-            # that collide on the key get identical resampling geometry
-            self._case_cache[key] = self._build_case_fn(
-                data.shape, spacing_r, apply_n4
-            )
-        return self._case_cache[key](self.params, data)
-
-    def _build_case_fn(self, orig_shape, spacing, apply_n4):
+    def _make_run_sweep(self, res_shape):
+        """Single-device sweep builder for CaseProgramMixin: whole-volume
+        fully-convolutional TTA when the resampled volume fits HBM, the
+        Gaussian half-overlap patch sweep otherwise."""
         plan = self.plan
         patch_size = self.patch_size
         gauss = self.gauss
         apply_fn = self._apply
         flips = ALL_FLIPS if self.tta else NO_FLIPS
         C = int(plan.num_classes)
-        # static geometry: resampled + padded shapes, patch positions
-        res_shape = tuple(
-            max(int(round(orig_shape[a] * spacing[a] / plan.target_spacing[a])), 1)
-            for a in range(3)
-        )
-        fullvol = self._use_fullvol(res_shape)
-        if fullvol:
+        if self._use_fullvol(res_shape):
             target = fullvol_shape(res_shape, plan)
+
+            def run_sweep(params, vol):
+                return fullvol_tta(params, vol, apply_fn, C, flips)
+
         else:
             target = padded_shape(res_shape, patch_size)
             pos, pos_w = patch_positions(target, patch_size, self.step_fraction)
 
-        def fn(params, raw):
-            vol = raw
-            if apply_n4:
-                from deepwmh_tpu.ops.n4 import n4_bias_correction
-
-                vol = n4_bias_correction(vol)
-            vol = preprocess_case(vol, spacing, plan)
-            vol = pad_to(vol, target)
-            if fullvol:
-                probs = fullvol_tta(params, vol, apply_fn, C, flips)
-            else:
+            def run_sweep(params, vol):
                 acc, wt = accumulate_patches(
                     params, vol, pos, pos_w, gauss, apply_fn, patch_size, C, flips
                 )
-                probs = acc / jnp.maximum(wt, 1e-8)[..., None]
-            fg = probs[: res_shape[0], : res_shape[1], : res_shape[2], 1]
-            fg_orig = resample_to_shape(fg, orig_shape, order=1)
-            seg = (fg_orig > 0.5).astype(jnp.uint8)
-            return seg, fg_orig
+                return acc / jnp.maximum(wt, 1e-8)[..., None]
 
-        return jax.jit(fn)
-
-    def predict_case_full(self, data, spacing, apply_n4: bool = False):
-        """The ENTIRE per-case pipeline — optional N4, resample/z-score,
-        sweep, resample back, threshold, 3 mm spark removal, brain-FOV
-        masking — as ONE jitted program. Returns
-        (pre, seg_raw, seg_3mm, seg_fov, fg), all in the original grid.
-
-        Versus dispatching the four stages separately (the resumable
-        artifact-by-artifact path in cli/predict.py), this saves three
-        program dispatches and six host<->device transfers per case —
-        which matters behind a remote-attached TPU where every dispatch
-        pays tunnel RTT. Numerically identical to the staged path (same
-        ops, same order; tested)."""
-        data = jnp.asarray(data, jnp.float32)
-        spacing_r = tuple(round(float(s), 4) for s in spacing)
-        key = ("full", data.shape, spacing_r, apply_n4)
-        if key not in self._case_cache:
-            case_fn = self._build_case_fn(data.shape, spacing_r, False)
-            self._case_cache[key] = _build_full_case_fn(
-                case_fn, spacing_r, apply_n4
-            )
-        return self._case_cache[key](self.params, data)
-
-
-def _build_full_case_fn(case_fn, spacing, apply_n4):
-    """Fuse (N4 ->) case_fn -> 3mm spark removal -> brain-FOV masking into
-    one program. case_fn: jitted (params, pre) -> (seg, fg) in the original
-    grid; spacing static."""
-    from deepwmh_tpu.ops.brain import brain_extract
-    from deepwmh_tpu.ops.components import remove_3mm_sparks
-
-    def full(params, raw):
-        if apply_n4:
-            from deepwmh_tpu.ops.n4 import n4_bias_correction
-
-            pre = n4_bias_correction(raw)
-        else:
-            pre = raw
-        seg, fg = case_fn(params, pre)
-        # dtypes match the staged path's saved artifacts exactly:
-        # seg uint8, seg_3mm/seg_fov float32 0/1 masks
-        seg_3mm = remove_3mm_sparks(seg, spacing)
-        mask = brain_extract(pre, spacing)
-        seg_fov = ((seg_3mm * mask) > 0.5).astype(jnp.float32)
-        return pre, seg, seg_3mm, seg_fov, fg
-
-    return jax.jit(full)
+        return run_sweep, target

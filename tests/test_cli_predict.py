@@ -166,3 +166,20 @@ def test_fused_matches_staged(tmp_path, rng):
         a = nifti.load_nifti_simple(os.path.join(fused[key], name))
         b = nifti.load_nifti_simple(os.path.join(staged[key], name))
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3, err_msg=key)
+
+
+def test_can_fuse_respects_sharded_n4_routing():
+    """Volumes big enough for the slab-sharded N4 keep the staged path on
+    multi-device backends (n4_bias_correction_auto routing); small volumes
+    and skip_bfc cases fuse."""
+    import jax
+
+    from deepwmh_tpu.ops.n4 import N4_SHARD_MIN_VOXELS
+    from deepwmh_tpu.pipeline.inference import _can_fuse
+
+    big = (512, 512, 256)
+    assert np.prod(big) >= N4_SHARD_MIN_VOXELS
+    assert _can_fuse((24, 24, 20), skip_bfc=False)
+    assert _can_fuse(big, skip_bfc=True)
+    if jax.device_count() > 1:
+        assert not _can_fuse(big, skip_bfc=False)

@@ -74,7 +74,7 @@ def served(tmp_path_factory):
 
     srv = SpoolServer(
         spool, str(tmp_path / "out"), model_dir,
-        skip_bfc=True, tta=False, make_previews=False, server_id="t1",
+        skip_bfc=True, tta=False, make_previews=False, server_id="t1", settle_seconds=0.0,
     )
     served, failed = srv.drain()
     return srv, spool, str(tmp_path / "out"), served, failed
@@ -166,7 +166,7 @@ def test_serve_cli_once(tmp_path):
     rc = main([
         "-m", model_dir, "-s", spool, "-o", str(tmp_path / "out"),
         "--once", "--skip-bfc", "--disable-tta", "--no-previews",
-        "--server-id", "cli1",
+        "--server-id", "cli1", "--settle-seconds", "0",
     ])
     assert rc == 0
     seg = os.path.join(
@@ -190,7 +190,7 @@ def test_serve_with_mesh(tmp_path):
     spool_request(spool, "mesh_case", seed=9)
     srv = SpoolServer(
         spool, str(tmp_path / "out"), model_dir,
-        skip_bfc=True, tta=True, make_previews=False, server_id="m1",
+        skip_bfc=True, tta=True, make_previews=False, server_id="m1", settle_seconds=0.0,
         mesh=make_mesh(min(8, jax.device_count())),
     )
     assert srv.drain() == (1, 0)
@@ -224,4 +224,21 @@ def test_stop_mid_drain_unclaims_prefetched(served):
     # the second request is back in the spool, claimable again
     pending = sorted(f for f in os.listdir(spool) if case_name_of(f))
     assert len(pending) == 1
+    assert srv.drain() == (1, 0)
+
+
+def test_settle_guard_skips_fresh_files(served):
+    """A file whose mtime is newer than settle_seconds (e.g. still being
+    cp'd into the spool) is not claimable until it settles."""
+    srv, spool, out, *_ = served
+    spool_request(spool, "caseI", seed=8)
+    srv.settle_seconds = 3600.0
+    try:
+        assert srv.claim_one() is None
+        os.utime(os.path.join(spool, "caseI.nii.gz"), (1, 1))  # long settled
+        claimed = srv.claim_one()
+        assert claimed is not None and claimed[0] == "caseI"
+        os.rename(claimed[1], os.path.join(spool, "caseI.nii.gz"))
+    finally:
+        srv.settle_seconds = 0.0
     assert srv.drain() == (1, 0)
