@@ -30,6 +30,7 @@ from deepwmh_tpu.registration.similarity import (
     lncc,
     mutual_information,
     winsorize_rescale,
+    downsample_mean,
 )
 
 
@@ -47,17 +48,6 @@ class AffineConfig:
     # sampling, ANTs_group_registration.py:85-119): with stride-based
     # sampling only 1/stride of the fixed voxels are resampled + binned
     sample_stride: int = 4
-
-
-def _downsample(x, factor: int):
-    if factor <= 1:
-        return x
-    s = factor
-    pad = [(0, (-x.shape[a]) % s) for a in range(3)]
-    xp = jnp.pad(x, pad)
-    return xp.reshape(
-        xp.shape[0] // s, s, xp.shape[1] // s, s, xp.shape[2] // s, s
-    ).mean(axis=(1, 3, 5))
 
 
 def _phys_grid(shape, spacing):
@@ -193,6 +183,11 @@ def _affine_core(fixed, moving, fsp, msp, cfg: AffineConfig):
     stages = (["rigid"] if cfg.do_rigid else []) + (
         ["affine"] if cfg.do_affine else []
     )
+    if not stages:
+        raise ValueError(
+            "AffineConfig with do_rigid=False and do_affine=False optimizes "
+            "nothing — enable at least one stage"
+        )
     for mode in stages:
         if mode == "affine":
             if affine_params is None:
@@ -205,8 +200,8 @@ def _affine_core(fixed, moving, fsp, msp, cfg: AffineConfig):
             params = rigid_params
 
         for shrink, iters in zip(cfg.shrinks, cfg.iters):
-            f = _downsample(fixed, shrink)
-            m = _downsample(moving, shrink)
+            f = downsample_mean(fixed, shrink)
+            m = downsample_mean(moving, shrink)
             # keep at least ~4k samples so coarse levels don't starve the
             # 32x32 joint histogram
             stride = cfg.sample_stride if f.size // cfg.sample_stride >= 4096 else 1

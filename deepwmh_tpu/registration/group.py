@@ -329,10 +329,13 @@ class GroupRegistration:
                 continue
             f_hdr = nifti.get_nifti_header(t[1])
             m_hdr = nifti.get_nifti_header(s[1])
+            # abs() matches register_pair's get_nifti_pixdim: negative
+            # header pixdims must not flip the physical grid or leak into
+            # affine.json (the two launchers must emit identical artifacts)
             key = (
                 f_hdr.shape, m_hdr.shape,
-                tuple(round(z, 4) for z in f_hdr.zooms[:3]),
-                tuple(round(z, 4) for z in m_hdr.zooms[:3]),
+                tuple(round(abs(z), 4) for z in f_hdr.zooms[:3]),
+                tuple(round(abs(z), 4) for z in m_hdr.zooms[:3]),
             )
             buckets.setdefault(key, []).append((s, t))
         if verbose and n_skip:
@@ -439,16 +442,23 @@ def apply_pair_transforms(
     warp_path = join_path(pair_dir, "warp.nii.gz")
     order = 0 if interp == "NearestNeighbor" else 1
 
+    deformable = meta.get("deformable")
+    if deformable is None:  # metas from older runs lack the explicit flag
+        deformable = meta.get("warp_kept", meta.get("svf_loss") is not None)
     if nifti.try_load_nifti(warp_path):
         disp = np.moveaxis(nifti.load_nifti_simple(warp_path), -1, 0)
-    elif meta.get("warp_kept", meta.get("svf_loss") is not None):
-        # A deformable pair whose warp is missing/corrupt must NOT silently
-        # degrade label propagation to affine-only: the degraded labels would
-        # be cached forever by try_load_nifti resume probes downstream.
+    elif deformable:
+        # A deformable pair without a usable warp must NOT silently degrade
+        # label propagation to affine-only: the pair image is SVF-warped, so
+        # affine-only labels would be misaligned with it — and cached
+        # forever by try_load_nifti resume probes downstream. This covers
+        # both a missing/corrupt file and keep_deformation=False runs
+        # (propagation needs the warp; re-register keeping it).
         raise RuntimeError(
-            "pair %s: warp.nii.gz is missing or unreadable but the pair was "
-            "registered deformably (affine.json says warp_kept) — delete "
-            "%s and re-run registration for this pair." % (pair_dir, pair_dir)
+            "pair %s: the pair was registered deformably but warp.nii.gz "
+            "is missing or unreadable (never kept — re-run with "
+            "keep_deformation — or deleted/corrupt: delete %s and re-run "
+            "registration for this pair)." % (pair_dir, pair_dir)
         )
     else:
         # affine-only registration (deformable=False): zero displacement is

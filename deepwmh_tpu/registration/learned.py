@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from deepwmh_tpu.ops.warp import displacement_warp
-from deepwmh_tpu.registration.similarity import lncc, winsorize_rescale
+from deepwmh_tpu.registration.similarity import grad_sq, lncc, winsorize_rescale
 from deepwmh_tpu.registration.svf import scaling_and_squaring
 from deepwmh_tpu.unet.model import UNet3D
 from deepwmh_tpu.unet.plan import Plan
@@ -89,10 +89,7 @@ class LearnedRegistration:
         disp = scaling_and_squaring(v, self.cfg.int_steps)
         warped = displacement_warp(moving, disp)
         sim = -lncc(fixed, warped, radius=self.cfg.lncc_radius)
-        smooth = 0.0
-        for ax in range(1, 4):
-            smooth = smooth + jnp.mean(jnp.square(jnp.diff(v, axis=ax)))
-        return sim + self.cfg.smooth_weight * smooth
+        return sim + self.cfg.smooth_weight * grad_sq(v)
 
     def _train_step_impl(self, params, opt_state, fixed, moving):
         loss, grads = jax.value_and_grad(self._loss)(params, fixed, moving)
@@ -106,8 +103,11 @@ class LearnedRegistration:
         """volumes: list of [D,H,W] arrays on the common grid (affine-aligned).
         Trains on random ordered pairs. Returns the final mean loss."""
         cfg = self.cfg
+        # keep the winsorized cohort ON DEVICE: pulling it to host and
+        # re-uploading two volumes per step would pay 2*steps full-volume
+        # transfers through the (RTT-bound) remote-TPU link
         vols = [
-            np.asarray(winsorize_rescale(jnp.asarray(v, jnp.float32)))
+            jax.device_put(winsorize_rescale(jnp.asarray(v, jnp.float32)))
             for v in volumes
         ]
         key = jax.random.PRNGKey(rng_seed)
@@ -122,8 +122,8 @@ class LearnedRegistration:
             i, j = np_rng.randint(0, len(vols), size=2)
             if i == j:
                 j = (j + 1) % len(vols)
-            fixed = jnp.asarray(vols[i])
-            moving = jnp.asarray(vols[j])
+            fixed = vols[i]
+            moving = vols[j]
             self.params, opt_state, loss = self._train_step(
                 self.params, opt_state, fixed, moving
             )

@@ -92,8 +92,31 @@ class LearnedGroupRegistration:
         self.template_spacing = tuple(float(s) for s in template_spacing)
         self.template_iterations = template_iterations
 
+    def _pair_complete(self, s_name: str, t_name: str) -> bool:
+        """Resume probe covering ALL pair artifacts (a crash between the
+        image and json writes must not orphan the pair)."""
+        pair = pair_name(s_name, t_name)
+        pair_dir = join_path(self.output_folder, pair)
+        out_img = join_path(self.output_folder, pair + ".nii.gz")
+        return (
+            nifti.try_load_nifti(out_img)
+            and os.path.isfile(join_path(pair_dir, "affine.json"))
+            and nifti.try_load_nifti(join_path(pair_dir, "warp.nii.gz"))
+        )
+
     def launch(self, verbose: bool = True):
         from deepwmh_tpu.registration.affine import apply_affine
+
+        # resume: template construction + network training are only worth
+        # paying when at least one pair is missing
+        if all(
+            self._pair_complete(s, t)
+            for s, _ in self.sources
+            for t, _ in self.targets
+        ):
+            if verbose:
+                print("all pairs already registered, nothing to do", flush=True)
+            return
 
         cases = self.sources + self.targets
         names = [c for c, _ in cases]
@@ -101,6 +124,7 @@ class LearnedGroupRegistration:
         for _, path in cases:
             imgs.append(nifti.load_nifti_simple(path))
             spacings.append(nifti.get_nifti_pixdim(path))
+        img_by_name = {name: img for (name, _), img in zip(cases, imgs)}
 
         # 1) affine template (VxM_group_registration.py:229-309)
         if verbose:
@@ -132,25 +156,21 @@ class LearnedGroupRegistration:
         reg.train(list(aligned.values()), verbose=verbose)
         self.reg = reg
 
-        # 4) one forward pass per pair; emit GroupRegistration-layout artifacts
-        tgt_data = {name: nifti.load_nifti(path) for name, path in self.targets}
+        # 4) one forward pass per pair; emit GroupRegistration-layout
+        # artifacts. Volumes come from the already-loaded cohort (imgs) —
+        # no per-pair reloads; only headers are re-read (cheap).
+        t_hdrs = {name: nifti.get_nifti_header(path) for name, path in self.targets}
         for s_name, s_path in self.sources:
             for t_name, t_path in self.targets:
+                if self._pair_complete(s_name, t_name):
+                    continue
                 pair = pair_name(s_name, t_name)
                 pair_dir = mkdir(join_path(self.output_folder, pair))
                 out_img = join_path(self.output_folder, pair + ".nii.gz")
-                # resume probe must cover ALL pair artifacts (a crash between
-                # the image and json writes must not orphan the pair)
-                if (
-                    nifti.try_load_nifti(out_img)
-                    and os.path.isfile(join_path(pair_dir, "affine.json"))
-                    and nifti.try_load_nifti(join_path(pair_dir, "warp.nii.gz"))
-                ):
-                    continue
                 if verbose:
                     print("registering %s" % pair, flush=True)
                 disp_T = reg.register(aligned[t_name], aligned[s_name])
-                t_vol, t_hdr = tgt_data[t_name]
+                t_vol, t_hdr = img_by_name[t_name], t_hdrs[t_name]
                 sp_t = sp_by_name[t_name]
                 matrix = _compose_affines(
                     M_by_name[s_name], invert_affine(M_by_name[t_name])
@@ -158,10 +178,9 @@ class LearnedGroupRegistration:
                 disp_t = _disp_to_target_grid(
                     disp_T, M_by_name[t_name], sp_T, sp_t, t_vol.shape
                 )
-                s_vol = nifti.load_nifti_simple(s_path)
                 warped = np.asarray(
                     apply_affine_svf(
-                        s_vol, matrix, disp_t, t_vol.shape, sp_t,
+                        img_by_name[s_name], matrix, disp_t, t_vol.shape, sp_t,
                         sp_by_name[s_name], order=1,
                     )
                 )
@@ -181,6 +200,11 @@ class LearnedGroupRegistration:
                         "affine_loss": None,
                         "svf_loss": None,
                         "method": "learned",
+                        # learned pairs always write warp.nii.gz; without
+                        # these flags apply_pair_transforms' lost-warp guard
+                        # would silently propagate labels affine-only
+                        "deformable": True,
+                        "warp_kept": True,
                     },
                     join_path(pair_dir, "affine.json"),
                 )

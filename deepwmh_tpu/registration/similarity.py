@@ -117,3 +117,27 @@ def lncc(a, b, radius: int = 4, eps: float = 1e-5):
     var_b = sbb - 2 * mb * sb + mb * mb * n
     cc = (cross * cross) / (var_a * var_b + eps)
     return jnp.mean(cc)
+
+
+def downsample_mean(x, factor: int):
+    """Mean-pool a [D,H,W] volume by an integer factor (zero-padding the
+    remainder) — the pyramid shrink shared by the affine and SVF stages."""
+    if factor <= 1:
+        return x
+    s = factor
+    pad = [(0, (-x.shape[a]) % s) for a in range(3)]
+    xp = jnp.pad(x, pad)
+    return xp.reshape(
+        xp.shape[0] // s, s, xp.shape[1] // s, s, xp.shape[2] // s, s
+    ).mean(axis=(1, 3, 5))
+
+
+def grad_sq(v):
+    """Bending-ish regularizer: mean squared forward differences over the
+    spatial axes of a [3,D,H,W] (or [C,...]) field — shared by the SVF
+    stage and the learned-registration loss."""
+    total = 0.0
+    for ax in range(1, 4):
+        d = jnp.diff(v, axis=ax)
+        total = total + jnp.mean(jnp.square(d))
+    return total

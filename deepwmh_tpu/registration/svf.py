@@ -32,7 +32,12 @@ from deepwmh_tpu.ops.warp import (
     sample_channels,
     sample_volume,
 )
-from deepwmh_tpu.registration.similarity import lncc, winsorize_rescale
+from deepwmh_tpu.registration.similarity import (
+    downsample_mean,
+    grad_sq,
+    lncc,
+    winsorize_rescale,
+)
 
 
 @dataclass(frozen=True)  # hashable: used as a static jit argument
@@ -112,15 +117,6 @@ def scaling_and_squaring_approx_grad(v, n: int = 6):
     return _exp_passthrough_grad(v, n)
 
 
-def _grad_sq(v):
-    """Bending-ish regularizer: mean squared forward differences of v."""
-    total = 0.0
-    for ax in range(1, 4):
-        d = jnp.diff(v, axis=ax)
-        total = total + jnp.mean(jnp.square(d))
-    return total
-
-
 def _gauss_kernel1d(sigma):
     r = max(int(3 * sigma), 1)
     x = np.arange(-r, r + 1, dtype=np.float32)
@@ -188,7 +184,7 @@ def _optimize_svf_level(
         vs = _smooth3(v, sigma)
         disp = exp_fn(vs, n_squaring)
         warped = displacement_warp(moving, disp)
-        return -lncc(fixed, warped, radius=lncc_radius) + bending * _grad_sq(vs)
+        return -lncc(fixed, warped, radius=lncc_radius) + bending * grad_sq(vs)
 
     def step(carry, _):
         v, opt_state = carry
@@ -199,17 +195,6 @@ def _optimize_svf_level(
 
     (v, _), losses = jax.lax.scan(step, (v0, tx.init(v0)), None, length=iters)
     return v, losses[-1]
-
-
-def _downsample(x, factor: int):
-    if factor <= 1:
-        return x
-    s = factor
-    pad = [(0, (-x.shape[a]) % s) for a in range(3)]
-    xp = jnp.pad(x, pad)
-    return xp.reshape(
-        xp.shape[0] // s, s, xp.shape[1] // s, s, xp.shape[2] // s, s
-    ).mean(axis=(1, 3, 5))
 
 
 def _svf_core(fixed, moving, cfg: SVFConfig):
@@ -223,8 +208,8 @@ def _svf_core(fixed, moving, cfg: SVFConfig):
     v = None
     loss = jnp.float32(0.0)
     for shrink, iters in zip(cfg.shrinks, cfg.iters):
-        f = _downsample(fixed, shrink)
-        m = _downsample(moving, shrink)
+        f = downsample_mean(fixed, shrink)
+        m = downsample_mean(moving, shrink)
         if v is None:
             v = jnp.zeros((3,) + f.shape, jnp.float32)
         else:

@@ -170,3 +170,59 @@ def test_launch_with_mesh_writes_artifacts(tmp_path):
         import os
 
         assert os.path.isfile(paths["image"]) and os.path.isfile(paths["warp"])
+
+
+def test_apply_pair_transforms_raises_without_kept_deformation(tmp_path):
+    """keep_deformation=False + deformable=True: the pair image is
+    SVF-warped but no warp exists, so propagation CANNOT be faithful —
+    it must raise, never silently fall back to affine-only labels."""
+    shape = (20, 20, 16)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    s_path = str(tmp_path / "src.nii.gz")
+    t_path = str(tmp_path / "tgt.nii.gz")
+    l_path = str(tmp_path / "lbl.nii.gz")
+    nifti.save_nifti(_ball(shape, 0, shift=0.05), hdr, s_path)
+    nifti.save_nifti(_ball(shape, 1), hdr, t_path)
+    nifti.save_nifti((_ball(shape, 0) > 0).astype(np.float32), hdr, l_path)
+
+    out = str(tmp_path / "reg")
+    reg = GroupRegistration(
+        [("S", s_path)], [("T", t_path)], out,
+        keep_deformation=False, quick=True,
+    )
+    reg.launch(verbose=False)
+    pair_dir = os.path.join(out, pair_name("S", "T"))
+    meta = json.load(open(os.path.join(pair_dir, "affine.json")))
+    assert meta["deformable"] and not meta["warp_kept"]
+    with pytest.raises(RuntimeError, match="keep_deformation"):
+        apply_pair_transforms(
+            pair_dir, [l_path], [str(tmp_path / "prop.nii.gz")]
+        )
+
+
+def test_affine_only_pairs_still_propagate(tmp_path):
+    """deformable=False pairs legitimately propagate with zero
+    displacement (no warp is expected)."""
+    shape = (20, 20, 16)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    s_path = str(tmp_path / "src.nii.gz")
+    t_path = str(tmp_path / "tgt.nii.gz")
+    l_path = str(tmp_path / "lbl.nii.gz")
+    nifti.save_nifti(_ball(shape, 0, shift=0.05), hdr, s_path)
+    nifti.save_nifti(_ball(shape, 1), hdr, t_path)
+    nifti.save_nifti((_ball(shape, 0) > 0).astype(np.float32), hdr, l_path)
+
+    out = str(tmp_path / "reg")
+    reg = GroupRegistration(
+        [("S", s_path)], [("T", t_path)], out,
+        deformable=False, quick=True,
+    )
+    reg.launch(verbose=False)
+    pair_dir = os.path.join(out, pair_name("S", "T"))
+    out_file = str(tmp_path / "prop.nii.gz")
+    apply_pair_transforms(pair_dir, [l_path], [out_file])
+    assert nifti.try_load_nifti(out_file)

@@ -77,3 +77,13 @@ def test_learned_group_registration(tmp_path):
     )
     assert nifti.try_load_nifti(out_lbl)
     assert nifti.load_nifti_simple(out_lbl).shape == target.shape
+
+    # and the lost-warp integrity guard covers learned pairs too: the
+    # learned meta records deformable/warp_kept, so a deleted warp raises
+    # instead of silently propagating affine-only
+    import pytest
+
+    pair_dir = os.path.join(out, "S0_to_T1")
+    os.remove(os.path.join(pair_dir, "warp.nii.gz"))
+    with pytest.raises(RuntimeError, match="deformably"):
+        apply_pair_transforms(pair_dir, [paths[0]], [str(tmp_path / "x.nii.gz")])
