@@ -43,6 +43,10 @@ def main(argv=None):
                         help="Only claim requests whose mtime is this old — "
                         "guards against claiming files mid-copy. Clients "
                         "that rename into the spool can set 0.")
+    parser.add_argument("--stale-after", type=float, default=1800.0,
+                        help="Re-spool another server's claimed requests "
+                        "when its heartbeat is older than this (crash "
+                        "recovery across server ids).")
     parser.add_argument("--server-id", type=str, default=None,
                         help="Stable id for this server's work/status files "
                         "(default: srv<pid>); reuse an id to recover its "
@@ -100,6 +104,7 @@ def main(argv=None):
         server_id=args.server_id,
         mesh=mesh,
         settle_seconds=args.settle_seconds,
+        stale_after=args.stale_after,
     )
 
     # finish the in-flight case, then exit cleanly
@@ -108,6 +113,7 @@ def main(argv=None):
 
     if args.once:
         server.recover_work()
+        server.recover_stale(args.stale_after)
         served, failed = server.drain()
         print("drained: %d served, %d failed" % (served, failed), flush=True)
         return 1 if failed else 0

@@ -129,23 +129,32 @@ def predict_one_case(
             nifti.save_nifti(((seg * mask) > 0.5).astype(np.float32), hdr, seg_fov)
 
     if make_previews:
+        # previews are best-effort: a GIF rendering error must never fail a
+        # case whose segmentation artifacts are already complete on disk
+        # (same policy as the stage-1 histogram plots, analysis.py)
         out_gif = join_path(folders["previews"], "%s.gif" % case)
-        if not try_load_gif(out_gif):
-            data = (
-                raw_data if raw_data is not None
-                else nifti.load_nifti_simple(image_path)
-            )
-            s0, s1 = nii_slice_range(data, axis="axial")
-            seg = (
-                fov_data if fov_data is not None
-                else nifti.load_nifti_simple(seg_fov)
-            )
-            nii_as_gif(
-                data,
-                out_gif,
-                axis="axial",
-                lesion_mask=seg,
-                side_by_side=True,
-                slice_range=(s0, s1),
+        try:
+            if not try_load_gif(out_gif):
+                data = (
+                    raw_data if raw_data is not None
+                    else nifti.load_nifti_simple(image_path)
+                )
+                s0, s1 = nii_slice_range(data, axis="axial")
+                seg = (
+                    fov_data if fov_data is not None
+                    else nifti.load_nifti_simple(seg_fov)
+                )
+                nii_as_gif(
+                    data,
+                    out_gif,
+                    axis="axial",
+                    lesion_mask=seg,
+                    side_by_side=True,
+                    slice_range=(s0, s1),
+                )
+        except Exception as e:
+            print(
+                "warning: preview rendering failed for %s: %r" % (case, e),
+                flush=True,
             )
     return seg_fov

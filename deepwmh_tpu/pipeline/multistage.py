@@ -179,9 +179,16 @@ class PipelineMultistage:
         import jax
 
         model = UNet3D(plan=plan)
-        template = init_params(model, jax.random.PRNGKey(0))
+        # the init template is only a deserialization pytree; build it once
+        # per task — model.init re-traces and allocates the whole param
+        # tree, far too expensive to pay per ensemble epoch
+        cache = getattr(self, "_template_cache", None)
+        if cache is None:
+            cache = self._template_cache = {}
+        if task not in cache:
+            cache[task] = init_params(model, jax.random.PRNGKey(0))
         params, _ = ckpt.load_params_only(
-            self._train_dir(task), checkpoint_name, template
+            self._train_dir(task), checkpoint_name, cache[task]
         )
         return model, params
 
@@ -453,6 +460,10 @@ class PipelineMultistage:
                 spacing = nifti.get_nifti_pixdim(img_path)
                 lbl = (nifti.load_nifti_simple(lbl_path) > 0.5).astype(np.float32)
                 if add_noise:  # reference noise=0.1 augmentation (:676)
+                    # same transform as unet/augment.percentile_noise, kept
+                    # inline on the host numpy RNG: this is one-time data
+                    # prep whose determinism contract is np.RandomState(0),
+                    # not the per-step jax augmentation stream
                     q5, q95 = np.percentile(img, 5), np.percentile(img, 95)
                     img = img + rng.normal(scale=0.1 * (q95 - q5), size=img.shape)
                 img_r = resample_volume(jnp.asarray(img), spacing, plan.target_spacing, 1)

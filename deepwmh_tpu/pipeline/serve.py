@@ -61,6 +61,7 @@ class SpoolServer:
         server_id: str | None = None,
         mesh=None,
         settle_seconds: float = 2.0,
+        stale_after: float = 1800.0,
     ):
         from deepwmh_tpu.pipeline.inference import make_output_folders
         from deepwmh_tpu.unet.infer import SlidingWindowPredictor
@@ -72,6 +73,7 @@ class SpoolServer:
         self.make_previews = make_previews
         self.poll_interval = float(poll_interval)
         self.settle_seconds = float(settle_seconds)
+        self.stale_after = float(stale_after)
         self.server_id = server_id or ("srv%d" % os.getpid())
 
         self.work_dir = mkdir(join_path(mkdir(join_path(self.spool_dir, ".work")),
@@ -133,8 +135,20 @@ class SpoolServer:
                 os.rename(src, dst)
             except OSError:
                 continue  # lost the race for this one; try the next
+            self._heartbeat()  # claims from a live server must not look stale
             return case, dst
         return None
+
+    def _heartbeat(self):
+        """Freshen this server's status mtime — the liveness signal
+        recover_stale uses to decide another id's claims are orphaned."""
+        path = join_path(self.status_dir, "%s.json" % self.server_id)
+        try:
+            os.utime(path, None)
+        except OSError:
+            with open(path, "w") as f:
+                json.dump({"server_id": self.server_id, "served": 0,
+                           "failed": 0}, f)
 
     def process(self, case, claimed_path, preloaded=None):
         from deepwmh_tpu.pipeline.inference import predict_one_case
@@ -198,6 +212,45 @@ class SpoolServer:
                 os.rename(join_path(self.work_dir, fn),
                           join_path(self.spool_dir, fn))
                 n += 1
+        return n
+
+    def recover_stale(self, stale_after: float = 1800.0):
+        """Re-spool claims stranded by OTHER servers that look dead: their
+        .work/<id> holds requests but their status heartbeat is missing or
+        older than stale_after. Without this, a crashed server that
+        restarts under a different id (the pid-based default) strands its
+        in-flight requests forever. The heartbeat is touched at every
+        claim, so stale_after only needs to exceed one case's wall time —
+        a 30 min default clears even a cold-compile first case. Returns
+        how many requests were re-spooled."""
+        root = join_path(self.spool_dir, ".work")
+        now = time.time()
+        n = 0
+        for sid in os.listdir(root):
+            if sid == self.server_id:
+                continue
+            wdir = join_path(root, sid)
+            pending = [f for f in os.listdir(wdir) if case_name_of(f)]
+            if not pending:
+                continue
+            status = join_path(self.status_dir, "%s.json" % sid)
+            try:
+                if now - os.path.getmtime(status) < stale_after:
+                    continue  # that server is alive (or was, recently)
+            except OSError:
+                pass  # no heartbeat at all: definitely recoverable
+            for fn in pending:
+                try:
+                    os.rename(join_path(wdir, fn),
+                              join_path(self.spool_dir, fn))
+                    n += 1
+                except OSError:
+                    continue  # another recoverer beat us to it
+            if n:
+                print(
+                    "recovered %d stale claim(s) from server '%s'" % (n, sid),
+                    flush=True,
+                )
         return n
 
     def stop_requested(self):
@@ -267,6 +320,7 @@ class SpoolServer:
         )
         self.recover_work()
         while not self.stop_requested():
+            self.recover_stale(self.stale_after)
             served, failed = self.drain()
             if served == 0 and failed == 0 and not self.stop_requested():
                 time.sleep(self.poll_interval)

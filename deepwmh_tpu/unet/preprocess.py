@@ -72,8 +72,8 @@ def pad_to(data, shape, value=0.0):
 
 def preprocess_case(data, spacing, plan, normalize: bool = True):
     """Full preprocessing: resample to plan.target_spacing (linear) then
-    z-score. Returns (volume, original_shape) — the caller keeps `spacing`
-    and shape to map predictions back."""
+    z-score. Returns the preprocessed volume — the caller keeps `spacing`
+    and the input shape to map predictions back."""
     vol = resample_volume(data, spacing, plan.target_spacing, order=1)
     if normalize:
         vol = normalize_zscore(vol)

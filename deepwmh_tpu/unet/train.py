@@ -121,9 +121,9 @@ class Trainer:
         print(msg, flush=True)
 
     def init_state(self, rng):
-        ps = tuple(self.plan.patch_size)
-        x = jnp.zeros((1,) + ps + (self.plan.in_channels,), jnp.bfloat16)
-        params = self.model.init(rng, x)["params"]
+        from deepwmh_tpu.unet.model import init_params
+
+        params = init_params(self.model, rng)
         opt_state = self.tx.init(params)
         if self.rep_sharding is not None:
             params = jax.device_put(params, self.rep_sharding)
@@ -199,7 +199,13 @@ class Trainer:
             best_metric = float(meta.get("best_metric", -float("inf")))
             self.log("resumed from model_latest at epoch %d" % start_epoch)
 
+        # decorrelate BOTH randomness streams from the pre-interrupt run:
+        # np_rng reseeds with the epoch offset, and the jax augmentation key
+        # folds it in (else a resumed run replays the step_rng sequence —
+        # identical augmentation coins — from step 0)
         np_rng = np.random.RandomState(cfg.seed + start_epoch)
+        if start_epoch:
+            rng = jax.random.fold_in(rng, start_epoch)
         ema_loss = None
         # host->device overlap: sample + device_put the NEXT batch while the
         # current step executes on device (dispatch is async, so the step

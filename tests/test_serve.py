@@ -242,3 +242,38 @@ def test_settle_guard_skips_fresh_files(served):
     finally:
         srv.settle_seconds = 0.0
     assert srv.drain() == (1, 0)
+
+
+def test_stale_claim_recovery(served):
+    """Requests stranded in a DEAD server's work dir are re-spooled by any
+    other server once the dead id's heartbeat is stale; a live id's claims
+    are left alone."""
+    srv, spool, out, *_ = served
+    dead_work = os.path.join(spool, ".work", "deadsrv")
+    os.makedirs(dead_work, exist_ok=True)
+    spool_request(spool, "caseJ", seed=10)
+    os.rename(os.path.join(spool, "caseJ.nii.gz"),
+              os.path.join(dead_work, "caseJ.nii.gz"))
+
+    # a FRESH heartbeat protects the claim
+    status = os.path.join(spool, ".status", "deadsrv.json")
+    open(status, "w").write("{}")
+    assert srv.recover_stale(stale_after=3600.0) == 0
+    assert os.path.isfile(os.path.join(dead_work, "caseJ.nii.gz"))
+
+    # a stale heartbeat releases it
+    os.utime(status, (1, 1))
+    assert srv.recover_stale(stale_after=3600.0) == 1
+    assert srv.drain() == (1, 0)
+
+    # claiming freshens our own heartbeat (liveness while busy)
+    own = os.path.join(spool, ".status", srv.server_id + ".json")
+    os.utime(own, (1, 1))
+    spool_request(spool, "caseK", seed=11)
+    claimed = srv.claim_one()
+    assert claimed is not None
+    import time as _t
+
+    assert _t.time() - os.path.getmtime(own) < 60
+    os.rename(claimed[1], os.path.join(spool, "caseK.nii.gz"))
+    assert srv.drain() == (1, 0)
