@@ -53,13 +53,14 @@ def brain_extract(data, spacing=(1.0, 1.0, 1.0), closing_mm: float = 4.0):
     thr = otsu_threshold(data)
     m = (data > thr).astype(jnp.float32)
 
-    # largest 3D component (6-connectivity)
+    # largest 3D component (6-connectivity); imported lazily — components
+    # imports morphology, which this module also feeds
     from deepwmh_tpu.ops.components import largest_component
 
     m = largest_component(m)
 
     # closing: bridge sulci/ventricle gaps
-    it = max(int(math.ceil(closing_mm / float(min(spacing)))) // 1, 1)
+    it = max(int(math.ceil(closing_mm / float(min(spacing)))), 1)
     m = binary_dilation_3d(m, iterations=it)
     m = binary_erosion_3d(m, iterations=it)
 

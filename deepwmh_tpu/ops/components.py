@@ -21,20 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deepwmh_tpu.ops.morphology import binary_erosion_2d
-
-
-def _shift(a, delta, axis, fill):
-    """Shift with fill; result[i] = a[i + delta]."""
-    n = a.shape[axis]
-    if delta == 1:
-        sl = jnp.take(a, jnp.arange(1, n), axis=axis)
-        pad = jnp.full_like(jnp.take(a, jnp.arange(0, 1), axis=axis), fill)
-        return jnp.concatenate([sl, pad], axis=axis)
-    else:
-        sl = jnp.take(a, jnp.arange(0, n - 1), axis=axis)
-        pad = jnp.full_like(jnp.take(a, jnp.arange(0, 1), axis=axis), fill)
-        return jnp.concatenate([pad, sl], axis=axis)
+from deepwmh_tpu.ops.morphology import _shift, binary_erosion_2d  # noqa: F401
 
 
 def label_components(mask, axes=(0, 1, 2), max_iters: int = 4096):

@@ -57,32 +57,66 @@ def mean_filter(data, kernel_size):
     return s / float(math.prod(ks))
 
 
-def window_stack(data, kernel_size, pad_value=0.0):
-    """Stack every window element into a leading axis of size prod(k)."""
-    ks = _norm_ksize(kernel_size, data.ndim)
-    padded = _pad_for_window(data.astype(jnp.float32), ks, value=pad_value)
-    slices = []
-    offsets = [range(k) for k in ks]
+def _stack_from_padded(padded, ks, out_shape):
+    """Window stack from an already-padded array: leading axis prod(ks)."""
     import itertools
 
-    for off in itertools.product(*offsets):
-        idx = tuple(
-            slice(o, o + s) for o, s in zip(off, data.shape)
-        )
+    slices = []
+    for off in itertools.product(*[range(k) for k in ks]):
+        idx = tuple(slice(o, o + s) for o, s in zip(off, out_shape))
         slices.append(padded[idx])
     return jnp.stack(slices, axis=0)
 
 
-def median_filter(data, kernel_size):
+def window_stack(data, kernel_size, pad_value=0.0):
+    """Stack every window element into a leading axis of size prod(k)."""
+    ks = _norm_ksize(kernel_size, data.ndim)
+    padded = _pad_for_window(data.astype(jnp.float32), ks, value=pad_value)
+    return _stack_from_padded(padded, ks, data.shape)
+
+
+# Peak bytes the median's window stack may materialize at once. Above
+# this the volume is processed in leading-axis slabs (lax.map serializes
+# them, so peak memory is one slab's stack): a 6x6x6 kernel on a sub-mm
+# 400^3 volume would otherwise stack 216 full-volume copies (~55 GB).
+MEDIAN_STACK_BUDGET_BYTES = 2 * 1024**3
+
+
+def median_filter(data, kernel_size, max_stack_bytes: int = None):
     """scipy median_filter, constant-0 boundary (image_ops.py:181-183).
 
     scipy is a RANK filter: it takes the single element at rank n//2, not
     the mean of the two middle ranks for even window sizes (verified:
     scipy size=2 on {0,1,4,5} -> 4, numpy median -> 2.5). Sort + take
     matches scipy for both parities."""
-    win = window_stack(data, kernel_size, pad_value=0.0)
-    n = win.shape[0]
-    return jnp.sort(win, axis=0)[n // 2]
+    import math
+
+    ks = _norm_ksize(kernel_size, data.ndim)
+    n = math.prod(ks)
+    budget = MEDIAN_STACK_BUDGET_BYTES if max_stack_bytes is None else max_stack_bytes
+    if data.ndim != 3 or n * data.size * 4 <= budget:
+        win = window_stack(data, ks, pad_value=0.0)
+        return jnp.sort(win, axis=0)[n // 2]
+
+    # slab the leading axis; each slab's windows need k0-1 extra rows
+    k0 = ks[0]
+    D = data.shape[0]
+    plane = data.shape[1] * data.shape[2]
+    rows = max(int(budget // (n * 4 * plane)), 1)
+    nslab = -(-D // rows)
+    padded = _pad_for_window(data.astype(jnp.float32), ks, value=0.0)
+    # extend axis 0 so the last slab's slice stays in bounds
+    extra = nslab * rows - D
+    if extra:
+        padded = jnp.pad(padded, [(0, extra), (0, 0), (0, 0)])
+
+    def one_slab(start):
+        sl = lax.dynamic_slice_in_dim(padded, start, rows + k0 - 1, axis=0)
+        win = _stack_from_padded(sl, ks, (rows,) + data.shape[1:])
+        return jnp.sort(win, axis=0)[n // 2]
+
+    out = lax.map(one_slab, jnp.arange(nslab, dtype=jnp.int32) * rows)
+    return out.reshape(nslab * rows, *data.shape[1:])[:D]
 
 
 def median_3mm(data, physical_voxel_size):

@@ -298,7 +298,11 @@ def n4_bias_correction_auto(data, **kwargs):
     vox = 1
     for s in np.shape(data):
         vox *= int(s)
-    if vox >= N4_SHARD_MIN_VOXELS and jax.device_count() > 1:
+    # a select_device pin (-g/--device: one chip per process) must win over
+    # auto-sharding: building a mesh over ALL devices from a pinned process
+    # would trample the other processes' chips
+    pinned = jax.config.jax_default_device is not None
+    if vox >= N4_SHARD_MIN_VOXELS and jax.device_count() > 1 and not pinned:
         if _auto_ops is None or _auto_ops.n != jax.device_count():
             from deepwmh_tpu.parallel.mesh import make_mesh
             from deepwmh_tpu.parallel.spatial import HaloShardedOps

@@ -48,10 +48,14 @@ def select_components(mask, selection, method: str = "crossing"):
     return keep.astype(jnp.float32)
 
 
-def gaussian_noise_2x2x2(shape, noise_std, seed: int = 0):
+def gaussian_noise_2x2x2(shape, noise_std, seed: int = None, rng=None):
     """2 mm-blocky Gaussian noise: sample at full resolution, then replicate
-    in 2x2x2 blocks (reference image_ops.py:369-377)."""
-    rng = np.random.RandomState(seed)
+    in 2x2x2 blocks (reference image_ops.py:369-377).
+
+    Like the reference, each unseeded call draws FRESH noise (augmentation
+    must vary per call); pass seed or rng for reproducibility."""
+    if rng is None:
+        rng = np.random.RandomState(seed) if seed is not None else np.random
     noise = rng.normal(0, noise_std, shape).astype(np.float32)
     up = np.repeat(np.repeat(np.repeat(noise, 2, 0), 2, 1), 2, 2)
     return up[: shape[0], : shape[1], : shape[2]]

@@ -61,10 +61,19 @@ def init_distributed_from_env() -> bool:
     num = os.environ.get("DEEPWMH_NUM_PROCESSES")
     if not num:
         return False
+    pid = os.environ.get("DEEPWMH_PROCESS_ID")
+    if int(num) > 1 and pid is None:
+        # defaulting the rank to 0 would make every host claim rank 0 and
+        # hang the coordinator with no hint of the cause — fail fast
+        raise ValueError(
+            "DEEPWMH_NUM_PROCESSES=%s but DEEPWMH_PROCESS_ID is unset — "
+            "every process must export its rank (0..%d)"
+            % (num, int(num) - 1)
+        )
     return init_distributed(
         coordinator=os.environ.get("DEEPWMH_COORDINATOR", "127.0.0.1:12355"),
         num_processes=int(num),
-        process_id=int(os.environ.get("DEEPWMH_PROCESS_ID", "0")),
+        process_id=int(pid or 0),
     )
 
 

@@ -109,41 +109,29 @@ class HaloShardedOps:
 
     # -- window filters (exact parity with ops/filters.py) -----------------
 
-    def median_filter(self, x, kernel_size):
-        from deepwmh_tpu.ops.filters import _norm_ksize, median_filter
+    def _window_filter(self, fn_name: str, x, kernel_size):
+        """Shared halo rule for all four rank/box filters: one kernel-half
+        halo along the sharded axis, the local op applied verbatim."""
+        from deepwmh_tpu.ops import filters
 
-        ks = _norm_ksize(kernel_size, np.ndim(x))
+        ks = filters._norm_ksize(kernel_size, np.ndim(x))
+        fn = getattr(filters, fn_name)
         return self.map_overlap(
-            functools.partial(median_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1), cache_key=("median_filter", tuple(ks)),
+            functools.partial(fn, kernel_size=tuple(ks)),
+            x, halo=max(ks[0] // 2, 1), cache_key=(fn_name, tuple(ks)),
         )
+
+    def median_filter(self, x, kernel_size):
+        return self._window_filter("median_filter", x, kernel_size)
 
     def mean_filter(self, x, kernel_size):
-        from deepwmh_tpu.ops.filters import _norm_ksize, mean_filter
-
-        ks = _norm_ksize(kernel_size, np.ndim(x))
-        return self.map_overlap(
-            functools.partial(mean_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1), cache_key=("mean_filter", tuple(ks)),
-        )
+        return self._window_filter("mean_filter", x, kernel_size)
 
     def min_filter(self, x, kernel_size):
-        from deepwmh_tpu.ops.filters import _norm_ksize, min_filter
-
-        ks = _norm_ksize(kernel_size, np.ndim(x))
-        return self.map_overlap(
-            functools.partial(min_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1), cache_key=("min_filter", tuple(ks)),
-        )
+        return self._window_filter("min_filter", x, kernel_size)
 
     def max_filter(self, x, kernel_size):
-        from deepwmh_tpu.ops.filters import _norm_ksize, max_filter
-
-        ks = _norm_ksize(kernel_size, np.ndim(x))
-        return self.map_overlap(
-            functools.partial(max_filter, kernel_size=tuple(ks)),
-            x, halo=max(ks[0] // 2, 1), cache_key=("max_filter", tuple(ks)),
-        )
+        return self._window_filter("max_filter", x, kernel_size)
 
     # -- global statistics (psum over ICI) ---------------------------------
 

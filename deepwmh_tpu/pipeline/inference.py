@@ -42,6 +42,9 @@ def _can_fuse(shape, skip_bfc) -> bool:
 
     if skip_bfc or jax.device_count() == 1:
         return True
+    if jax.config.jax_default_device is not None:
+        return True  # pinned process: the staged path would also run
+        # single-device N4 (n4_bias_correction_auto honors the pin)
     return int(np.prod(shape)) < N4_SHARD_MIN_VOXELS
 
 

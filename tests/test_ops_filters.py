@@ -69,3 +69,22 @@ def test_median_filter_even_kernel_rank_semantics(rng):
     got4 = np.asarray(F.median_filter(jnp.asarray(x), (1, 4, 3)))
     want4 = ndi.median_filter(x, size=(1, 4, 3), mode="constant", cval=0)
     np.testing.assert_allclose(got4, want4, rtol=1e-6)
+
+
+def test_median_filter_slabbed_matches_direct(rng):
+    """Above the stack budget the median runs in leading-axis slabs
+    (bounded memory); results are identical to the one-shot stack."""
+    from deepwmh_tpu.ops.filters import median_filter
+
+    vol = jnp.asarray(rng.rand(13, 9, 11).astype(np.float32))
+    for k in [(3, 3, 3), (2, 4, 3), (5, 3, 3)]:
+        direct = np.asarray(median_filter(vol, k))
+        # force slabbing with a tiny budget (a few rows per slab)
+        prod_k = int(np.prod(k))
+        slabbed = np.asarray(
+            median_filter(vol, k, max_stack_bytes=prod_k * 4 * 9 * 11 * 2)
+        )
+        np.testing.assert_array_equal(direct, slabbed)
+        # degenerate budget: one row per slab
+        slab1 = np.asarray(median_filter(vol, k, max_stack_bytes=1))
+        np.testing.assert_array_equal(direct, slab1)
