@@ -45,7 +45,14 @@ _JPEG_LS_SYNTAXES = {JPEG_LS_LOSSLESS, JPEG_LS_NEAR}
 _J2K_SYNTAXES = {JPEG2000_LOSSLESS, JPEG2000}
 
 
-_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+# ALL long-form explicit VRs (PS3.5 §7.1.2): 2-byte reserved word then a
+# 4-byte length. Missing any of these desyncs the explicit-VR parser (the
+# 2-byte length would be read from the reserved word) and silently corrupts
+# every subsequent tag.
+_LONG_VRS = {
+    b"OB", b"OD", b"OF", b"OL", b"OV", b"OW",
+    b"SQ", b"SV", b"UC", b"UN", b"UR", b"UT", b"UV",
+}
 
 TAGS = {
     (0x0002, 0x0010): "transfer_syntax",
@@ -472,14 +479,18 @@ def _decode_frame_pixels(f, p, rows, cols, bits, signed, dt, en, nf):
     ).reshape(nf, rows, cols)
 
 
-def series_to_volume(paths):
+def series_to_volume(paths, parsed=None):
     """Assemble one series from DICOM file paths — classic single-frame
     series AND enhanced multi-frame files (per-frame geometry from the
     PerFrameFunctionalGroupsSequence). Returns
-    (volume [rows, cols, slices] float32, spacing [3] mm, affine 4x4 RAS)."""
+    (volume [rows, cols, slices] float32, spacing [3] mm, affine 4x4 RAS).
+
+    parsed: optional {path: read_dicom(path) dict} cache so a caller that
+    already parsed the files (convert_directory's grouping walk) does not
+    pay the parse + pixel-slicing twice."""
     slices = []
     for p in paths:
-        f = read_dicom(p)
+        f = parsed[p] if parsed is not None and p in parsed else read_dicom(p)
         if "pixel_data" not in f:
             continue
         en = f.get("endian", "<")
@@ -596,6 +607,7 @@ def convert_directory(input_dir: str, output_dir: str, compress=True, verbose=Tr
     from deepwmh_tpu.core import nifti
 
     series = {}
+    parsed = {}
     for root, _dirs, files in os.walk(input_dir):
         for fn in files:
             p = os.path.join(root, fn)
@@ -603,6 +615,7 @@ def convert_directory(input_dir: str, output_dir: str, compress=True, verbose=Tr
                 f = read_dicom(p)
             except Exception:
                 continue
+            parsed[p] = f  # reuse in series_to_volume: parse once, not twice
             uid = f.get("series_uid", b"unknown").decode("ascii", "ignore").strip("\x00 ")
             series.setdefault(uid, []).append(p)
 
@@ -610,10 +623,13 @@ def convert_directory(input_dir: str, output_dir: str, compress=True, verbose=Tr
     written = []
     for i, (uid, paths) in enumerate(sorted(series.items())):
         try:
-            vol, spacing, affine = series_to_volume(paths)
-        except DicomError as e:
+            vol, spacing, affine = series_to_volume(paths, parsed=parsed)
+        except Exception as e:
+            # one malformed series (missing Rows, mixed slice shapes ->
+            # KeyError/ValueError, not just DicomError) must not abort the
+            # whole import batch
             if verbose:
-                print("[skip] series %s: %s" % (uid[:16], e))
+                print("[skip] series %s: %r" % (uid[:16], e))
             continue
         hdr = nifti.NiftiHeader()
         hdr.set_shape(vol.shape)

@@ -665,6 +665,14 @@ def decode(data: bytes):
     st = _parse_stream(bytes(data))
     if st["sof"] == SOF3:
         (sel, _psv, _se, _ah, _pt), _ = st["scans"][0]
+        if len(st["scans"]) > 1 or len(sel) < len(st["comps"]):
+            # one scan per component (non-interleaved): decoding scans[0]
+            # alone would silently return a single-component image
+            raise JpegError(
+                "non-interleaved multi-scan lossless JPEG not supported "
+                "(%d scan(s) for %d component(s))"
+                % (len(st["scans"]), len(st["comps"]))
+            )
         if len(sel) == 1 and st["ri"] == 0:
             return _decode_lossless_1comp_fast(st)
         return _decode_lossless(st)

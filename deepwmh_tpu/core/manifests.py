@@ -26,9 +26,15 @@ def load_csv_simple(path: str, key_names: list) -> dict:
         missing = [k for k in key_names if k not in reader.fieldnames]
         if missing:
             raise ValueError("CSV %s is missing column(s): %s" % (path, missing))
-        for row in reader:
+        for n, row in enumerate(reader, start=2):
             for k in key_names:
-                table[k].append(row[k].strip())
+                v = row.get(k)
+                if v is None:  # ragged row: DictReader fills missing cells
+                    raise ValueError(
+                        "CSV %s row %d is missing a value for column "
+                        "'%s'" % (path, n, k)
+                    )
+                table[k].append(v.strip())
     return table
 
 

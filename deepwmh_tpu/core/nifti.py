@@ -333,6 +333,14 @@ def save_nifti_scaled_int16(data, header, path, level=2):
     artifact writes."""
     data = np.asarray(data, dtype=np.float32)
     amax = float(np.max(np.abs(data))) if data.size else 0.0
+    if not np.isfinite(amax):
+        # a single NaN/inf would poison the slope and quantize the WHOLE
+        # artifact to garbage that try_load_nifti still accepts — fail
+        # loudly instead of caching silent corruption
+        raise ValueError(
+            "save_nifti_scaled_int16(%s): data contains non-finite values"
+            % path
+        )
     slope = max(amax / 32000.0, 1e-9)
     q = np.clip(np.round(data / slope), -32767, 32767).astype(np.int16)
     hdr = header.copy() if isinstance(header, NiftiHeader) else NiftiHeader()
@@ -419,13 +427,15 @@ def resample_nifti(source_path, new_resolution, output_path, order=0):
     out_hdr = hdr.copy()
     out_hdr.set_shape(new_shape)
     out_hdr.set_zooms(list(new) + list(hdr.zooms[3:]))
-    # scale direction cosines to the new voxel size
+    # rescale each sform column to the NEW voxel size: unit direction
+    # (column / its own norm) times new zoom — keyed on the column's actual
+    # norm, not pixdim, so a stale pixdim cannot corrupt the geometry
     if out_hdr.sform_code > 0:
         srow = np.array(out_hdr.srow)
         for i in range(3):
             norm = np.linalg.norm(srow[:3, i])
             if norm > 0:
-                srow[:3, i] *= new[i] / old[i] * (old[i] / norm) * norm / old[i]
+                srow[:3, i] *= new[i] / norm
         out_hdr.srow = srow
     save_nifti(out, out_hdr, output_path)
 

@@ -126,8 +126,11 @@ def write_xlsx(path: str, sheets: dict) -> None:
             z.writestr("xl/worksheets/sheet%d.xml" % (i + 1), xml)
 
 
+# skip anything (e.g. a <f>formula</f> element, Excel writes it before the
+# cached value) between the cell tag and its <v>
 _CELL_RE = re.compile(
-    r'<c r="([A-Z]+)(\d+)"(?:[^>]*t="(\w+)")?[^>]*>(?:<v>([^<]*)</v>)?'
+    r'<c r="([A-Z]+)(\d+)"(?:[^>]*t="(\w+)")?[^>]*>(?:(?:(?!</c>).)*?<v>([^<]*)</v>)?',
+    re.S,
 )
 _SI_RE = re.compile(r"<si>(?:<t[^>]*>)?(.*?)(?:</t>)?</si>", re.S)
 _T_RE = re.compile(r"<t[^>]*>(.*?)</t>", re.S)
@@ -150,10 +153,29 @@ def read_xlsx(path: str) -> dict:
                 ts = _T_RE.findall("<t>%s</t>" % si) or [si]
                 shared.append(_unescape("".join(ts)))
         wb = z.read("xl/workbook.xml").decode("utf-8")
-        names = re.findall(r'<sheet name="([^"]+)"', wb)
+        # resolve each sheet's worksheet part through the rels (Excel can
+        # reorder workbook.xml while keeping the original sheetN.xml
+        # targets; positional mapping would join names to the wrong data)
+        rel_target = {}
+        rels_part = "xl/_rels/workbook.xml.rels"
+        if rels_part in z.namelist():
+            rels = z.read(rels_part).decode("utf-8")
+            for rid, target in re.findall(
+                r'<Relationship[^>]*Id="([^"]+)"[^>]*Target="([^"]+)"', rels
+            ):
+                rel_target[rid] = target.lstrip("/")
+        sheets = []
+        for tag in re.findall(r"<sheet [^>]*/>", wb):
+            m_name = re.search(r'name="([^"]+)"', tag)
+            m_rid = re.search(r'r:id="([^"]+)"', tag)
+            if m_name:
+                sheets.append((m_name.group(1), m_rid.group(1) if m_rid else None))
         out = {}
-        for i, name in enumerate(names):
-            xml = z.read("xl/worksheets/sheet%d.xml" % (i + 1)).decode("utf-8")
+        for i, (name, rid) in enumerate(sheets):
+            target = rel_target.get(rid, "worksheets/sheet%d.xml" % (i + 1))
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            xml = z.read(target).decode("utf-8")
             cells = {}
             max_r = max_c = 0
             for col, row, typ, val in _CELL_RE.findall(xml):
@@ -166,6 +188,10 @@ def read_xlsx(path: str) -> dict:
                     v = None
                 elif typ == "s":
                     v = shared[int(val)]
+                elif typ in ("str", "e"):
+                    # inline formula-result string / error cell (#DIV/0!):
+                    # keep the text rather than crashing float()
+                    v = _unescape(val)
                 else:
                     v = float(val)
                 cells[(r, c)] = v

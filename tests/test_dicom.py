@@ -531,3 +531,48 @@ def test_signed_12bit_jpegls_sign_extension(tmp_path):
                 + _write_signed_body(_encapsulate(stream), 5, 8, 1, (0, 0, 0)))
     got, _, _ = series_to_volume([p])
     np.testing.assert_allclose(got[:, :, 0], signed.astype(np.float32))
+
+
+def test_long_form_vr_uc_does_not_desync_parser(tmp_path):
+    """UC (and friends: UR/OD/OL/OV/SV/UV) are long-form explicit VRs
+    (PS3.5 7.1.2); parsing one with a 2-byte length would desync every
+    subsequent tag (regression)."""
+    from deepwmh_tpu.core.dicom import read_dicom
+
+    def long_el(group, elem, vr, value):
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
+
+    pixel = (np.arange(20, dtype="<u2").reshape(4, 5) * 7).astype("<u2")
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+    body = long_el(0x0008, 0x0119, b"UC", b"LONGCODE")  # before Rows!
+    body += _el_explicit(0x0020, 0x000E, b"UI", b"5.5.5")
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", 4))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", 5))
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += _el_explicit(0x7FE0, 0x0010, b"OW", pixel.tobytes())
+    p = str(tmp_path / "uc.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    f = read_dicom(p)
+    assert struct.unpack("<H", f["rows"][:2])[0] == 4
+    assert struct.unpack("<H", f["cols"][:2])[0] == 5
+    assert "pixel_data" in f
+
+
+def test_convert_directory_skips_broken_series(tmp_path):
+    """A series whose slices have mixed shapes (np.stack ValueError, not a
+    DicomError) must be skipped, not abort the whole import batch."""
+    from deepwmh_tpu.core.dicom import convert_directory
+
+    d = tmp_path / "dcm"
+    d.mkdir()
+    make_series(str(d), n_slices=3)  # good series 1.2.3.4
+    # broken series: two slices with different shapes
+    write_test_dicom(str(d / "bad1.dcm"), np.zeros((4, 4), np.uint16),
+                     ipp=(0, 0, 0), instance=1, series_uid="9.9.9")
+    write_test_dicom(str(d / "bad2.dcm"), np.zeros((6, 6), np.uint16),
+                     ipp=(0, 0, 3), instance=2, series_uid="9.9.9")
+    out = tmp_path / "out"
+    written = convert_directory(str(d), str(out), verbose=False)
+    assert len(written) == 1  # good series converted, bad skipped

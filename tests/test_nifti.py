@@ -118,3 +118,41 @@ def test_save_nifti_scaled_int16_roundtrip(tmp_path):
     nifti.save_nifti(field, hdr, p32)
     import os
     assert os.path.getsize(p) < os.path.getsize(p32)
+
+
+def test_scaled_int16_rejects_nonfinite(tmp_path):
+    """A NaN would poison the int16 slope and silently corrupt the whole
+    artifact (which try_load_nifti would then accept) — must raise."""
+    import pytest
+
+    from deepwmh_tpu.core import nifti
+
+    bad = np.zeros((4, 4, 4), np.float32)
+    bad[1, 1, 1] = np.nan
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(bad.shape)
+    with pytest.raises(ValueError, match="non-finite"):
+        nifti.save_nifti_scaled_int16(bad, hdr, str(tmp_path / "x.nii.gz"))
+
+
+def test_resample_nifti_srow_keyed_on_column_norm(tmp_path):
+    """resample_nifti rescales sform columns by new_zoom/column_norm: a
+    stale pixdim (sform says 2mm, pixdim says 1mm) must not corrupt the
+    output geometry (regression for an expression that cancelled to
+    new/old)."""
+    from deepwmh_tpu.core import nifti
+
+    data = np.random.RandomState(0).rand(8, 8, 8).astype(np.float32)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(data.shape)
+    hdr.set_zooms((1.0, 1.0, 1.0))  # stale: disagrees with the sform
+    hdr.srow = np.concatenate([np.diag([2.0, 2.0, 2.0]), np.zeros((3, 1))], 1)
+    hdr.sform_code = 1
+    src = str(tmp_path / "in.nii.gz")
+    dst = str(tmp_path / "out.nii.gz")
+    nifti.save_nifti(data, hdr, src)
+    nifti.resample_nifti(src, (0.5, 0.5, 0.5), dst)
+    out_hdr = nifti.get_nifti_header(dst)
+    srow = np.asarray(out_hdr.srow)
+    for i in range(3):
+        np.testing.assert_allclose(np.linalg.norm(srow[:3, i]), 0.5, rtol=1e-6)
