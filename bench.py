@@ -357,7 +357,11 @@ def bench_training(plan):
 
     from deepwmh_tpu.unet.train import TrainConfig, Trainer
 
-    cfg = TrainConfig(epochs=1, batches_per_epoch=1, batch_size=2, augment=True)
+    # size the LR schedule to the steps actually run (1 warmup + 8 timed):
+    # a 1-step schedule would evaluate (1 - step/1)**0.9 at step>=2 — a
+    # negative base to a fractional power = NaN lr, NaN params, and the
+    # benchmark would silently measure steps over NaN gradients
+    cfg = TrainConfig(epochs=1, batches_per_epoch=9, batch_size=2, augment=True)
     rng = np.random.RandomState(0)
     imgs = rng.rand(2, *plan.patch_size).astype(np.float32)
     lbls = (rng.rand(2, *plan.patch_size) > 0.9).astype(np.int32)
@@ -463,20 +467,22 @@ def main():
     # slow-but-live run must never be recorded as a zero.
     import threading
 
+    # sections publish completed measurements here so a LATE hang (e.g. a
+    # native call wedging inside an optional section after the headline was
+    # measured) still reports the real numbers, never a false zero
+    partial = {}
+
     def _deadman():
-        print(
-            json.dumps(
-                {
-                    "metric": "FLAIR volumes/min/chip (N4+preproc+inference, mirror TTA)",
-                    "value": 0.0,
-                    "unit": "volumes/min/chip",
-                    "vs_baseline": 0.0,
-                    "error": "hard deadline hit — TPU runtime unresponsive (tunnel outage?)",
-                    "bench_wall_seconds": round(time.time() - t_start, 1),
-                }
-            ),
-            flush=True,
-        )
+        out = {
+            "metric": "FLAIR volumes/min/chip (N4+preproc+inference, mirror TTA)",
+            "value": 0.0,
+            "unit": "volumes/min/chip",
+            "vs_baseline": 0.0,
+            "error": "hard deadline hit — TPU runtime unresponsive (tunnel outage?)",
+            "bench_wall_seconds": round(time.time() - t_start, 1),
+        }
+        out.update(partial)  # headline/section values measured before the hang
+        print(json.dumps(out), flush=True)
         os._exit(3)
 
     hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", str(budget + 1800)))
@@ -504,7 +510,14 @@ def main():
 
     per_volume, best_per_volume = bench_headline(predictor, vol, spacing)
     vol_per_min = 60.0 / per_volume
+    partial.update(
+        value=round(vol_per_min, 3),
+        vs_baseline=round(vol_per_min / BASELINE_VOL_PER_MIN, 3),
+        best_volumes_per_min=round(60.0 / best_per_volume, 3),
+    )
     mfu, flops = bench_mfu(predictor, vol, spacing, best_per_volume)
+    if mfu is not None:
+        partial["mfu"] = round(mfu, 4)
 
     dropped = []
 
@@ -518,6 +531,7 @@ def main():
         t0 = time.time()
         try:
             out = fn()
+            partial[name] = out  # visible to the dead-man's partial report
             print("bench: %s done in %.1fs (%.0fs elapsed)"
                   % (name, time.time() - t0, time.time() - t_start),
                   file=sys.stderr, flush=True)

@@ -34,13 +34,23 @@ def main(argv=None):
     ev = PairedEvaluation()
     n = 0
     for f in sorted(os.listdir(args.predictions)):
-        if not f.endswith(".nii.gz"):
+        if f.endswith(".nii.gz"):
+            case = f[: -len(".nii.gz")]
+        elif f.endswith(".nii"):
+            case = f[: -len(".nii")]
+        else:
             continue
         truth = os.path.join(args.ground_truth, f)
         if not os.path.isfile(truth):
-            print("[skip] no ground truth for %s" % f)
-            continue
-        ev.add_pair(f[: -len(".nii.gz")], os.path.join(args.predictions, f), truth)
+            # the truth may use the other compression variant
+            for alt in (case + ".nii.gz", case + ".nii"):
+                if os.path.isfile(os.path.join(args.ground_truth, alt)):
+                    truth = os.path.join(args.ground_truth, alt)
+                    break
+            else:
+                print("[skip] no ground truth for %s" % f)
+                continue
+        ev.add_pair(case, os.path.join(args.predictions, f), truth)
         n += 1
     results = ev.run(metrics=tuple(args.metrics))
     report = {"cases": results, "summary": summarize(results)}

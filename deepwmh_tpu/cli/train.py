@@ -78,7 +78,11 @@ def run_train(
         pair_name,
     )
 
-    output_folder = mkdir(output_folder)
+    # absolute from the start: the emitted regsource/regtarget CSVs and
+    # run_registration.sh are a MULTI-MACHINE contract (another host runs
+    # the script from an arbitrary cwd), so every embedded path must be
+    # location-independent
+    output_folder = mkdir(os.path.abspath(output_folder))
     core_folder = mkdir(core_folder or join_path(output_folder, "004_WMH_pipeline"))
     release_folder = mkdir(release_folder or join_path(core_folder, "Model_release"))
 
@@ -128,7 +132,8 @@ def run_train(
             "#!/bin/sh\n"
             "# Distribute registration over machines sharing this filesystem by\n"
             "# running shard k of n on each: add --distributed k/n\n"
-            "deepwmhGroupRegistration -s %s -t %s -o %s --keep-deformation%s%s\n"
+            "deepwmhGroupRegistration -s '%s' -t '%s' -o '%s'"
+            " --keep-deformation%s%s\n"
             % (
                 join_path(output_folder, "regsource.csv"),
                 join_path(output_folder, "regtarget.csv"),
@@ -176,11 +181,21 @@ def run_train(
             pair = pair_name(s, t)
             pair_dir = join_path(registration_folder, pair)
             out_dir = mkdir(join_path(transformed_folder, pair))
+            outs = [
+                join_path(out_dir, "label1.nii.gz"),
+                join_path(out_dir, "label2.nii.gz"),
+            ]
+            # resume probe BEFORE apply_pair_transforms: it always decodes
+            # the pair's dense warp field up front, so re-running a
+            # 1000-pair prep would otherwise pay ~1000 full gzip decodes
+            # to discover everything is already done
+            if all(nifti.try_load_nifti(p) for p in outs):
+                continue
             i = ref_idx[s]
             apply_pair_transforms(
                 pair_dir,
                 [reference_dataset["label1"][i], reference_dataset["label2"][i]],
-                [join_path(out_dir, "label1.nii.gz"), join_path(out_dir, "label2.nii.gz")],
+                outs,
                 interp="NearestNeighbor",
             )
 

@@ -445,9 +445,13 @@ def apply_pair_transforms(
     deformable = meta.get("deformable")
     if deformable is None:  # metas from older runs lack the explicit flag
         deformable = meta.get("warp_kept", meta.get("svf_loss") is not None)
-    if nifti.try_load_nifti(warp_path):
+    # single decode (a probe-then-load would gunzip the dense field twice)
+    disp = None
+    try:
         disp = np.moveaxis(nifti.load_nifti_simple(warp_path), -1, 0)
-    elif deformable:
+    except Exception:
+        pass
+    if disp is None and deformable:
         # A deformable pair without a usable warp must NOT silently degrade
         # label propagation to affine-only: the pair image is SVF-warped, so
         # affine-only labels would be misaligned with it — and cached
@@ -460,7 +464,7 @@ def apply_pair_transforms(
             "keep_deformation — or deleted/corrupt: delete %s and re-run "
             "registration for this pair)." % (pair_dir, pair_dir)
         )
-    else:
+    if disp is None:
         # affine-only registration (deformable=False): zero displacement is
         # the correct composed transform, not a fallback
         disp = np.zeros((3,) + fixed_shape, np.float32)

@@ -115,7 +115,23 @@ def evaluate_training_fit(training_cases, fit_dir, rater_dir, output_folder):
     from deepwmh_tpu.eval.metrics import BinaryDiceEvaluation
     from deepwmh_tpu.eval.stats import boxplot_compare
 
-    evaluator = BinaryDiceEvaluation(training_cases)
+    # rater coverage is rarely total: evaluate only cases with BOTH rater
+    # files and a prediction (a missing annotation must not crash the
+    # evaluation after the multi-day training run — same policy as
+    # DeepWMH_evaluate's '[skip] no ground truth')
+    covered = [
+        c for c in training_cases
+        if os.path.isfile(join_path(rater_dir, c, "rater_1.nii.gz"))
+        and os.path.isfile(join_path(rater_dir, c, "rater_2.nii.gz"))
+        and os.path.isfile(join_path(fit_dir, "%s.nii.gz" % c))
+    ]
+    skipped = len(training_cases) - len(covered)
+    if skipped:
+        print("[eval] %d case(s) lack rater/prediction files, skipped" % skipped)
+    if not covered:
+        print("[eval] no case has complete rater coverage; skipping evaluation")
+        return None
+    evaluator = BinaryDiceEvaluation(covered)
     evaluator.add_method(
         "manual1", lambda c: join_path(rater_dir, c, "rater_1.nii.gz")
     )
@@ -246,9 +262,25 @@ def main(argv=None):
         }.items() if v is not None
     }
     budget = StageBudget(**overrides) if overrides else None
+
+    # same runtime wiring as the DeepWMH_train CLI (cli/train.py main):
+    # the persistent compile cache saves minutes per resumed run, and a
+    # multi-chip host shards pair batches + DP training over a mesh
+    from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    mesh = None
+    if jax.device_count() > 1:
+        from deepwmh_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print("mesh: %d device(s)" % mesh.size)
+
     core = run_train(
         reference_csv, training_csv, output_folder,
-        skip_bfc=args.skip_bfc, budget=budget,
+        skip_bfc=args.skip_bfc, budget=budget, mesh=mesh,
     )
 
     fit_dir = join_path(
@@ -261,7 +293,8 @@ def main(argv=None):
         eval_csv = evaluate_training_fit(
             [c for c, _ in train], fit_dir, rater_dir, output_folder
         )
-        print("** Evaluation saved to %s **" % eval_csv)
+        if eval_csv:
+            print("** Evaluation saved to %s **" % eval_csv)
     else:
         print("[!] rater dir %s not found — evaluation skipped." % rater_dir)
 
