@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -18,6 +19,10 @@ _LIB_PATH = os.path.join(_HERE, "libdeepwmh_native.so")
 _STAMP_PATH = _LIB_PATH + ".srchash"
 _lib = None
 _tried = False
+# first use happens from thread pools (IO fan-out calls the gzip path):
+# without the lock two threads would race `make` against each other and
+# dlopen against an in-place relink
+_build_lock = threading.Lock()
 
 
 def _src_hash() -> str:
@@ -67,6 +72,14 @@ def get_lib():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    with _build_lock:
+        if _lib is not None or _tried:  # another thread finished meanwhile
+            return _lib
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _tried
     _tried = True
     if not _lib_current():
         if not _build():
@@ -78,7 +91,6 @@ def get_lib():
 
     i8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    f32p = ctypes.POINTER(ctypes.c_float)
     lib.label_components_3d.restype = ctypes.c_int32
     lib.label_components_3d.argtypes = [
         i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
@@ -87,10 +99,8 @@ def get_lib():
     lib.remove_small_components.argtypes = [
         i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
     ]
-    lib.component_sizes_3d.restype = None
-    lib.component_sizes_3d.argtypes = [
-        i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p,
-    ]
+    lib.gzip_set_chunk_for_testing.restype = None
+    lib.gzip_set_chunk_for_testing.argtypes = [ctypes.c_int64]
     lib.gzip_inflate.restype = ctypes.c_int64
     lib.gzip_inflate.argtypes = [i8p, ctypes.c_int64, i8p, ctypes.c_int64]
     lib.gzip_deflate.restype = ctypes.c_int64

@@ -103,21 +103,25 @@ int32_t remove_small_components(uint8_t *mask, int32_t D, int32_t H, int32_t W,
   return kept;
 }
 
-// component sizes per voxel (float32 out), 0 for background
-void component_sizes_3d(const uint8_t *mask, int32_t D, int32_t H, int32_t W,
-                        float *sizes_out) {
-  const int64_t N = (int64_t)D * H * W;
-  std::vector<int32_t> labels((size_t)N);
-  int32_t n = label_components_3d(mask, D, H, W, labels.data());
-  std::vector<int64_t> volume((size_t)n + 1, 0);
-  for (int64_t i = 0; i < N; ++i) volume[labels[i]]++;
-  for (int64_t i = 0; i < N; ++i)
-    sizes_out[i] = labels[i] ? (float)volume[labels[i]] : 0.0f;
-}
-
 // ---------------------------------------------------------------------- //
 // gzip helpers (zlib) for the NIfTI codec
 // ---------------------------------------------------------------------- //
+
+// zlib's counters are uInt (32-bit): buffers are fed in <=1 GiB chunks so
+// int64 sizes (multi-GiB volumes) never truncate. The chunk size is
+// settable for tests (tiny chunks exercise the refill logic without
+// multi-GiB fixtures).
+static int64_t g_zchunk = (int64_t)1 << 30;
+
+void gzip_set_chunk_for_testing(int64_t chunk) {
+  g_zchunk = chunk > 0 ? chunk : ((int64_t)1 << 30);
+}
+
+static uInt refill(int64_t want, int64_t *left) {
+  int64_t n = want < *left ? want : *left;
+  *left -= n;
+  return (uInt)n;
+}
 
 // Inflate a gzip stream (including MULTI-MEMBER files as produced by
 // pigz/bgzip: after each Z_STREAM_END, remaining input starts a new
@@ -129,15 +133,15 @@ int64_t gzip_inflate(const uint8_t *src, int64_t src_len, uint8_t *dst,
   std::memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return -1;
   zs.next_in = const_cast<Bytef *>(src);
-  zs.avail_in = (uInt)src_len;
   zs.next_out = dst;
-  zs.avail_out = (uInt)dst_capacity;
-  int64_t total = 0;
+  int64_t in_left = src_len, out_left = dst_capacity;
+  zs.avail_in = refill(g_zchunk, &in_left);
+  zs.avail_out = refill(g_zchunk, &out_left);
   for (;;) {
     int ret = inflate(&zs, Z_NO_FLUSH);
     if (ret == Z_STREAM_END) {
-      total = (int64_t)(dst_capacity - zs.avail_out);
-      if (zs.avail_in == 0) {
+      if (zs.avail_in == 0 && in_left == 0) {
+        int64_t total = dst_capacity - out_left - (int64_t)zs.avail_out;
         inflateEnd(&zs);
         return total;
       }
@@ -149,6 +153,16 @@ int64_t gzip_inflate(const uint8_t *src, int64_t src_len, uint8_t *dst,
       continue;
     }
     if (ret == Z_OK || ret == Z_BUF_ERROR) {
+      bool refilled = false;
+      if (zs.avail_in == 0 && in_left > 0) {
+        zs.avail_in = refill(g_zchunk, &in_left);
+        refilled = true;
+      }
+      if (zs.avail_out == 0 && out_left > 0) {
+        zs.avail_out = refill(g_zchunk, &out_left);
+        refilled = true;
+      }
+      if (refilled || ret == Z_OK) continue;
       bool out_full = (zs.avail_out == 0);
       inflateEnd(&zs);
       // only a FULL output buffer means "need more space"; otherwise the
@@ -160,7 +174,8 @@ int64_t gzip_inflate(const uint8_t *src, int64_t src_len, uint8_t *dst,
   }
 }
 
-// Deflate to gzip. Returns compressed size or -1.
+// Deflate to gzip. Returns compressed size, -1 on error (including a too-
+// small destination buffer).
 int64_t gzip_deflate(const uint8_t *src, int64_t src_len, uint8_t *dst,
                      int64_t dst_capacity, int level) {
   z_stream zs;
@@ -169,13 +184,35 @@ int64_t gzip_deflate(const uint8_t *src, int64_t src_len, uint8_t *dst,
                    Z_DEFAULT_STRATEGY) != Z_OK)
     return -1;
   zs.next_in = const_cast<Bytef *>(src);
-  zs.avail_in = (uInt)src_len;
   zs.next_out = dst;
-  zs.avail_out = (uInt)dst_capacity;
-  int ret = deflate(&zs, Z_FINISH);
-  int64_t out = (int64_t)zs.total_out;
-  deflateEnd(&zs);
-  return ret == Z_STREAM_END ? out : -1;
+  int64_t in_left = src_len, out_left = dst_capacity;
+  zs.avail_in = refill(g_zchunk, &in_left);
+  zs.avail_out = refill(g_zchunk, &out_left);
+  for (;;) {
+    int flush = (zs.avail_in == 0 && in_left == 0) ? Z_FINISH : Z_NO_FLUSH;
+    int ret = deflate(&zs, flush);
+    if (ret == Z_STREAM_END) {
+      int64_t out = dst_capacity - out_left - (int64_t)zs.avail_out;
+      deflateEnd(&zs);
+      return out;
+    }
+    if (ret == Z_OK || ret == Z_BUF_ERROR) {
+      bool refilled = false;
+      if (zs.avail_in == 0 && in_left > 0) {
+        zs.avail_in = refill(g_zchunk, &in_left);
+        refilled = true;
+      }
+      if (zs.avail_out == 0 && out_left > 0) {
+        zs.avail_out = refill(g_zchunk, &out_left);
+        refilled = true;
+      }
+      if (refilled || ret == Z_OK) continue;
+      deflateEnd(&zs);  // no refill possible: dst too small
+      return -1;
+    }
+    deflateEnd(&zs);
+    return -1;
+  }
 }
 
 }  // extern "C"

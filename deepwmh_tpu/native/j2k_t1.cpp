@@ -96,9 +96,10 @@ struct MQ {
     }
 };
 
-// zero-coding context tables, built once
+// zero-coding context tables, built once AT LOAD TIME (static initializer
+// below): ctypes calls release the GIL, so a lazy first-use build would be
+// a data race between concurrent decoder threads
 int8_t ZC_LL[3][3][5], ZC_HH[5][5][5];
-bool zc_built = false;
 void build_zc() {
     for (int h = 0; h < 3; ++h)
         for (int v = 0; v < 3; ++v)
@@ -125,8 +126,8 @@ void build_zc() {
                 ZC_HH[h][v][d] = (int8_t)cc;
             }
         }
-    zc_built = true;
 }
+const bool zc_initialized = (build_zc(), true);
 
 // sign coding: sc_ctx[hc+1][vc+1], sc_xor likewise
 const int SC_CTX[3][3] = {{13, 12, 11}, {10, 9, 10}, {11, 12, 13}};
@@ -275,7 +276,6 @@ extern "C" {
 int32_t j2k_decode_block(const uint8_t* data, int64_t nbytes, int32_t w,
                          int32_t h, int32_t orient, int32_t n_passes,
                          int32_t msb_plane, int32_t segsym, int64_t* out) {
-    if (!zc_built) build_zc();
     T1 t1;
     t1.init(w, h, orient);
     MQ mq;

@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -28,8 +29,16 @@ struct BitReader {
 
     void fill(int need) {
         while (bits < need) {
-            uint8_t b = 0;
-            if (pos < n) b = buf[pos];
+            if (pos >= n) {
+                // synthetic zero pad past end-of-data: 8-bit chunks with
+                // ff untouched — byte-for-byte what the Python reader's
+                // _fill does, so truncated streams decode identically in
+                // both implementations
+                acc <<= 8;
+                bits += 8;
+                continue;
+            }
+            uint8_t b = buf[pos];
             ++pos;
             if (ff) {  // byte after 0xFF carries 7 payload bits (A.1)
                 acc = (acc << 7) | (uint64_t)(b & 0x7F);
@@ -190,9 +199,9 @@ int32_t jls_decode_scan(const uint8_t* data, int64_t nbytes, int64_t w,
     memset(st.C, 0, sizeof(st.C));
     st.Nn[0] = st.Nn[1] = 0;
 
-    int64_t* prev = (int64_t*)calloc(w + 2, sizeof(int64_t));
-    int64_t* cur = (int64_t*)calloc(w + 2, sizeof(int64_t));
-    if (!prev || !cur) { free(prev); free(cur); return -1; }
+    std::vector<int64_t> prev_buf((size_t)w + 2, 0), cur_buf((size_t)w + 2, 0);
+    int64_t* prev = prev_buf.data();
+    int64_t* cur = cur_buf.data();
     int run_index = 0;
 
     for (int64_t y = 0; y < h; ++y) {
@@ -232,7 +241,7 @@ int32_t jls_decode_scan(const uint8_t* data, int64_t nbytes, int64_t w,
                     if (run_index > 0) --run_index;
                     break;
                 }
-                if (br.bad) { free(prev); free(cur); return -1; }
+                if (br.bad) return -1;
                 continue;
             }
 
@@ -258,7 +267,7 @@ int32_t jls_decode_scan(const uint8_t* data, int64_t nbytes, int64_t w,
             int k = k_for(st.N[q], st.A[q]);
             bool special = near == 0 && k == 0 && 2 * st.B[q] <= -st.N[q];
             int64_t merr = golomb_decode(br, k, p.limit, p.qbpp);
-            if (br.bad) { free(prev); free(cur); return -1; }
+            if (br.bad) return -1;
             int64_t errval;
             if (special)
                 errval = (merr & 1) ? (merr - 1) / 2 : -(merr / 2) - 1;
@@ -279,8 +288,6 @@ int32_t jls_decode_scan(const uint8_t* data, int64_t nbytes, int64_t w,
         int64_t* t = prev; prev = cur; cur = t;
         prev[w + 1] = prev[w];
     }
-    free(prev);
-    free(cur);
     return 0;
 }
 

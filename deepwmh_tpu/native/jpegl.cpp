@@ -38,6 +38,10 @@ int64_t jpegl_decode_diffs(const uint8_t* data, int64_t nbytes,
         if (e == 0) return -1;
         int len = e & 31;
         int s = e >> 5;
+        // a corrupt DHT can carry any symbol byte; s > 16 or len outside
+        // 1..16 would make the shifts below undefined behavior and return
+        // garbage as success — honor the error contract instead
+        if (len < 1 || len > 16 || s < 0 || s > 16) return -1;
         bits -= len;
 
         int64_t diff;

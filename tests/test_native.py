@@ -77,3 +77,32 @@ def test_nifti_multimember_gz_roundtrip(tmp_path, rng):
         f.write(gzip.compress(raw[:half]) + gzip.compress(raw[half:]))
     out = nifti.load_nifti_simple(p)
     np.testing.assert_allclose(out, data)
+
+
+def test_gzip_chunked_feeding_matches_unchunked():
+    """The zlib helpers feed buffers in chunks so int64 (>4 GiB) sizes
+    never truncate; tiny test chunks exercise every refill path including
+    multi-member streams."""
+    import gzip as _gzip
+
+    from deepwmh_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(4096) * 255).astype(np.uint8).tobytes()
+    two_members = _gzip.compress(raw[:1000]) + _gzip.compress(raw[1000:])
+    want_deflate = native.gzip_deflate_host(raw)
+    try:
+        lib.gzip_set_chunk_for_testing(7)  # pathological: 7-byte windows
+        assert native.gzip_inflate_host(want_deflate, len(raw))[: len(raw)] == raw
+        assert (
+            native.gzip_inflate_host(two_members, len(raw))[: len(raw)] == raw
+        )
+        chunked_deflate = native.gzip_deflate_host(raw)
+        assert _gzip.decompress(chunked_deflate) == raw
+    finally:
+        lib.gzip_set_chunk_for_testing(0)  # restore the 1 GiB default
