@@ -277,3 +277,12 @@ def test_stale_claim_recovery(served):
     assert _t.time() - os.path.getmtime(own) < 60
     os.rename(claimed[1], os.path.join(spool, "caseK.nii.gz"))
     assert srv.drain() == (1, 0)
+
+
+def test_serve_cli_rejects_mesh_with_device(tmp_path):
+    from deepwmh_tpu.cli.serve import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["-m", "x", "-s", str(tmp_path), "-o", str(tmp_path / "o"),
+              "--mesh", "--device", "0", "--once"])
+    assert e.value.code == 2  # argparse error exit
