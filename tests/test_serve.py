@@ -286,3 +286,34 @@ def test_serve_cli_rejects_mesh_with_device(tmp_path):
         main(["-m", "x", "-s", str(tmp_path), "-o", str(tmp_path / "o"),
               "--mesh", "--device", "0", "--once"])
     assert e.value.code == 2  # argparse error exit
+
+
+def test_two_servers_share_one_spool(tmp_path):
+    """Two live servers over one spool split the work with exactly-once
+    semantics (the multi-chip throughput topology)."""
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    for i in range(4):
+        spool_request(spool, "case%d" % i, seed=20 + i)
+    out = str(tmp_path / "out")
+    a = SpoolServer(spool, out, model_dir, skip_bfc=True, tta=False,
+                    make_previews=False, server_id="a", settle_seconds=0.0)
+    b = SpoolServer(spool, out, model_dir, skip_bfc=True, tta=False,
+                    make_previews=False, server_id="b", settle_seconds=0.0)
+    # interleave claims: each request is claimed by exactly one server
+    total = 0
+    while True:
+        worked = False
+        for srv in (a, b):
+            claimed = srv.claim_one()
+            if claimed:
+                srv.process(*claimed)
+                total += 1
+                worked = True
+        if not worked:
+            break
+    assert total == 4
+    assert a.served + b.served == 4 and a.served >= 1 and b.served >= 1
+    done = sorted(os.listdir(os.path.join(spool, ".done")))
+    assert done == ["case%d.json" % i for i in range(4)]
