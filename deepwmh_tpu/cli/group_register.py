@@ -72,23 +72,35 @@ def main(argv=None):
                              "pair list only in the classic mode.")
         # reject silently-ignored classic-mode flags rather than letting a
         # user believe they took effect (warps are ALWAYS kept in learned
-        # mode; the pyramid/mesh/batching knobs are classic-only)
+        # mode; the pyramid/batching knobs are classic-only)
         ignored = [
             name for name, on in [
                 ("--affine-only", args.affine_only),
                 ("--allow-quick-registration", args.allow_quick_registration),
                 ("--allow-large-deformations", args.allow_large_deformations),
-                ("--mesh", args.mesh),
                 ("--batch-pairs", args.batch_pairs != 1),
             ] if on
         ]
         if ignored:
             raise SystemExit(
                 "--learned does not support: %s (learned mode always keeps "
-                "deformations; pyramid/mesh/batching flags are classic-mode "
+                "deformations; pyramid/batching flags are classic-mode "
                 "only)." % " ".join(ignored)
             )
-        lg = LearnedGroupRegistration(sources, targets, args.output_folder)
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from deepwmh_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            print(
+                "mesh: dp pair batches over %d device(s) for network training"
+                % jax.device_count()
+            )
+        lg = LearnedGroupRegistration(
+            sources, targets, args.output_folder, mesh=mesh
+        )
         lg.launch()
         print("learned group registration finished.")
         return

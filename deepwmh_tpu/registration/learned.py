@@ -66,7 +66,14 @@ class LearnedRegistration:
     def __init__(self, grid_shape, cfg: LearnedRegConfig = None):
         self.cfg = cfg or LearnedRegConfig()
         self.grid_shape = tuple(int(s) for s in grid_shape)
-        self.plan = _reg_plan(self.grid_shape, self.cfg)
+        # the U-Net needs every axis divisible by 2^num_pools (odd sizes
+        # mid-pyramid break the skip concatenations); inputs are zero-
+        # padded to this shape and the predicted velocity cropped back
+        stride = 2 ** self.cfg.num_pools
+        self.pad_shape = tuple(
+            -(-s // stride) * stride for s in self.grid_shape
+        )
+        self.plan = _reg_plan(self.pad_shape, self.cfg)
         self.model = UNet3D(plan=self.plan)
         self.params = None
         self._predict = jax.jit(self._predict_impl)
@@ -75,21 +82,34 @@ class LearnedRegistration:
     # ------------------------------------------------------------------ #
 
     def _velocity(self, params, fixed, moving):
+        D, H, W = self.grid_shape
+        pads = [(0, p - s) for p, s in zip(self.pad_shape, self.grid_shape)]
+        fixed = jnp.pad(fixed, pads)
+        moving = jnp.pad(moving, pads)
         x = jnp.stack([fixed, moving], axis=-1)[None]
-        out = self.model.apply({"params": params}, x)[0]  # [D,H,W,3]
+        out = self.model.apply({"params": params}, x)[0]  # [pad D,H,W,3]
         v = jnp.tanh(out.astype(jnp.float32)) * self.cfg.velocity_scale
-        return jnp.moveaxis(v, -1, 0)  # [3,D,H,W]
+        return jnp.moveaxis(v[:D, :H, :W], -1, 0)  # [3,D,H,W]
 
     def _predict_impl(self, params, fixed, moving):
         v = self._velocity(params, fixed, moving)
         return scaling_and_squaring(v, self.cfg.int_steps)
 
-    def _loss(self, params, fixed, moving):
+    def _loss_one(self, params, fixed, moving):
         v = self._velocity(params, fixed, moving)
         disp = scaling_and_squaring(v, self.cfg.int_steps)
         warped = displacement_warp(moving, disp)
         sim = -lncc(fixed, warped, radius=self.cfg.lncc_radius)
         return sim + self.cfg.smooth_weight * grad_sq(v)
+
+    def _loss(self, params, fixed, moving):
+        """Mean loss over a PAIR BATCH [B,D,H,W] — under a dp mesh each
+        device evaluates its shard and XLA all-reduces the gradient, the
+        same DP shape as unet/train.Trainer."""
+        losses = jax.vmap(lambda f, m: self._loss_one(params, f, m))(
+            fixed, moving
+        )
+        return jnp.mean(losses)
 
     def _train_step_impl(self, params, opt_state, fixed, moving):
         loss, grads = jax.value_and_grad(self._loss)(params, fixed, moving)
@@ -99,31 +119,61 @@ class LearnedRegistration:
 
     # ------------------------------------------------------------------ #
 
-    def train(self, volumes, rng_seed: int = 0, verbose: bool = True):
+    def train(self, volumes, rng_seed: int = 0, verbose: bool = True,
+              mesh=None):
         """volumes: list of [D,H,W] arrays on the common grid (affine-aligned).
-        Trains on random ordered pairs. Returns the final mean loss."""
+        Trains on random ordered pair BATCHES (cfg.batch_pairs per step;
+        raised to the device count under a mesh). Returns the final mean
+        loss.
+
+        mesh: a 1-D 'dp' jax.sharding.Mesh shards the pair batch across
+        devices — params replicated, XLA all-reduces the gradient over ICI,
+        exactly like the segmentation Trainer."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         cfg = self.cfg
+        B = max(int(cfg.batch_pairs), 1)
+        rep_sharding = None
+        if mesh is not None:
+            B = max(B, int(mesh.size))
+            if B % int(mesh.size):
+                raise ValueError(
+                    "batch_pairs (%d) must divide by the mesh size (%d)"
+                    % (B, int(mesh.size))
+                )
+            rep_sharding = NamedSharding(mesh, P())
+            dp_sharding = NamedSharding(mesh, P("dp"))
         # keep the winsorized cohort ON DEVICE: pulling it to host and
         # re-uploading two volumes per step would pay 2*steps full-volume
-        # transfers through the (RTT-bound) remote-TPU link
-        vols = [
-            jax.device_put(winsorize_rescale(jnp.asarray(v, jnp.float32)))
-            for v in volumes
-        ]
+        # transfers through the (RTT-bound) remote-TPU link. (Under a mesh
+        # the cohort stays as host arrays: each step's BATCH is placed with
+        # the dp sharding instead.)
+        vols = [winsorize_rescale(jnp.asarray(v, jnp.float32)) for v in volumes]
+        if mesh is None:
+            vols = [jax.device_put(v) for v in vols]
+        else:
+            vols = [np.asarray(v) for v in vols]
         key = jax.random.PRNGKey(rng_seed)
-        x0 = jnp.zeros((1,) + self.grid_shape + (2,), jnp.bfloat16)
+        x0 = jnp.zeros((1,) + self.pad_shape + (2,), jnp.bfloat16)
         self.params = self.model.init(key, x0)["params"]
         self.tx = optax.adam(cfg.lr)
         opt_state = self.tx.init(self.params)
+        if rep_sharding is not None:
+            self.params = jax.device_put(self.params, rep_sharding)
+            opt_state = jax.device_put(opt_state, rep_sharding)
 
         np_rng = np.random.RandomState(rng_seed)
         losses = []
         for step in range(cfg.steps):
-            i, j = np_rng.randint(0, len(vols), size=2)
-            if i == j:
-                j = (j + 1) % len(vols)
-            fixed = vols[i]
-            moving = vols[j]
+            idx = np_rng.randint(0, len(vols), size=(B, 2))
+            idx[:, 1] = np.where(
+                idx[:, 0] == idx[:, 1], (idx[:, 1] + 1) % len(vols), idx[:, 1]
+            )
+            fixed = jnp.stack([vols[i] for i in idx[:, 0]])
+            moving = jnp.stack([vols[j] for j in idx[:, 1]])
+            if mesh is not None:
+                fixed = jax.device_put(fixed, dp_sharding)
+                moving = jax.device_put(moving, dp_sharding)
             self.params, opt_state, loss = self._train_step(
                 self.params, opt_state, fixed, moving
             )

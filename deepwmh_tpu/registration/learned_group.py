@@ -83,6 +83,7 @@ class LearnedGroupRegistration:
         template_cfg: AffineConfig = None,
         template_spacing=(2.0, 2.0, 2.0),
         template_iterations: int = 2,
+        mesh=None,
     ):
         self.sources = list(sources)
         self.targets = list(targets)
@@ -91,6 +92,7 @@ class LearnedGroupRegistration:
         self.template_cfg = template_cfg or AffineConfig(shrinks=(4, 2), iters=(100, 50))
         self.template_spacing = tuple(float(s) for s in template_spacing)
         self.template_iterations = template_iterations
+        self.mesh = mesh  # dp mesh for the network-training pair batches
 
     def _pair_complete(self, s_name: str, t_name: str) -> bool:
         """Resume probe covering ALL pair artifacts (a crash between the
@@ -153,7 +155,7 @@ class LearnedGroupRegistration:
         if verbose:
             print("training registration network...", flush=True)
         reg = LearnedRegistration(grid_shape, self.reg_cfg)
-        reg.train(list(aligned.values()), verbose=verbose)
+        reg.train(list(aligned.values()), verbose=verbose, mesh=self.mesh)
         self.reg = reg
 
         # 4) one forward pass per pair; emit GroupRegistration-layout
