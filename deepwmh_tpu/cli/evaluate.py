@@ -33,6 +33,7 @@ def main(argv=None):
 
     ev = PairedEvaluation()
     n = 0
+    seen = set()
     for f in sorted(os.listdir(args.predictions)):
         if f.endswith(".nii.gz"):
             case = f[: -len(".nii.gz")]
@@ -40,6 +41,10 @@ def main(argv=None):
             case = f[: -len(".nii")]
         else:
             continue
+        if case in seen:
+            print("[skip] duplicate prediction variant for %s (%s)" % (case, f))
+            continue
+        seen.add(case)
         truth = os.path.join(args.ground_truth, f)
         if not os.path.isfile(truth):
             # the truth may use the other compression variant

@@ -608,6 +608,12 @@ def convert_directory(input_dir: str, output_dir: str, compress=True, verbose=Tr
 
     series = {}
     parsed = {}
+    cached_bytes = 0
+    # cache parsed files for series_to_volume (parse once, not twice), but
+    # bounded: pinning every file's pixel bytes for a multi-GB study would
+    # hold the whole directory in memory — past the budget the second
+    # parse is the cheaper evil
+    CACHE_BUDGET = 1 << 30
     for root, _dirs, files in os.walk(input_dir):
         for fn in files:
             p = os.path.join(root, fn)
@@ -615,7 +621,12 @@ def convert_directory(input_dir: str, output_dir: str, compress=True, verbose=Tr
                 f = read_dicom(p)
             except Exception:
                 continue
-            parsed[p] = f  # reuse in series_to_volume: parse once, not twice
+            sz = len(f.get("pixel_data", b"")) if isinstance(
+                f.get("pixel_data"), (bytes, bytearray)
+            ) else 0
+            if cached_bytes + sz <= CACHE_BUDGET:
+                parsed[p] = f
+                cached_bytes += sz
             uid = f.get("series_uid", b"unknown").decode("ascii", "ignore").strip("\x00 ")
             series.setdefault(uid, []).append(p)
 
@@ -631,6 +642,9 @@ def convert_directory(input_dir: str, output_dir: str, compress=True, verbose=Tr
             if verbose:
                 print("[skip] series %s: %r" % (uid[:16], e))
             continue
+        finally:
+            for p in paths:  # each series' cache is spent once converted
+                parsed.pop(p, None)
         hdr = nifti.NiftiHeader()
         hdr.set_shape(vol.shape)
         hdr.set_zooms(tuple(spacing))

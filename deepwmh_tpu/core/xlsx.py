@@ -126,12 +126,28 @@ def write_xlsx(path: str, sheets: dict) -> None:
             z.writestr("xl/worksheets/sheet%d.xml" % (i + 1), xml)
 
 
-# skip anything (e.g. a <f>formula</f> element, Excel writes it before the
-# cached value) between the cell tag and its <v>
-_CELL_RE = re.compile(
-    r'<c r="([A-Z]+)(\d+)"(?:[^>]*t="(\w+)")?[^>]*>(?:(?:(?!</c>).)*?<v>([^<]*)</v>)?',
-    re.S,
-)
+# a cell is either self-closing (<c r=".." s="1"/> — empty, must NOT steal
+# the next cell's <v>) or an element whose body may hold <f> (Excel writes
+# the formula before the cached <v>) and <v>
+_CELL_RE = re.compile(r"<c ([^>]*?)(/>|>(.*?)</c>)", re.S)
+_CELL_R_RE = re.compile(r'r="([A-Z]+)(\d+)"')
+_CELL_T_RE = re.compile(r't="(\w+)"')
+_CELL_V_RE = re.compile(r"<v>([^<]*)</v>")
+
+
+def _iter_cells(xml):
+    """Yield (col_letters, row_digits, type_attr, value_text_or_'') per
+    cell, with formula bodies skipped and empty cells yielding ''."""
+    for m in _CELL_RE.finditer(xml):
+        attrs, closer, body = m.group(1), m.group(2), m.group(3) or ""
+        r = _CELL_R_RE.search(attrs)
+        if not r:
+            continue
+        t = _CELL_T_RE.search(attrs)
+        v = _CELL_V_RE.search(body) if closer != "/>" else None
+        yield r.group(1), r.group(2), t.group(1) if t else "", (
+            v.group(1) if v else ""
+        )
 _SI_RE = re.compile(r"<si>(?:<t[^>]*>)?(.*?)(?:</t>)?</si>", re.S)
 _T_RE = re.compile(r"<t[^>]*>(.*?)</t>", re.S)
 
@@ -165,7 +181,7 @@ def read_xlsx(path: str) -> dict:
             ):
                 rel_target[rid] = target.lstrip("/")
         sheets = []
-        for tag in re.findall(r"<sheet [^>]*/>", wb):
+        for tag in re.findall(r"<sheet [^>]*>", wb):  # self-closing OR open tag
             m_name = re.search(r'name="([^"]+)"', tag)
             m_rid = re.search(r'r:id="([^"]+)"', tag)
             if m_name:
@@ -178,7 +194,7 @@ def read_xlsx(path: str) -> dict:
             xml = z.read(target).decode("utf-8")
             cells = {}
             max_r = max_c = 0
-            for col, row, typ, val in _CELL_RE.findall(xml):
+            for col, row, typ, val in _iter_cells(xml):
                 r = int(row) - 1
                 c = 0
                 for ch in col:

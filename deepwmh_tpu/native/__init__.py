@@ -70,10 +70,13 @@ def _lib_current() -> bool:
 def get_lib():
     """Returns the loaded ctypes library or None."""
     global _lib, _tried
-    if _lib is not None or _tried:
+    if _lib is not None:
         return _lib
+    # _lib None: block on the lock — a sibling thread may be mid-build, and
+    # returning early would silently route this caller to the slow Python
+    # fallback for its whole call
     with _build_lock:
-        if _lib is not None or _tried:  # another thread finished meanwhile
+        if _lib is not None or _tried:
             return _lib
         return _load_locked()
 

@@ -78,14 +78,13 @@ def predict_one_case(
 
     raw_data = None
     fov_data = None
+    loaded = None  # (data, hdr) for image_path, reused by whichever path runs
     fused = not any(
         nifti.try_load_nifti(p) for p in (pre_path, raw_seg, seg_3mm, seg_fov)
     )
     if fused:
-        if preloaded is not None:
-            data, hdr = preloaded
-        else:
-            data, hdr = nifti.load_nifti(image_path)
+        loaded = preloaded if preloaded is not None else nifti.load_nifti(image_path)
+        data, hdr = loaded
         if not _can_fuse(data.shape, skip_bfc):
             fused = False
         else:
@@ -103,7 +102,11 @@ def predict_one_case(
     if not fused:
         # stage-by-stage path: resume granularity = one artifact
         if not nifti.try_load_nifti(pre_path):
-            data, hdr = nifti.load_nifti(image_path)
+            # reuse the volume the fused gate (or the serve prefetch)
+            # already decoded — on the biggest inputs, where this path is
+            # taken, a second gzip decode is the most expensive
+            data, hdr = loaded if loaded is not None else nifti.load_nifti(image_path)
+            raw_data = data
             if skip_bfc:
                 nifti.save_nifti(data, hdr, pre_path)
             else:

@@ -113,6 +113,11 @@ class SpoolServer:
         bumping mtime while it streams, so the guard skips half-written
         files instead of quarantining them mid-copy. Clients that write to
         a temp name and rename into the spool are claimable immediately."""
+        # heartbeat BEFORE claiming: an idle-for-a-while server whose
+        # heartbeat only landed after the rename would leave a window where
+        # another server's recover_stale re-spools the just-claimed request
+        # (double processing)
+        self._heartbeat()
         pending = []
         now = time.time()
         for fn in os.listdir(self.spool_dir):
@@ -135,7 +140,6 @@ class SpoolServer:
                 os.rename(src, dst)
             except OSError:
                 continue  # lost the race for this one; try the next
-            self._heartbeat()  # claims from a live server must not look stale
             return case, dst
         return None
 
@@ -165,8 +169,13 @@ class SpoolServer:
             err_path = join_path(self.failed_dir, "%s.err" % case)
             with open(err_path, "w") as f:
                 f.write(traceback.format_exc())
-            os.rename(claimed_path,
-                      join_path(self.failed_dir, os.path.basename(claimed_path)))
+            try:
+                os.rename(
+                    claimed_path,
+                    join_path(self.failed_dir, os.path.basename(claimed_path)),
+                )
+            except OSError:
+                pass  # claim re-spooled by a stale-recoverer; nothing to move
             self._write_status(case, time.time() - t0, ok=False)
             return False
         latency = time.time() - t0
@@ -182,7 +191,11 @@ class SpoolServer:
         with open(tmp, "w") as f:
             json.dump(receipt, f, indent=1)
         os.replace(tmp, join_path(self.done_dir, "%s.json" % case))
-        os.remove(claimed_path)
+        try:
+            os.remove(claimed_path)
+        except OSError:
+            pass  # a stale-recoverer re-spooled it mid-run; the receipt
+            # stands and the duplicate run will find complete artifacts
         self._write_status(case, latency, ok=True)
         return True
 
@@ -225,12 +238,15 @@ class SpoolServer:
         how many requests were re-spooled."""
         root = join_path(self.spool_dir, ".work")
         now = time.time()
-        n = 0
+        total = 0
         for sid in os.listdir(root):
             if sid == self.server_id:
                 continue
             wdir = join_path(root, sid)
-            pending = [f for f in os.listdir(wdir) if case_name_of(f)]
+            try:
+                pending = [f for f in os.listdir(wdir) if case_name_of(f)]
+            except OSError:
+                continue  # stray non-directory entry under .work/
             if not pending:
                 continue
             status = join_path(self.status_dir, "%s.json" % sid)
@@ -239,6 +255,7 @@ class SpoolServer:
                     continue  # that server is alive (or was, recently)
             except OSError:
                 pass  # no heartbeat at all: definitely recoverable
+            n = 0
             for fn in pending:
                 try:
                     os.rename(join_path(wdir, fn),
@@ -251,7 +268,8 @@ class SpoolServer:
                     "recovered %d stale claim(s) from server '%s'" % (n, sid),
                     flush=True,
                 )
-        return n
+            total += n
+        return total
 
     def stop_requested(self):
         return self._stop or os.path.exists(join_path(self.spool_dir, "STOP"))
