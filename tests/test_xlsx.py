@@ -91,3 +91,14 @@ def test_read_xlsx_respects_sheet_rels_order(tmp_path):
             z.writestr(n, b)
     out = read_xlsx(p)
     assert out["First"] == [["f"]] and out["Second"] == [["s"]]
+
+
+def test_self_closing_cell_does_not_steal_next_value():
+    """<c r=\"A1\" s=\"1\"/> (styled empty cell) must stay empty — the
+    tempered-dot regex it replaced let it capture B1's <v> (regression)."""
+    from deepwmh_tpu.core.xlsx import _iter_cells
+
+    xml = '<c r="A1" s="1"/><c r="B1" t="s"><v>0</v></c>'
+    assert list(_iter_cells(xml)) == [
+        ("A", "1", "", ""), ("B", "1", "s", "0"),
+    ]
