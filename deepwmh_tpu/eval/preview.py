@@ -205,6 +205,22 @@ def view_slice(
     )
 
 
+def draw_colorbar(out_png, colormap="grayscale", size=(256, 48)):
+    """Render a horizontal colorbar swatch for a named colormap (reference
+    nii_draw_colorbar, nii_preview.py:372-380: a [length,width] gradient
+    along the first axis, transposed so the gradient runs left->right)."""
+    from PIL import Image
+
+    from deepwmh_tpu.eval.colormaps import apply_colormap
+
+    length, width = int(size[0]), int(size[1])
+    grad = np.arange(length, dtype=np.float64) / length
+    rgb = apply_colormap(grad, colormap)  # [length, 3]
+    bar = np.broadcast_to(rgb[None, :, :], (width, length, 3))
+    os.makedirs(os.path.dirname(os.path.abspath(out_png)), exist_ok=True)
+    Image.fromarray(np.ascontiguousarray(bar)).save(out_png)
+
+
 def try_load_gif(path) -> bool:
     try:
         from PIL import Image

@@ -200,6 +200,180 @@ class VisualScoreEvaluation:
         return [dict(zip(header, r)) for r in padded]
 
     @staticmethod
+    def make_matrix_workbook(cases, methods, out_xlsx, seed: int = 0):
+        """Emit the reference's rating-workbook layout (metrics.py:584-614):
+        one 'Score' worksheet the rater fills in and one hidden 'Mapping'
+        worksheet. Columns are anonymous names seg_1..seg_N; every case row
+        gets an INDEPENDENT shuffled method->anonymous assignment so raters
+        cannot learn a column identity across cases. The reference shuffles
+        with the unseeded global RNG; here the shuffle is seeded for
+        reproducibility."""
+        from deepwmh_tpu.core.xlsx import write_xlsx
+
+        methods = list(methods)
+        anon = ["seg_%d" % (i + 1) for i in range(len(methods))]
+        rng = np.random.RandomState(seed)
+        score_rows = [["case"] + anon]
+        map_rows = [["case"] + anon]
+        for case in cases:
+            perm = rng.permutation(len(methods))
+            # anon[j] shows methods[perm[j]] for this case
+            score_rows.append([case] + [""] * len(methods))
+            map_rows.append([case] + [methods[perm[j]] for j in range(len(methods))])
+        write_xlsx(out_xlsx, {"Score": score_rows, "Mapping": map_rows})
+        return out_xlsx
+
+    @staticmethod
+    def parse_matrix_sheet(xlsx_file, worksheet_name="Score",
+                           return_methods_and_subjects=False):
+        """Parse a scored workbook in the reference's matrix layout
+        (metrics.py:664-726 parse_sheet): method identities come from the
+        'Mapping' worksheet row by row; a cell that does not parse as an
+        integer is 'n/a', and any n/a in a case row voids the whole row
+        (all methods get 'n/a' for that case). Returns
+        {method: {case: score_str}} or, with return_methods_and_subjects,
+        (methods, cases) from the Mapping sheet."""
+        from deepwmh_tpu.core.xlsx import read_xlsx
+
+        sheets = read_xlsx(xlsx_file)
+        if "Mapping" not in sheets:
+            raise ValueError('no "Mapping" worksheet in %s' % xlsx_file)
+        if worksheet_name not in sheets:
+            raise ValueError('no "%s" worksheet in %s' % (worksheet_name, xlsx_file))
+        mapping = sheets["Mapping"]
+        cases = [str(r[0]) for r in mapping[1:] if r and str(r[0])]
+        # the method set is the first data row's assignment (every row holds
+        # the same methods, differently permuted — reference metrics.py:679-683)
+        methods = [str(c) for c in mapping[1][1:] if str(c)]
+        if return_methods_and_subjects:
+            return methods, cases
+        score_sheet = sheets[worksheet_name]
+        out = {m: {} for m in methods}
+        for row in score_sheet[1:]:
+            if not row or not str(row[0]):
+                continue
+            case = str(row[0])
+            if case not in cases:
+                raise ValueError('case "%s" is not in the Mapping sheet' % case)
+            map_row = mapping[cases.index(case) + 1]
+            cells = list(row[1:]) + [""] * (len(methods) - len(row) + 1)
+            row_scores, has_na = {}, False
+            for j, method in enumerate(str(c) for c in map_row[1:]):
+                if method not in out:
+                    continue
+                try:
+                    score = str(int(float(cells[j])))
+                except (TypeError, ValueError, IndexError):
+                    score, has_na = "n/a", True
+                row_scores[method] = score
+            if has_na:  # one n/a voids the case for every method
+                row_scores = {m: "n/a" for m in row_scores}
+            for m, s in row_scores.items():
+                out[m][case] = s
+        return out
+
+    @staticmethod
+    def parse_tiantan_scores(xlsx_file):
+        """Combine the three anatomical-region rating sheets of the
+        reference's TianTan workbook format (metrics.py:833-893
+        parse_xlsx_TianTan_format): worksheets 'Cerebral_small',
+        'Cerebral_large', 'Cerebellum_and_brainstem', each scored 0-2.
+        Per (method, subject): an n/a region contributes 0 and removes 2
+        from the attainable maximum; subjects with no valid region at all
+        are dropped. Returns (methods, valid_subjects,
+        {method: {subject: normalized score in [0,1]}})."""
+        parse = VisualScoreEvaluation.parse_matrix_sheet
+        regions = [parse(xlsx_file, w) for w in
+                   ("Cerebral_small", "Cerebral_large", "Cerebellum_and_brainstem")]
+        methods, subjects = parse(xlsx_file, "Mapping",
+                                  return_methods_and_subjects=True)
+        final, valid = {}, []
+        for method in methods:
+            final[method] = {}
+            for subj in subjects:
+                total, attainable = 0.0, 0
+                for reg in regions:
+                    s = reg[method].get(subj, "n/a")
+                    if s != "n/a":
+                        total += float(s)
+                        attainable += 2
+                if attainable == 0:
+                    continue
+                final[method][subj] = total / attainable
+                if subj not in valid:
+                    valid.append(subj)
+        return methods, valid, final
+
+    @staticmethod
+    def score_histogram(normalized_scores, n_max, save_file,
+                        color_palette="red", null_plot=False):
+        """Vertical visual-score distribution card as a vector PDF
+        (reference plot_hist, metrics.py:729-831): the reference's exact
+        bin edges [0,.1,.2,.3,.4,.6,.7,.8,.9,1] (a double-width middle bin),
+        bars drawn top-down with width proportional to count (normalized by
+        `n_max` and the narrowest bin), banded background, per-bar counts,
+        and a dashed mean-score marker line."""
+        from deepwmh_tpu.eval.pdfcanvas import PdfCanvas
+
+        v = np.asarray(normalized_scores, np.float64)
+        if not null_plot and (v.size == 0 or v.min() < -0.001 or v.max() > 1.001):
+            raise ValueError("scores must be normalized to [0,1]")
+        palettes = {
+            "red": ((228 / 255, 140 / 255, 141 / 255),
+                    (217 / 255, 68 / 255, 69 / 255)),
+            "blue": ((136 / 255, 180 / 255, 213 / 255),
+                     (57 / 255, 128 / 255, 171 / 255)),
+        }
+        bar_color, line_color = palettes.get(color_palette, palettes["red"])
+        bins = [0.0, 0.1, 0.2, 0.3, 0.4, 0.6, 0.7, 0.8, 0.9, 1.0]
+        hist, _ = np.histogram(v, bins=bins) if v.size else (np.zeros(9, int), None)
+        rbins = bins[::-1]
+        hist = hist[::-1]
+
+        w_cm, h_cm = 2.8, 4.0
+        cv = PdfCanvas(save_file, "%fcm*%fcm" % (w_cm, h_cm))
+        y_lo, y_hi = h_cm * 0.02, h_cm * 0.98
+        x_lo, x_hi = 0.0, w_cm
+        cx = (x_lo + x_hi) / 2.0
+        n_bars = len(rbins) - 1
+        span = rbins[0] - rbins[-1]
+        heights = [(y_hi - y_lo) * (rbins[i] - rbins[i + 1]) / span
+                   for i in range(n_bars)]
+        widths = [(hist[i] / n_max) * (min(heights) / heights[i]) * (x_hi - x_lo)
+                  for i in range(n_bars)]
+        for w in (0.0, 0.4, 0.8):  # banded background
+            wy = y_lo + (y_hi - y_lo) * w
+            cv.rect((x_lo, wy), (x_hi, wy + (y_hi - y_lo) * 0.2), 0,
+                    None, (0.95, 0.95, 0.95))
+        gray = (0.8, 0.8, 0.8)
+        cv.line((x_lo, y_lo), (x_hi, y_lo), 1.2, gray)
+        cv.line((x_lo, y_hi), (x_hi, y_hi), 1.2, gray)
+        cv.line((cx, y_hi), (cx, y_lo), 1.2, gray, alpha=0.6)
+        if not null_plot:
+            y = y_hi
+            for i in range(n_bars):
+                bw, bh = widths[i], heights[i]
+                x0, y0 = cx - bw / 2, y - bh
+                if hist[i] > 0:
+                    cv.rect((x0, y0), (x0 + bw, y0 + bh), 0,
+                            line_color=None, fill_color=bar_color)
+                    cv.line((x0, y0), (x0, y0 + bh), 1, line_color=line_color)
+                    cv.line((x0 + bw, y0 + bh), (x0 + bw, y0), 1,
+                            line_color=line_color)
+                    cv.text("%d" % hist[i], (x0 + bw + 0.04, y0 + bh / 2 - 0.115),
+                            "font", 9, font_color=(0, 0, 0))
+                y -= bh
+            mean = float(np.mean(v))
+            my = y_lo + (y_hi - y_lo) * mean
+            cv.line((x_lo, my), (x_hi, my), 2, line_color=(0, 0, 0),
+                    alpha=0.6, dashed=True, dash_pattern=(5, 4))
+            ty = my + 0.06 if mean < 0.5 else my - 0.32
+            cv.text("%.2f" % mean, (x_lo + 0.04, ty), "font", 10,
+                    font_color=(0, 0, 0))
+        cv.save()
+        return save_file
+
+    @staticmethod
     def unblind(sheet_path: str, key_path: str) -> dict:
         """Returns {method: [scores]} after the rater filled the sheet."""
 

@@ -65,6 +65,52 @@ def test_colormaps(rng):
     np.testing.assert_array_equal(gray[1], [255, 255, 255])
 
 
+def test_reference_colormap_parity():
+    """The 11 reference map names exist with the reference's stop colors
+    (deepwmh/utilities/colormaps.py:32-159) at exact stop positions."""
+    from deepwmh_tpu.eval.colormaps import REFERENCE_MAPS
+
+    assert set(REFERENCE_MAPS) == {
+        "metalheat", "grayscale", "grayscale2", "rainbow", "highcontrast",
+        "green", "red", "blue", "plasma", "ratio", "vik",
+    }
+    for name in REFERENCE_MAPS:
+        assert name in list_colormaps()
+    # spot-check stop colors against the reference tables
+    checks = [
+        ("vik", 0.5, (255, 255, 255)),          # white midpoint
+        ("vik", 0.0, (0, 16, 95)),
+        ("ratio", 0.0, (0, 0, 255)),
+        ("ratio", 1.0, (255, 0, 0)),
+        ("metalheat", 0.44, (255, 0, 0)),
+        ("metalheat", 1.0, (255, 255, 255)),
+        ("grayscale2", 0.0, (0, 0, 255)),       # under-range sentinel
+        ("grayscale2", 1.0, (255, 0, 0)),       # over-range sentinel
+        ("red", 0.0, (255, 255, 255)),          # reference red: white->salmon
+        ("highcontrast", 1.0, (255, 0, 0)),
+        ("plasma", 0.0, (13, 8, 135)),
+        ("rainbow", 37 / 255, (0, 0, 255)),
+    ]
+    for name, pos, want in checks:
+        got = apply_colormap(np.array([pos]), name)[0]
+        assert tuple(int(c) for c in got) == want, (name, pos, got, want)
+
+
+def test_draw_colorbar(tmp_path):
+    from deepwmh_tpu.eval.preview import draw_colorbar
+
+    p = str(tmp_path / "bar.png")
+    draw_colorbar(p, colormap="vik", size=(64, 8))
+    from PIL import Image
+
+    with Image.open(p) as im:
+        assert im.size == (64, 8)  # gradient runs left->right
+        px = np.asarray(im.convert("RGB"))
+    # left edge is the first stop, middle ~white
+    assert tuple(px[0, 0]) == (0, 16, 95)
+    assert all(c > 200 for c in px[0, 32])
+
+
 def test_stats_paired(rng):
     a = rng.rand(20)
     b = a + 0.5  # clearly different
@@ -86,6 +132,62 @@ def test_stats_plots(tmp_path, rng):
     f2 = str(tmp_path / "scatter.png")
     component_dice_scatter(pairs, f2, n_boot=20)
     assert os.path.getsize(f2) > 1000
+
+
+def test_matrix_workbook_roundtrip(tmp_path):
+    """Reference-format rating workbook: per-case shuffled Mapping sheet,
+    n/a voids a whole case row, TianTan 3-region normalization
+    (metrics.py:584-614,664-726,833-893)."""
+    from deepwmh_tpu.core.xlsx import read_xlsx, write_xlsx
+
+    cases = ["c1", "c2", "c3"]
+    methods = ["ours", "baseline"]
+    wb = str(tmp_path / "rate.xlsx")
+    VisualScoreEvaluation.make_matrix_workbook(cases, methods, wb, seed=3)
+    got_m, got_c = VisualScoreEvaluation.parse_matrix_sheet(
+        wb, "Mapping", return_methods_and_subjects=True)
+    assert got_c == cases and sorted(got_m) == sorted(methods)
+
+    # fill scores: c1 scores fine, c2 has one n/a (voids the row), c3 fine
+    sheets = read_xlsx(wb)
+    mapping = sheets["Mapping"]
+    score = [["case", "seg_1", "seg_2"],
+             ["c1", "2", "1"],
+             ["c2", "x", "2"],
+             ["c3", "0", "2"]]
+    write_xlsx(wb, {"Score": score, "Mapping": mapping})
+    parsed = VisualScoreEvaluation.parse_matrix_sheet(wb, "Score")
+    for m in methods:
+        assert parsed[m]["c2"] == "n/a"  # one n/a voids every method
+        assert parsed[m]["c1"] != "n/a" and parsed[m]["c3"] != "n/a"
+    # scores landed on the right method through the per-case mapping
+    map_c1 = {str(a): str(v) for a, v in zip(mapping[0][1:], mapping[1][1:])}
+    want_ours_c1 = "2" if map_c1["seg_1"] == "ours" else "1"
+    assert parsed["ours"]["c1"] == want_ours_c1
+
+
+def test_tiantan_scores_and_histogram(tmp_path):
+    from deepwmh_tpu.core.xlsx import write_xlsx
+
+    methods = ["ours"]
+    header = ["case", "seg_1"]
+    mapping = [header, ["c1", "ours"], ["c2", "ours"]]
+    wb = str(tmp_path / "tian.xlsx")
+    write_xlsx(wb, {
+        "Mapping": mapping,
+        "Cerebral_small": [header, ["c1", "2"], ["c2", "n/a"]],
+        "Cerebral_large": [header, ["c1", "1"], ["c2", "n/a"]],
+        "Cerebellum_and_brainstem": [header, ["c1", "2"], ["c2", "n/a"]],
+    })
+    got_m, valid, final = VisualScoreEvaluation.parse_tiantan_scores(wb)
+    assert got_m == methods
+    assert valid == ["c1"]  # c2 has no valid region at all -> dropped
+    assert abs(final["ours"]["c1"] - 5.0 / 6.0) < 1e-12
+
+    pdf = str(tmp_path / "hist.pdf")
+    VisualScoreEvaluation.score_histogram([0.1, 0.5, 0.9, 0.95], 4, pdf)
+    data = open(pdf, "rb").read()
+    assert data.startswith(b"%PDF") and len(data) > 400
 
 
 def test_visual_score_harness_csv(tmp_path):
