@@ -41,10 +41,12 @@ def run_predict(
     tta: bool = True,
     make_previews: bool = True,
     checkpoint_name: str = "model_best",
+    task_name: str | None = None,
 ):
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
-    from deepwmh_tpu.unet.release import load_released_model
+    from deepwmh_tpu.unet.release import load_released_model, resolve_model_dir
 
+    model_dir = resolve_model_dir(model_dir, task_name)
     model, params, plan = load_released_model(model_dir, checkpoint_name)
     predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
 
@@ -87,6 +89,10 @@ def main(argv=None):
                         "backend's default device).")
     parser.add_argument("--skip-bfc", action="store_true",
                         help="[Advanced] Skip N4 bias field correction.")
+    parser.add_argument("--custom-task-name", type=str, default=None,
+                        help="[Advanced] Pick one model package when the "
+                        "model root contains several task folders "
+                        "(reference predict.py:75,139-147).")
     parser.add_argument("--disable-tta", action="store_true",
                         help="[Advanced] Disable mirror test-time augmentation (8x faster).")
     parser.add_argument("--no-previews", action="store_true",
@@ -131,6 +137,7 @@ def main(argv=None):
         tta=not args.disable_tta,
         make_previews=not args.no_previews,
         checkpoint_name=args.checkpoint,
+        task_name=args.custom_task_name,
     )
 
 

@@ -90,6 +90,41 @@ def validate_model_dir(folder: str) -> None:
             raise RuntimeError("not a deepwmh_tpu model package: %s" % folder)
 
 
+def resolve_model_dir(folder: str, task_name: str | None = None) -> str:
+    """Resolve `-m` to a concrete model package (reference
+    deepwmh/main/predict.py:139-147: the model root may contain several task
+    folders; exactly one is auto-detected, more require --custom-task-name).
+    A folder that is itself a valid package resolves to itself."""
+    if not os.path.isdir(folder):
+        raise RuntimeError('Directory not exist: "%s".' % folder)
+    is_pkg = os.path.isfile(os.path.join(folder, PLAN_FILE))
+    if task_name is not None:
+        cand = os.path.join(folder, task_name)
+        if not os.path.isdir(cand):
+            raise RuntimeError(
+                'task folder "%s" not found in "%s"' % (task_name, folder))
+        validate_model_dir(cand)
+        return cand
+    if is_pkg:
+        validate_model_dir(folder)
+        return folder
+    tasks = sorted(
+        d for d in os.listdir(folder)
+        if os.path.isfile(os.path.join(folder, d, PLAN_FILE))
+    )
+    if len(tasks) == 0:
+        # fall through to the standard invalid-package error for `folder`
+        validate_model_dir(folder)
+        return folder
+    if len(tasks) > 1:
+        raise RuntimeError(
+            'Found multiple task folders in "%s": %s — select one with '
+            "--custom-task-name." % (folder, ", ".join(tasks)))
+    task = os.path.join(folder, tasks[0])
+    validate_model_dir(task)
+    return task
+
+
 def load_released_model(folder: str, checkpoint_name: str = ckpt.MODEL_BEST):
     """Returns (model, params, plan) ready for SlidingWindowPredictor."""
     validate_model_dir(folder)

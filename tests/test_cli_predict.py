@@ -47,6 +47,33 @@ def test_release_install_load_roundtrip(tmp_path):
     assert plan2 == plan
 
 
+def test_resolve_model_dir_task_folders(tmp_path):
+    """Reference predict.py:139-147: a model root holding task folders
+    auto-detects a single task, errors on several unless named."""
+    import pytest
+
+    from deepwmh_tpu.unet.release import resolve_model_dir
+
+    train_dir, plan = make_trained_dir(tmp_path)
+    root = str(tmp_path / "root")
+    task_a = os.path.join(root, "TaskA")
+    release_model(train_dir, plan, task_a, make_tarball=False)
+    # flat package resolves to itself
+    assert resolve_model_dir(task_a) == task_a
+    # single task folder auto-detects
+    assert resolve_model_dir(root) == task_a
+    # several require --custom-task-name
+    task_b = os.path.join(root, "TaskB")
+    release_model(train_dir, plan, task_b, make_tarball=False)
+    with pytest.raises(RuntimeError, match="custom-task-name"):
+        resolve_model_dir(root)
+    assert resolve_model_dir(root, "TaskB") == task_b
+    with pytest.raises(RuntimeError, match="not found"):
+        resolve_model_dir(root, "TaskC")
+    with pytest.raises(RuntimeError):
+        resolve_model_dir(str(tmp_path / "nope"))
+
+
 def test_predict_cli_end_to_end(tmp_path, rng):
     from deepwmh_tpu.cli.predict import run_predict
 

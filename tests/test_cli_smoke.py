@@ -59,6 +59,12 @@ def test_install_cli(tmp_path):
     tarball = release_model(str(tmp_path / "t"), plan, str(tmp_path / "r"))
     install_model.main(["-i", tarball, "-o", str(tmp_path / "inst")])
     assert os.path.isfile(str(tmp_path / "inst" / "plan.json"))
+    # the reference's flag surface: -m/--model-targz, non-empty dir guard,
+    # -f override (deepwmh/main/install_model.py:60-79)
+    with pytest.raises(SystemExit):
+        install_model.main(["-m", tarball, "-o", str(tmp_path / "inst")])
+    install_model.main(["-m", tarball, "-o", str(tmp_path / "inst"), "-f"])
+    assert os.path.isfile(str(tmp_path / "inst" / "plan.json"))
 
 
 def test_group_register_cli_rejects_learned_distributed(tmp_path):
