@@ -485,7 +485,8 @@ def main():
             # TPU v5e chip (2026-08-17, recorded in README.md / docs/PERF.md)
             "last_measured_on_live_tpu": {
                 "value": 48.6, "unit": "volumes/min/chip",
-                "vs_baseline": 8.1, "date": "2026-08-17",
+                "vs_baseline": round(48.6 / BASELINE_VOL_PER_MIN, 3),
+                "date": "2026-08-17",
             },
         }
         out.update(partial)  # headline/section values measured before the hang

@@ -241,10 +241,20 @@ class VisualScoreEvaluation:
         if worksheet_name not in sheets:
             raise ValueError('no "%s" worksheet in %s' % (worksheet_name, xlsx_file))
         mapping = sheets["Mapping"]
-        cases = [str(r[0]) for r in mapping[1:] if r and str(r[0])]
+        # keyed by case name, not row position: a stray blank-cased row in
+        # the Mapping sheet must not shift every later lookup onto the
+        # wrong permutation
+        map_rows = {}
+        for r in mapping[1:]:
+            if r and str(r[0]):
+                map_rows[str(r[0])] = r
+        cases = list(map_rows)
+        if not cases:
+            raise ValueError(
+                'the "Mapping" worksheet of %s has no case rows' % xlsx_file)
         # the method set is the first data row's assignment (every row holds
         # the same methods, differently permuted — reference metrics.py:679-683)
-        methods = [str(c) for c in mapping[1][1:] if str(c)]
+        methods = [str(c) for c in map_rows[cases[0]][1:] if str(c)]
         if return_methods_and_subjects:
             return methods, cases
         score_sheet = sheets[worksheet_name]
@@ -253,16 +263,22 @@ class VisualScoreEvaluation:
             if not row or not str(row[0]):
                 continue
             case = str(row[0])
-            if case not in cases:
+            if case not in map_rows:
                 raise ValueError('case "%s" is not in the Mapping sheet' % case)
-            map_row = mapping[cases.index(case) + 1]
+            map_row = map_rows[case]
             cells = list(row[1:]) + [""] * (len(methods) - len(row) + 1)
             row_scores, has_na = {}, False
             for j, method in enumerate(str(c) for c in map_row[1:]):
                 if method not in out:
                     continue
                 try:
-                    score = str(int(float(cells[j])))
+                    # the reference accepts only whole-number scores
+                    # (int(str(cell)) at metrics.py:699-704); xlsx numeric
+                    # cells arrive as floats, so 2.0 is "2" but 1.5 is n/a
+                    f = float(cells[j])
+                    if not f.is_integer():
+                        raise ValueError(cells[j])
+                    score = str(int(f))
                 except (TypeError, ValueError, IndexError):
                     score, has_na = "n/a", True
                 row_scores[method] = score
@@ -318,6 +334,8 @@ class VisualScoreEvaluation:
         v = np.asarray(normalized_scores, np.float64)
         if not null_plot and (v.size == 0 or v.min() < -0.001 or v.max() > 1.001):
             raise ValueError("scores must be normalized to [0,1]")
+        if n_max <= 0:
+            raise ValueError("n_max must be positive, got %r" % (n_max,))
         palettes = {
             "red": ((228 / 255, 140 / 255, 141 / 255),
                     (217 / 255, 68 / 255, 69 / 255)),
@@ -339,8 +357,14 @@ class VisualScoreEvaluation:
         span = rbins[0] - rbins[-1]
         heights = [(y_hi - y_lo) * (rbins[i] - rbins[i + 1]) / span
                    for i in range(n_bars)]
-        widths = [(hist[i] / n_max) * (min(heights) / heights[i]) * (x_hi - x_lo)
-                  for i in range(n_bars)]
+        if int(np.max(hist)) > n_max:
+            import warnings
+
+            warnings.warn(
+                "maximum bar height (%d) > n_max (%d); bars are clamped to "
+                "the page width" % (int(np.max(hist)), n_max))
+        widths = [min((hist[i] / n_max) * (min(heights) / heights[i]), 1.0)
+                  * (x_hi - x_lo) for i in range(n_bars)]
         for w in (0.0, 0.4, 0.8):  # banded background
             wy = y_lo + (y_hi - y_lo) * w
             cv.rect((x_lo, wy), (x_hi, wy + (y_hi - y_lo) * 0.2), 0,

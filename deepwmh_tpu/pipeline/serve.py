@@ -65,7 +65,10 @@ class SpoolServer:
     ):
         from deepwmh_tpu.pipeline.inference import make_output_folders
         from deepwmh_tpu.unet.infer import SlidingWindowPredictor
-        from deepwmh_tpu.unet.release import load_released_model
+        from deepwmh_tpu.unet.release import (
+            load_released_model,
+            resolve_model_dir,
+        )
 
         self.spool_dir = mkdir(spool_dir)
         self.folders = make_output_folders(output_folder)
@@ -82,6 +85,9 @@ class SpoolServer:
         self.failed_dir = mkdir(join_path(self.spool_dir, ".failed"))
         self.status_dir = mkdir(join_path(self.spool_dir, ".status"))
 
+        # same -m semantics as DeepWMH_predict: a root holding one task
+        # folder resolves to it (reference predict.py:139-147)
+        model_dir = resolve_model_dir(model_dir)
         model, params, plan = load_released_model(model_dir, checkpoint_name)
         if mesh is not None:
             # flip-/patch-sharded sweep across the mesh: minimum per-volume

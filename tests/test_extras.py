@@ -166,6 +166,53 @@ def test_matrix_workbook_roundtrip(tmp_path):
     assert parsed["ours"]["c1"] == want_ours_c1
 
 
+def test_matrix_sheet_edge_cases(tmp_path):
+    """Review regressions: fractional scores void the row (reference
+    int(str) semantics), a blank-cased Mapping row must not shift later
+    lookups, header-only Mapping raises, oversize bars clamp+warn."""
+    import pytest
+
+    from deepwmh_tpu.core.xlsx import write_xlsx
+
+    wb = str(tmp_path / "edge.xlsx")
+    header = ["case", "seg_1", "seg_2"]
+    write_xlsx(wb, {
+        # a stray blank-cased row between header and c1
+        "Mapping": [header, ["", "ours", "base"], ["c1", "base", "ours"]],
+        "Score": [header, ["c1", "2", "1"]],
+    })
+    parsed = VisualScoreEvaluation.parse_matrix_sheet(wb)
+    # c1's permutation is (base, ours): seg_1=2 -> base, seg_2=1 -> ours
+    assert parsed["base"]["c1"] == "2" and parsed["ours"]["c1"] == "1"
+
+    # fractional score voids the whole case row
+    write_xlsx(wb, {
+        "Mapping": [header, ["c1", "ours", "base"]],
+        "Score": [header, ["c1", "1.5", "2"]],
+    })
+    parsed = VisualScoreEvaluation.parse_matrix_sheet(wb)
+    assert parsed["ours"]["c1"] == "n/a" and parsed["base"]["c1"] == "n/a"
+    # integral float cells are fine (xlsx numerics arrive as floats)
+    write_xlsx(wb, {
+        "Mapping": [header, ["c1", "ours", "base"]],
+        "Score": [header, ["c1", "2.0", "1"]],
+    })
+    assert VisualScoreEvaluation.parse_matrix_sheet(wb)["ours"]["c1"] == "2"
+
+    # header-only Mapping is a clear error
+    write_xlsx(wb, {"Mapping": [header], "Score": [header]})
+    with pytest.raises(ValueError, match="no case rows"):
+        VisualScoreEvaluation.parse_matrix_sheet(wb)
+
+    # counts past n_max warn and clamp instead of drawing off-page
+    pdf = str(tmp_path / "clamp.pdf")
+    with pytest.warns(UserWarning, match="clamped"):
+        VisualScoreEvaluation.score_histogram([0.05] * 9, 4, pdf)
+    assert open(pdf, "rb").read().startswith(b"%PDF")
+    with pytest.raises(ValueError, match="n_max"):
+        VisualScoreEvaluation.score_histogram([0.5], 0, pdf)
+
+
 def test_tiantan_scores_and_histogram(tmp_path):
     from deepwmh_tpu.core.xlsx import write_xlsx
 
