@@ -84,18 +84,41 @@ def instance_f1(pred, truth, threshold: float = 0.5) -> float:
 
 
 def binary_component_dice(pred, truth, threshold: float = 0.5):
-    """Per-truth-component Dice list: for each ground-truth lesion, the Dice
-    of the prediction restricted to that component's bounding neighborhood
-    (reference metrics.py:304-536, the lesion-size scatter data)."""
+    """Per-truth-component Dice list, sorted by lesion size: for each
+    ground-truth lesion cT, Dice(cT, cP) where cP is the FULL extent of every
+    predicted component overlapping cT, minus voxels belonging to OTHER truth
+    lesions (reference metrics.py:304-325: `mP` is the union of the touching
+    predicted components, `cP = (mP - (yt - cT)) > 0.5`). Over-segmentation
+    therefore lowers the per-lesion Dice — the prediction is NOT clipped to
+    the truth component. Vectorized with bincount passes over (truth, pred)
+    component-pair overlaps instead of the reference's per-component
+    full-volume loops."""
     p = np.asarray(pred) > threshold
     t = np.asarray(truth) > threshold
     t_lbl, t_n = _label_np(t)
-    # vectorized: component sizes and per-component intersections in two
-    # bincount passes (pd == p AND component, so |pd| is the intersection)
-    sizes = np.bincount(t_lbl.ravel(), minlength=t_n + 1)[1:]
-    inter = np.bincount(t_lbl[p].ravel(), minlength=t_n + 1)[1:]
-    dice = 2.0 * inter / np.maximum(sizes + inter, 1)
-    return [(int(s), float(d)) for s, d in zip(sizes, dice)]
+    if t_n == 0:
+        return []
+    p_lbl, p_n = _label_np(p)
+    size_t = np.bincount(t_lbl.ravel(), minlength=t_n + 1)
+    size_p = np.bincount(p_lbl.ravel(), minlength=p_n + 1)
+    # per predicted component: how many of its voxels lie on ANY truth lesion
+    p_on_truth = np.bincount(p_lbl[t].ravel(), minlength=p_n + 1)
+    # (truth, pred) overlap counts for touching pairs
+    both = t & (p_lbl > 0)
+    pair = t_lbl[both].astype(np.int64) * (p_n + 1) + p_lbl[both]
+    uniq, counts = np.unique(pair, return_counts=True)
+    t_of = (uniq // (p_n + 1)).astype(np.int64)
+    p_of = (uniq % (p_n + 1)).astype(np.int64)
+    # |cT ∧ cP| = total overlap of cT with its touching predicted comps
+    inter_t = np.bincount(t_of, weights=counts, minlength=t_n + 1)
+    # |cP| = Σ over touching preds of (full size − voxels on other truth
+    # lesions) = Σ (size_p − p_on_truth + overlap-with-this-lesion)
+    cp_size = np.bincount(
+        t_of, weights=size_p[p_of] - p_on_truth[p_of] + counts,
+        minlength=t_n + 1)
+    dice = 2.0 * inter_t / np.maximum(size_t + cp_size, 1)
+    out = [(int(size_t[i]), float(dice[i])) for i in range(1, t_n + 1)]
+    return sorted(out, key=lambda e: e[0])
 
 
 def _eval_one(pred_path, truth_path, metrics):
@@ -111,6 +134,10 @@ def _eval_one(pred_path, truth_path, metrics):
             row["precision"], row["recall"] = voxel_precision_recall(pred, truth)
         elif m == "instance_f1":
             row[m] = instance_f1(pred, truth)
+        elif m == "instance_precision_recall":
+            row["tp"], row["fp"], row["fn"] = instance_confusion(pred, truth)
+        elif m == "component_dice":
+            row[m] = binary_component_dice(pred, truth)
         else:
             raise ValueError("unknown metric %r" % m)
     return row
@@ -143,32 +170,118 @@ class PairedEvaluation:
         }
 
 
-class BinaryDiceEvaluation:
-    """The reference experiments' evaluation harness
-    (deepwmh/analysis/metrics.py:264-298, used by
-    experiments/010_OASIS3/run_Siemens_Biograph_mMR.py:282-289): register
-    named *methods* as case -> file mappings, then compare any two methods
-    with voxel-wise hard Dice across the subject list."""
+class MethodEvaluation:
+    """The reference experiments' evaluation harness base
+    (deepwmh/analysis/metrics.py:120-262): register named *methods* as
+    case -> file mappings, then compare any two methods across the subject
+    list with this class's metric. Operand order follows the reference: for
+    asymmetric metrics, method_a is the ground truth and method_b the
+    prediction (metrics.py:276-298 operand-order warnings). With
+    allow_null=True a method may map a case to None, which evaluates as an
+    all-background volume shaped like the other operand
+    (metrics.py:202-213)."""
+
+    @staticmethod
+    def _metric(truth, pred):  # override in subclasses
+        raise NotImplementedError
 
     def __init__(self, subject_list):
         self.subjects = list(subject_list)
         self.methods = {}
 
     def add_method(self, name: str, path_fn):
-        """path_fn: case name -> prediction/annotation file path."""
+        """path_fn: case name -> prediction/annotation file path (or None
+        with allow_null)."""
         self.methods[name] = path_fn
 
     def get_subject_list(self):
         return list(self.subjects)
 
-    def run_eval(self, method_a: str, method_b: str, num_workers: int = 4):
-        """Per-subject Dice of method_a vs method_b (order irrelevant)."""
+    def _eval_case(self, case, fa, fb, allow_null):
+        from deepwmh_tpu.core import nifti
+
+        file_a, file_b = fa(case), fb(case)
+        if not allow_null and (file_a is None or file_b is None):
+            raise RuntimeError(
+                'subject "%s": NULL file is not allowed (allow_null=False)'
+                % case)
+        if file_a is None and file_b is None:
+            raise RuntimeError(
+                'subject "%s": no valid file found for evaluation' % case)
+        a = nifti.load_nifti_simple(file_a) if file_a is not None else None
+        b = nifti.load_nifti_simple(file_b) if file_b is not None else None
+        if a is None:
+            a = np.zeros_like(b)
+        if b is None:
+            b = np.zeros_like(a)
+        if a.shape != b.shape:
+            raise RuntimeError(
+                'subject "%s": shapes not equal: %s vs %s'
+                % (case, a.shape, b.shape))
+        return self._metric(a, b)
+
+    def run_eval(self, method_a: str, method_b: str, num_workers: int = 4,
+                 allow_null: bool = False):
+        """Per-subject metric list of method_a (truth) vs method_b (pred)."""
         fa, fb = self.methods[method_a], self.methods[method_b]
-        ev = PairedEvaluation()
-        for case in self.subjects:
-            ev.add_pair(case, fa(case), fb(case))
-        res = ev.run(metrics=("dice",), num_workers=num_workers)
-        return [res[case]["dice"] for case in self.subjects]
+        if num_workers > 1:
+            from deepwmh_tpu.utils.parallel import run_parallel
+
+            return run_parallel(
+                lambda case: self._eval_case(case, fa, fb, allow_null),
+                self.subjects, num_workers=num_workers,
+            )
+        return [self._eval_case(c, fa, fb, allow_null) for c in self.subjects]
+
+    # reference spelling (metrics.py:223-262)
+    run_eval_parallel = run_eval
+
+
+class BinaryDiceEvaluation(MethodEvaluation):
+    """Voxel-wise hard Dice (symmetric) — reference metrics.py:264-267,
+    used by experiments/010_OASIS3/run_Siemens_Biograph_mMR.py:282-289."""
+
+    @staticmethod
+    def _metric(truth, pred):
+        return hard_dice_binary(pred, truth)
+
+
+class VoxelPrecisionRecallEvaluation(MethodEvaluation):
+    """(precision, recall) per subject; method_a must be the ground truth
+    (reference metrics.py:268-277)."""
+
+    @staticmethod
+    def _metric(truth, pred):
+        return voxel_precision_recall(pred, truth)
+
+
+class InstancePrecisionRecallEvaluation(MethodEvaluation):
+    """Instance-level (TP, FP, FN) per subject; method_a must be the ground
+    truth (reference metrics.py:279-287)."""
+
+    @staticmethod
+    def _metric(truth, pred):
+        return instance_confusion(pred, truth)
+
+
+class InstanceF1Evaluation(MethodEvaluation):
+    """Instance-level F1 per subject; method_a must be the ground truth
+    (reference metrics.py:289-298)."""
+
+    @staticmethod
+    def _metric(truth, pred):
+        return instance_f1(pred, truth)
+
+
+class BinaryComponentDiceEvaluation(MethodEvaluation):
+    """Per-lesion (size, Dice) pairs per subject; method_a must be the
+    ground truth (reference metrics.py:326-336). Feed the flattened result
+    to eval.stats.component_dice_scatter for the reference's lesion-size
+    scatter plot (metrics.py:338-536)."""
+
+    @staticmethod
+    def _metric(truth, pred):
+        return binary_component_dice(pred, truth)
 
 
 def summarize(results: dict) -> dict:

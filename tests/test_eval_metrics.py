@@ -55,6 +55,103 @@ def test_component_dice():
     assert size == 27 and dice == 1.0
 
 
+def test_component_dice_oversegmentation_counts_against():
+    """The prediction's FULL component extent enters the per-lesion Dice
+    (reference metrics.py:304-325) — over-segmentation is penalized."""
+    t = np.zeros((12, 12, 12))
+    t[4:6, 4:6, 4:6] = 1  # 8-voxel lesion
+    p = np.zeros_like(t)
+    p[2:8, 2:8, 2:8] = 1  # 216-voxel blob fully covering it
+    ((size, dice),) = binary_component_dice(p, t)
+    assert size == 8
+    np.testing.assert_allclose(dice, 2 * 8 / (8 + 216))
+
+
+def _reference_component_dice(y_true, y_pred):
+    """Literal port of the reference algorithm (metrics.py:304-325) as the
+    golden model: per truth component, union the overlapping predicted
+    components' full extents, subtract other truth lesions, Dice."""
+    from scipy import ndimage
+
+    yt = (y_true > 0.5).astype(int)
+    yp = (y_pred > 0.5).astype(int)
+    lT, nT = ndimage.label(yt)
+    lP, _ = ndimage.label(yp)
+    e = []
+    for iT in range(1, nT + 1):
+        cT = (lT == iT).astype(int)
+        labels = [z for z in np.unique(lP * cT) if z != 0]
+        mP = np.isin(lP, labels).astype(int)
+        cP = ((mP - (yt - cT)) > 0.5).astype(int)
+        inter = np.sum(cT * cP)
+        denom = np.sum(cT) + np.sum(cP)
+        e.append((int(np.sum(cT)), 2.0 * inter / denom if denom else 1.0))
+    return sorted(e, key=lambda x: x[0])
+
+
+def test_component_dice_matches_reference_golden(rng):
+    for trial in range(5):
+        t = (rng.rand(14, 14, 14) > 0.8).astype(np.float32)
+        p = (rng.rand(14, 14, 14) > 0.8).astype(np.float32)
+        got = binary_component_dice(p, t)
+        want = _reference_component_dice(t, p)
+        assert len(got) == len(want)
+        # sizes must match exactly; pair dices by sorting (equal-size
+        # components may legitimately order differently)
+        for (gs, gd), (ws, wd) in zip(
+            sorted(got), sorted(want)
+        ):
+            assert gs == ws
+            np.testing.assert_allclose(gd, wd, atol=1e-12)
+
+
+def test_method_evaluation_subclasses(tmp_path, rng):
+    from deepwmh_tpu.core import nifti
+    from deepwmh_tpu.eval.metrics import (
+        BinaryComponentDiceEvaluation,
+        InstanceF1Evaluation,
+        InstancePrecisionRecallEvaluation,
+        VoxelPrecisionRecallEvaluation,
+    )
+
+    t = np.zeros((10, 10, 10), np.float32)
+    t[1:4, 1:4, 1:4] = 1
+    p = np.zeros_like(t)
+    p[1:4, 1:4, 1:4] = 1
+    p[6:8, 6:8, 6:8] = 1  # false-positive lesion
+    pt = str(tmp_path / "t.nii.gz")
+    pp = str(tmp_path / "p.nii.gz")
+    nifti.save_nifti_simple(t, pt)
+    nifti.save_nifti_simple(p, pp)
+
+    def mk(ev_cls):
+        ev = ev_cls(["s1"])
+        ev.add_method("truth", lambda c: pt)
+        ev.add_method("pred", lambda c: pp)
+        ev.add_method("missing", lambda c: None)
+        return ev
+
+    (pr,) = mk(VoxelPrecisionRecallEvaluation).run_eval("truth", "pred",
+                                                        num_workers=1)
+    np.testing.assert_allclose(pr, (27 / 35, 1.0))  # precision, recall
+    (conf,) = mk(InstancePrecisionRecallEvaluation).run_eval(
+        "truth", "pred", num_workers=1)
+    assert conf == (1, 1, 0)  # tp, fp, fn
+    (f1,) = mk(InstanceF1Evaluation).run_eval("truth", "pred", num_workers=1)
+    np.testing.assert_allclose(f1, 2 / 3)
+    (cd,) = mk(BinaryComponentDiceEvaluation).run_eval("truth", "pred",
+                                                       num_workers=1)
+    assert cd == [(27, 1.0)]
+    # allow_null: a None file evaluates as all-background
+    import pytest
+
+    ev = mk(InstanceF1Evaluation)
+    with pytest.raises(RuntimeError, match="NULL"):
+        ev.run_eval("truth", "missing", num_workers=1)
+    (f1n,) = ev.run_eval("truth", "missing", num_workers=1, allow_null=True)
+    np.testing.assert_allclose(f1n, 0.0)
+
+
 def test_paired_evaluation(tmp_path, rng):
     from deepwmh_tpu.core import nifti
 
