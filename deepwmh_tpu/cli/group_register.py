@@ -49,7 +49,7 @@ def main(argv=None):
     parser.add_argument("--batch-pairs", type=int, default=1,
                         help="Register N same-geometry pairs simultaneously "
                         "in one vmapped XLA program (TPU throughput).")
-    parser.add_argument("--distributed", type=str, default=None,
+    parser.add_argument("-d", "--distributed", type=str, default=None,
                         help="'a/b': run shard a (1-based) of b machines.")
     args = parser.parse_args(argv)
 
