@@ -43,9 +43,12 @@ def main(argv=None):
                         "registration network on the cohort, register every "
                         "pair with a single forward pass.")
     parser.add_argument("--mesh", action="store_true",
-                        help="Shard batched pairs over ALL visible devices "
-                        "(jax.sharding.Mesh): each chip registers its own "
-                        "pairs. Implies --batch-pairs >= device count.")
+                        help="Use ALL visible devices (jax.sharding.Mesh). "
+                        "Classic mode: shards batched pairs, each chip "
+                        "registers its own (raises --batch-pairs to the "
+                        "device count). Learned mode: data-parallels the "
+                        "network-training pair batches; pairs then register "
+                        "with single forward passes.")
     parser.add_argument("--batch-pairs", type=int, default=1,
                         help="Register N same-geometry pairs simultaneously "
                         "in one vmapped XLA program (TPU throughput).")
@@ -119,14 +122,11 @@ def main(argv=None):
     mesh = None
     batch_pairs = args.batch_pairs
     if args.mesh:
-        import jax
-        import numpy as np
-        from jax.sharding import Mesh
+        from deepwmh_tpu.parallel.mesh import make_mesh
 
-        devs = np.array(jax.devices())
-        mesh = Mesh(devs, ("dp",))
-        batch_pairs = max(batch_pairs, len(devs))
-        print("mesh: sharding pair batches over %d device(s)" % len(devs))
+        mesh = make_mesh()
+        batch_pairs = max(batch_pairs, int(mesh.size))
+        print("mesh: sharding pair batches over %d device(s)" % int(mesh.size))
     reg.launch(batch_pairs=batch_pairs, mesh=mesh)
     print("group registration finished.")
 

@@ -135,24 +135,46 @@ class LearnedRegistration:
         B = max(int(cfg.batch_pairs), 1)
         rep_sharding = None
         if mesh is not None:
-            B = max(B, int(mesh.size))
-            if B % int(mesh.size):
+            if B < int(mesh.size):
+                if B != 1:
+                    # an explicit batch size that cannot shard evenly is a
+                    # loud error, not a silent recipe change
+                    raise ValueError(
+                        "batch_pairs (%d) must divide by the mesh size (%d)"
+                        % (B, int(mesh.size))
+                    )
+                B = int(mesh.size)
+                if verbose:
+                    print(
+                        "regnet: batch_pairs 1 -> %d (one pair per mesh "
+                        "device)" % B, flush=True)
+            elif B % int(mesh.size):
                 raise ValueError(
                     "batch_pairs (%d) must divide by the mesh size (%d)"
                     % (B, int(mesh.size))
                 )
             rep_sharding = NamedSharding(mesh, P())
             dp_sharding = NamedSharding(mesh, P("dp"))
-        # keep the winsorized cohort ON DEVICE: pulling it to host and
-        # re-uploading two volumes per step would pay 2*steps full-volume
-        # transfers through the (RTT-bound) remote-TPU link. (Under a mesh
-        # the cohort stays as host arrays: each step's BATCH is placed with
-        # the dp sharding instead.)
-        vols = [winsorize_rescale(jnp.asarray(v, jnp.float32)) for v in volumes]
-        if mesh is None:
-            vols = [jax.device_put(v) for v in vols]
+        # keep the winsorized cohort ON DEVICE as one [N,D,H,W] stack
+        # (replicated under a mesh): pulling volumes to host and re-uploading
+        # two per step would pay 2*steps full-volume transfers through the
+        # (RTT-bound) remote-TPU link. Batches are assembled by a jitted
+        # leading-axis gather; under a mesh its output carries the dp
+        # sharding, and since every device holds the full replica the
+        # reshard is device-local — steady-state steps move no volume data
+        # at all (only the [B,2] index array).
+        vol_stack = jnp.stack(
+            [winsorize_rescale(jnp.asarray(v, jnp.float32)) for v in volumes]
+        )
+        if mesh is not None:
+            vol_stack = jax.device_put(vol_stack, rep_sharding)
+            _gather = jax.jit(
+                lambda vs, ia, ib: (vs[ia], vs[ib]),
+                out_shardings=(dp_sharding, dp_sharding),
+            )
         else:
-            vols = [np.asarray(v) for v in vols]
+            vol_stack = jax.device_put(vol_stack)
+            _gather = jax.jit(lambda vs, ia, ib: (vs[ia], vs[ib]))
         key = jax.random.PRNGKey(rng_seed)
         x0 = jnp.zeros((1,) + self.pad_shape + (2,), jnp.bfloat16)
         self.params = self.model.init(key, x0)["params"]
@@ -162,18 +184,15 @@ class LearnedRegistration:
             self.params = jax.device_put(self.params, rep_sharding)
             opt_state = jax.device_put(opt_state, rep_sharding)
 
+        n_vols = len(volumes)
         np_rng = np.random.RandomState(rng_seed)
         losses = []
         for step in range(cfg.steps):
-            idx = np_rng.randint(0, len(vols), size=(B, 2))
+            idx = np_rng.randint(0, n_vols, size=(B, 2))
             idx[:, 1] = np.where(
-                idx[:, 0] == idx[:, 1], (idx[:, 1] + 1) % len(vols), idx[:, 1]
+                idx[:, 0] == idx[:, 1], (idx[:, 1] + 1) % n_vols, idx[:, 1]
             )
-            fixed = jnp.stack([vols[i] for i in idx[:, 0]])
-            moving = jnp.stack([vols[j] for j in idx[:, 1]])
-            if mesh is not None:
-                fixed = jax.device_put(fixed, dp_sharding)
-                moving = jax.device_put(moving, dp_sharding)
+            fixed, moving = _gather(vol_stack, idx[:, 0], idx[:, 1])
             self.params, opt_state, loss = self._train_step(
                 self.params, opt_state, fixed, moving
             )

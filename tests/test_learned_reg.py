@@ -82,8 +82,11 @@ def test_mesh_dp_training_matches_single_device():
     x0 = jnp.zeros((1, 16, 16, 16, 2), jnp.bfloat16)
     params = reg.model.init(jax.random.PRNGKey(0), x0)["params"]
     w = [np.asarray(v, np.float32) for v in vols]
-    fixed = jnp.stack(w[:2] * (n_dev // 2))[:n_dev]
-    moving = jnp.stack(w[2:] * (n_dev // 2))[:n_dev]
+    # exactly n_dev rows even on odd device counts (e.g. a 3-device
+    # platform): the dp sharding below requires batch % n_dev == 0
+    reps = (n_dev + 1) // 2
+    fixed = jnp.stack(w[:2] * reps)[:n_dev]
+    moving = jnp.stack(w[2:] * reps)[:n_dev]
     vg = jax.jit(jax.value_and_grad(reg._loss))
     loss_1, grad_1 = vg(params, fixed, moving)
 
