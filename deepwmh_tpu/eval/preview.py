@@ -205,6 +205,44 @@ def view_slice(
     )
 
 
+class SimpleNiftiPreview:
+    """Single-slice NIfTI preview with pinned windowing + colormap
+    (reference SimpleNiftiPreview, nii_preview.py:603-636): construct with
+    the display options, then plot() any slice of any file, optionally
+    rendering the matching colorbar swatch."""
+
+    def __init__(self, min_intensity="auto", max_intensity="auto",
+                 colormap="grayscale"):
+        from deepwmh_tpu.eval.colormaps import list_colormaps
+
+        if colormap not in list_colormaps():
+            raise ValueError(
+                "invalid colormap %r, must be one of: %s"
+                % (colormap, " ".join(list_colormaps())))
+        for v in (min_intensity, max_intensity):
+            if v != "auto" and not isinstance(v, (int, float)):
+                raise ValueError("intensity bounds must be 'auto' or numeric")
+        self.min_intensity = min_intensity
+        self.max_intensity = max_intensity
+        self.colormap = colormap
+
+    def plot(self, nifti_file, axis, slice_num, output_image,
+             output_colormap=None, vflip=False, hflip=False):
+        from deepwmh_tpu.core import nifti
+
+        if output_colormap is not None:
+            draw_colorbar(output_colormap, colormap=self.colormap)
+        data, hdr = nifti.load_nifti(nifti_file)
+        lo = None if self.min_intensity == "auto" else float(self.min_intensity)
+        hi = None if self.max_intensity == "auto" else float(self.max_intensity)
+        view_slice(
+            data, output_image, axis=axis, slice_num=slice_num,
+            intensity_range=[lo, hi], colormap=self.colormap,
+            vflip=vflip, hflip=hflip, spacing=hdr.zooms,
+        )
+        return output_image
+
+
 def draw_colorbar(out_png, colormap="grayscale", size=(256, 48)):
     """Render a horizontal colorbar swatch for a named colormap (reference
     nii_draw_colorbar, nii_preview.py:372-380: a [length,width] gradient

@@ -1,6 +1,8 @@
 """Preview renderers: single annotated slice PNGs (reference
 nii_preview.py:242-370), slice-range trimming, GIF/lightbox smoke."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -88,6 +90,28 @@ def test_view_slice_anisotropic_resize(tmp_path):
     view_slice(vol, p, axis="axial", slice_num=5, spacing=(2.0, 1.0, 3.0))
     with Image.open(p) as im:
         assert im.size == (32, 18)
+
+
+def test_simple_nifti_preview(tmp_path):
+    """Reference SimpleNiftiPreview (nii_preview.py:603-636): pinned
+    window/colormap plotting straight from a NIfTI file + colorbar."""
+    import pytest
+
+    from deepwmh_tpu.core import nifti
+    from deepwmh_tpu.eval.preview import SimpleNiftiPreview
+
+    vol = np.linspace(0, 100, 6 * 6 * 4).reshape(6, 6, 4).astype(np.float32)
+    p = str(tmp_path / "v.nii.gz")
+    nifti.save_nifti_simple(vol, p)
+    pv = SimpleNiftiPreview(min_intensity=0, max_intensity=80, colormap="vik")
+    png = str(tmp_path / "s.png")
+    bar = str(tmp_path / "bar.png")
+    pv.plot(p, "axial", 2, png, output_colormap=bar, hflip=True)
+    assert os.path.isfile(png) and os.path.isfile(bar)
+    with pytest.raises(ValueError, match="colormap"):
+        SimpleNiftiPreview(colormap="nope")
+    with pytest.raises(ValueError, match="auto"):
+        SimpleNiftiPreview(min_intensity="bad")
 
 
 def test_save_slice_png_colormap_and_window(tmp_path):
