@@ -39,6 +39,31 @@ import numpy as np
 BASELINE_VOL_PER_MIN = 6.0  # 10 s/volume target from BASELINE.md
 BENCH_SHAPE = (192, 224, 192)
 
+# record of the most recent completed run on a live TPU — rewritten by every
+# successful TPU run, cited by the dead-man output when the tunnel is down
+LAST_MEASURED_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_MEASURED.json"
+)
+
+
+def _load_last_measured():
+    try:
+        with open(LAST_MEASURED_FILE) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _save_last_measured(record: dict) -> None:
+    try:
+        tmp = LAST_MEASURED_FILE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace(tmp, LAST_MEASURED_FILE)
+    except Exception as e:  # never let bookkeeping break the ONE JSON line
+        print("bench: could not save %s: %r" % (LAST_MEASURED_FILE, e),
+              file=sys.stderr, flush=True)
+
 # peak dense bf16 TFLOP/s per chip by device kind (public spec sheets)
 PEAK_BF16 = {
     "TPU v4": 275e12,
@@ -482,12 +507,9 @@ def main():
             "bench_wall_seconds": round(time.time() - t_start, 1),
             # context for a zero caused by infrastructure, not the code:
             # the most recent completed run of THIS benchmark on a live
-            # TPU v5e chip (2026-08-17, recorded in README.md / docs/PERF.md)
-            "last_measured_on_live_tpu": {
-                "value": 48.6, "unit": "volumes/min/chip",
-                "vs_baseline": round(48.6 / BASELINE_VOL_PER_MIN, 3),
-                "date": "2026-08-17",
-            },
+            # TPU chip (BENCH_LAST_MEASURED.json is rewritten by every
+            # successful TPU run)
+            "last_measured_on_live_tpu": _load_last_measured(),
         }
         out.update(partial)  # headline/section values measured before the hang
         print(json.dumps(out), flush=True)
@@ -564,6 +586,16 @@ def main():
     train_steps_per_sec = if_time("training", lambda: bench_training(plan))
 
     _deadman_timer.cancel()  # all device work done; the final print can't hang
+    device_kind = jax.devices()[0].device_kind
+    if "TPU" in device_kind.upper():
+        # refresh the single source of truth the deadman cites on outages
+        _save_last_measured({
+            "value": round(vol_per_min, 3),
+            "unit": "volumes/min/chip",
+            "vs_baseline": round(vol_per_min / BASELINE_VOL_PER_MIN, 3),
+            "device_kind": device_kind,
+            "date": time.strftime("%Y-%m-%d"),
+        })
     print(
         json.dumps(
             {
@@ -575,7 +607,7 @@ def main():
                 "timing_note": "value is the median run; best_volumes_per_min is the fastest observation (tunnel contention makes the median pessimistic)",
                 "mfu": None if mfu is None else round(mfu, 4),
                 "model_flops_per_volume": None if flops is None else flops,
-                "device_kind": jax.devices()[0].device_kind,
+                "device_kind": device_kind,
                 "stages_seconds": stages,
                 "registration_pairs_per_min_per_chip": (
                     None if reg_pairs_per_min is None else round(reg_pairs_per_min, 2)

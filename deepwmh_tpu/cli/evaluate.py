@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("-o", "--output", type=str, required=True,
                         help="Output report path (.json).")
     parser.add_argument("--metrics", nargs="+",
+                        choices=["dice", "precision_recall", "instance_f1",
+                                 "instance_precision_recall", "component_dice"],
                         default=["dice", "precision_recall", "instance_f1"])
     args = parser.parse_args(argv)
 

@@ -68,6 +68,10 @@ def main(argv=None):
                         help="[Advanced] Skip GIF preview rendering.")
     parser.add_argument("--checkpoint", type=str, default="model_best",
                         help="[Advanced] Checkpoint to load from the model dir.")
+    parser.add_argument("--custom-task-name", type=str, default=None,
+                        help="[Advanced] Pick one model package when the "
+                        "model root contains several task folders "
+                        "(same semantics as DeepWMH_predict).")
     args = parser.parse_args(argv)
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
@@ -105,6 +109,7 @@ def main(argv=None):
         mesh=mesh,
         settle_seconds=args.settle_seconds,
         stale_after=args.stale_after,
+        task_name=args.custom_task_name,
     )
 
     # finish the in-flight case, then exit cleanly

@@ -285,12 +285,26 @@ class BinaryComponentDiceEvaluation(MethodEvaluation):
 
 
 def summarize(results: dict) -> dict:
-    """Mean/std per metric across cases."""
+    """Mean/std per metric across cases. List-valued metrics (component_dice
+    rows of per-lesion (size, dice) pairs) aggregate over all lesions of all
+    cases: mean/std of the Dice values, n = total lesion count."""
     keys = set()
     for row in results.values():
         keys.update(row.keys())
     out = {}
     for k in sorted(keys):
         vals = [row[k] for row in results.values() if k in row]
-        out[k] = {"mean": float(np.mean(vals)), "std": float(np.std(vals)), "n": len(vals)}
+        if vals and isinstance(vals[0], (list, tuple)):
+            dices = [d for case in vals for (_size, d) in case]
+            out[k] = {
+                "mean": float(np.mean(dices)) if dices else 0.0,
+                "std": float(np.std(dices)) if dices else 0.0,
+                "n": len(dices),
+            }
+        else:
+            out[k] = {
+                "mean": float(np.mean(vals)),
+                "std": float(np.std(vals)),
+                "n": len(vals),
+            }
     return out

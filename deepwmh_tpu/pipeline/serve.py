@@ -62,6 +62,7 @@ class SpoolServer:
         mesh=None,
         settle_seconds: float = 2.0,
         stale_after: float = 1800.0,
+        task_name: str | None = None,
     ):
         from deepwmh_tpu.pipeline.inference import make_output_folders
         from deepwmh_tpu.unet.infer import SlidingWindowPredictor
@@ -86,8 +87,9 @@ class SpoolServer:
         self.status_dir = mkdir(join_path(self.spool_dir, ".status"))
 
         # same -m semantics as DeepWMH_predict: a root holding one task
-        # folder resolves to it (reference predict.py:139-147)
-        model_dir = resolve_model_dir(model_dir)
+        # folder resolves to it (reference predict.py:139-147);
+        # task_name picks one of several
+        model_dir = resolve_model_dir(model_dir, task_name)
         model, params, plan = load_released_model(model_dir, checkpoint_name)
         if mesh is not None:
             # flip-/patch-sharded sweep across the mesh: minimum per-volume

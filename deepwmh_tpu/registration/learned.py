@@ -17,6 +17,7 @@ same pjit/mesh data-parallel machinery as the segmentation engine.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -162,19 +163,49 @@ class LearnedRegistration:
         # leading-axis gather; under a mesh its output carries the dp
         # sharding, and since every device holds the full replica the
         # reshard is device-local — steady-state steps move no volume data
-        # at all (only the [B,2] index array).
-        vol_stack = jnp.stack(
-            [winsorize_rescale(jnp.asarray(v, jnp.float32)) for v in volumes]
+        # at all (only the [B,2] index array). Cohorts too large to pin in
+        # HBM next to params/grads/activations fall back to host batches
+        # (one dp-sharded upload per step, each shard straight to its device).
+        host_vols = None
+        cohort_bytes = 4 * sum(int(np.prod(np.shape(v))) for v in volumes)
+        max_resident = int(
+            os.environ.get("DEEPWMH_REG_COHORT_HBM_BYTES", 2 << 30)
         )
-        if mesh is not None:
-            vol_stack = jax.device_put(vol_stack, rep_sharding)
-            _gather = jax.jit(
-                lambda vs, ia, ib: (vs[ia], vs[ib]),
-                out_shardings=(dp_sharding, dp_sharding),
-            )
+        if cohort_bytes > max_resident:
+            if verbose:
+                print(
+                    "regnet: cohort %.1f GiB > %.1f GiB budget — batching "
+                    "from host" % (cohort_bytes / 2**30, max_resident / 2**30),
+                    flush=True)
+            host_vols = [
+                np.asarray(winsorize_rescale(jnp.asarray(v, jnp.float32)))
+                for v in volumes
+            ]
+            batch_sharding = dp_sharding if mesh is not None else None
+
+            def _gather(_vs, ia, ib):
+                fixed = np.stack([host_vols[i] for i in ia])
+                moving = np.stack([host_vols[j] for j in ib])
+                if batch_sharding is not None:
+                    return (jax.device_put(fixed, batch_sharding),
+                            jax.device_put(moving, batch_sharding))
+                return jnp.asarray(fixed), jnp.asarray(moving)
+
+            vol_stack = None
         else:
-            vol_stack = jax.device_put(vol_stack)
-            _gather = jax.jit(lambda vs, ia, ib: (vs[ia], vs[ib]))
+            vol_stack = jnp.stack(
+                [winsorize_rescale(jnp.asarray(v, jnp.float32))
+                 for v in volumes]
+            )
+            if mesh is not None:
+                vol_stack = jax.device_put(vol_stack, rep_sharding)
+                _gather = jax.jit(
+                    lambda vs, ia, ib: (vs[ia], vs[ib]),
+                    out_shardings=(dp_sharding, dp_sharding),
+                )
+            else:
+                vol_stack = jax.device_put(vol_stack)
+                _gather = jax.jit(lambda vs, ia, ib: (vs[ia], vs[ib]))
         key = jax.random.PRNGKey(rng_seed)
         x0 = jnp.zeros((1,) + self.pad_shape + (2,), jnp.bfloat16)
         self.params = self.model.init(key, x0)["params"]

@@ -67,26 +67,32 @@ def test_component_dice_oversegmentation_counts_against():
     np.testing.assert_allclose(dice, 2 * 8 / (8 + 216))
 
 
-def _reference_component_dice(y_true, y_pred):
-    """Literal port of the reference algorithm (metrics.py:304-325) as the
-    golden model: per truth component, union the overlapping predicted
-    components' full extents, subtract other truth lesions, Dice."""
+def _golden_component_dice(y_true, y_pred):
+    """Independent slow golden model of the reference semantics
+    (metrics.py:304-325), written set-wise: per truth lesion L, the
+    prediction operand is the union of every predicted component that
+    touches L, with voxels of OTHER truth lesions excluded; score is
+    Dice(L, that union)."""
     from scipy import ndimage
 
-    yt = (y_true > 0.5).astype(int)
-    yp = (y_pred > 0.5).astype(int)
-    lT, nT = ndimage.label(yt)
-    lP, _ = ndimage.label(yp)
-    e = []
-    for iT in range(1, nT + 1):
-        cT = (lT == iT).astype(int)
-        labels = [z for z in np.unique(lP * cT) if z != 0]
-        mP = np.isin(lP, labels).astype(int)
-        cP = ((mP - (yt - cT)) > 0.5).astype(int)
-        inter = np.sum(cT * cP)
-        denom = np.sum(cT) + np.sum(cP)
-        e.append((int(np.sum(cT)), 2.0 * inter / denom if denom else 1.0))
-    return sorted(e, key=lambda x: x[0])
+    truth_fg = np.asarray(y_true) > 0.5
+    pred_fg = np.asarray(y_pred) > 0.5
+    truth_lbl, n_truth = ndimage.label(truth_fg)
+    pred_lbl, _ = ndimage.label(pred_fg)
+    results = []
+    for lesion_id in range(1, n_truth + 1):
+        lesion = truth_lbl == lesion_id
+        touching = set(np.unique(pred_lbl[lesion])) - {0}
+        union = np.zeros_like(pred_fg)
+        for pid in touching:
+            union |= pred_lbl == pid
+        union &= ~(truth_fg & ~lesion)  # other lesions' voxels drop out
+        overlap = int(np.count_nonzero(lesion & union))
+        total = int(np.count_nonzero(lesion)) + int(np.count_nonzero(union))
+        results.append(
+            (int(np.count_nonzero(lesion)),
+             2.0 * overlap / total if total else 1.0))
+    return sorted(results, key=lambda e: e[0])
 
 
 def test_component_dice_matches_reference_golden(rng):
@@ -94,7 +100,7 @@ def test_component_dice_matches_reference_golden(rng):
         t = (rng.rand(14, 14, 14) > 0.8).astype(np.float32)
         p = (rng.rand(14, 14, 14) > 0.8).astype(np.float32)
         got = binary_component_dice(p, t)
-        want = _reference_component_dice(t, p)
+        want = _golden_component_dice(t, p)
         assert len(got) == len(want)
         # sizes must match exactly; pair dices by sorting (equal-size
         # components may legitimately order differently)
@@ -103,6 +109,22 @@ def test_component_dice_matches_reference_golden(rng):
         ):
             assert gs == ws
             np.testing.assert_allclose(gd, wd, atol=1e-12)
+
+
+def test_summarize_component_dice_lists():
+    """summarize() aggregates list-valued component_dice rows over all
+    lesions instead of crashing on ragged case lists (review regression)."""
+    from deepwmh_tpu.eval.metrics import summarize
+
+    res = {
+        "c1": {"dice": 0.5, "component_dice": [(10, 1.0), (5, 0.5)]},
+        "c2": {"dice": 0.7, "component_dice": [(3, 0.0)]},
+    }
+    out = summarize(res)
+    np.testing.assert_allclose(out["dice"]["mean"], 0.6)
+    np.testing.assert_allclose(out["component_dice"]["mean"], 0.5)
+    assert out["component_dice"]["n"] == 3
+    assert summarize({"c": {"component_dice": []}})["component_dice"]["n"] == 0
 
 
 def test_method_evaluation_subclasses(tmp_path, rng):

@@ -135,6 +135,37 @@ def test_mesh_dp_training_matches_single_device():
         bad.train(vols, verbose=False, mesh=make_mesh(2))
 
 
+def test_host_cohort_fallback_trains(monkeypatch):
+    """A cohort above the HBM budget batches from host (dp-sharded uploads
+    per step) instead of being replicated on device, and still trains."""
+    import jax
+    import pytest
+
+    from deepwmh_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("DEEPWMH_REG_COHORT_HBM_BYTES", "1024")  # force it
+    vols = make_cohort()
+    cfg = LearnedRegConfig(
+        base_features=2, max_features=4, num_pools=1, steps=2, lr=3e-3,
+    )
+    reg = LearnedRegistration((16, 16, 16), cfg)
+    assert np.isfinite(reg.train(vols, verbose=False))
+    if jax.device_count() >= 2:
+        n = 2 if jax.device_count() % 2 == 0 else jax.device_count()
+        reg2 = LearnedRegistration((16, 16, 16), cfg)
+        assert np.isfinite(reg2.train(vols, verbose=False,
+                                      mesh=make_mesh(n)))
+    # an explicit batch size that can't shard evenly stays a loud error
+    if jax.device_count() >= 4:
+        cfg_bad = LearnedRegConfig(
+            base_features=2, max_features=4, num_pools=1, steps=1,
+            batch_pairs=3,
+        )
+        reg3 = LearnedRegistration((16, 16, 16), cfg_bad)
+        with pytest.raises(ValueError, match="divide"):
+            reg3.train(vols, verbose=False, mesh=make_mesh(4))
+
+
 def test_nondivisible_grid_pads_internally():
     """Grids not divisible by 2^num_pools (arbitrary cohort shapes) are
     padded for the U-Net and the velocity cropped back (regression: odd
