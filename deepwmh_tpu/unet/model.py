@@ -93,6 +93,7 @@ class Conv3D(nn.Module):
     strides: Sequence[int] = (1, 1, 1)
     dtype: jnp.dtype = jnp.bfloat16
     decompose: bool = False
+    pad_style: str = "same"
 
     @nn.compact
     def __call__(self, x):
@@ -104,7 +105,19 @@ class Conv3D(nn.Module):
                        jnp.float32)
         w = w.astype(self.dtype)
         x = x.astype(self.dtype)
-        if self.decompose:
+        strided = any(int(s) > 1 for s in self.strides)
+        if self.pad_style == "torch" and strided:
+            # torch Conv3d(padding=k//2) geometry: symmetric padding, the
+            # window anchored one voxel earlier than XLA SAME on even
+            # inputs. Only strided convs differ (stride-1 odd-k is
+            # identical), and they never take the decomposed path here.
+            padding = tuple((int(k) // 2, int(k) // 2)
+                            for k in self.kernel_size)
+            y = jax.lax.conv_general_dilated(
+                x, w, tuple(int(s) for s in self.strides), padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        elif self.decompose:
             y = _conv3d_depth_decomposed(x, w, self.strides)
         else:
             y = jax.lax.conv_general_dilated(
@@ -120,6 +133,7 @@ class ConvNormAct(nn.Module):
     stride: Sequence[int] = (1, 1, 1)
     dtype: jnp.dtype = jnp.bfloat16
     decompose: bool = False
+    pad_style: str = "same"
 
     @nn.compact
     def __call__(self, x):
@@ -129,6 +143,7 @@ class ConvNormAct(nn.Module):
             strides=tuple(self.stride),
             dtype=self.dtype,
             decompose=self.decompose,
+            pad_style=self.pad_style,
             name="Conv_0",  # keep the nn.Conv-era parameter tree
         )(x)
         # instance norm == group norm with one channel per group; flax
@@ -185,6 +200,8 @@ class UNet3D(nn.Module):
         rematted = nn.remat(ConvNormAct)
         n_blocks = 0
 
+        pad_style = getattr(plan, "pad_style", "same")
+
         def Conv(f, k, s, dt, decompose=False, stage=0):
             nonlocal n_blocks
             blk = (
@@ -193,7 +210,7 @@ class UNet3D(nn.Module):
                 else ConvNormAct
             )
             m = blk(f, k, s, dt, decompose and self.decompose_fullres,
-                    name="ConvNormAct_%d" % n_blocks)
+                    pad_style, name="ConvNormAct_%d" % n_blocks)
             n_blocks += 1
             return m
 

@@ -47,6 +47,13 @@ class Plan:
     in_channels: int = 1
     normalization: str = "zscore"
     median_shape: list = field(default_factory=lambda: [0, 0, 0])
+    # convolution padding geometry: "same" (XLA SAME, asymmetric for even
+    # stride windows) or "torch" (symmetric k//2 on strided convs — the
+    # geometry of torch Conv3d(padding=k//2), needed for models converted
+    # from the reference's PyTorch nnU-Net checkpoints to stay bit-faithful;
+    # stride-1 odd-kernel convs are identical under both). Only strided
+    # convolutions differ.
+    pad_style: str = "same"
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

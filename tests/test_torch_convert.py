@@ -1,0 +1,210 @@
+"""Torch nnU-Net checkpoint conversion: forward parity.
+
+Builds a faithful PyTorch replica of the fork's Generic_UNet (same module
+nesting, so state_dict keys match the real checkpoints:
+conv_blocks_context.{s}.blocks.{b}, bottleneck Sequential pair, tu.{u},
+conv_blocks_localization.{u}.{0,1}, seg_outputs.{u}), randomizes it, saves
+nnU-Net-style model_best.model + plans.pkl, converts via DeepWMH_convert's
+machinery, and asserts the JAX forward reproduces the torch forward."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from deepwmh_tpu.unet.model import UNet3D  # noqa: E402
+from deepwmh_tpu.unet.torch_convert import (  # noqa: E402
+    convert_nnunet_model,
+    find_nnunet_checkpoint,
+    plan_from_nnunet_plans,
+)
+
+BASE = 4
+POOLS = [[2, 2, 2], [1, 2, 2]]
+CONVS = [[3, 3, 3], [3, 3, 3], [3, 3, 3]]
+NUM_CLASSES = 2  # background + lesion
+
+
+def _feats(stage):
+    return min(BASE * 2**stage, 320)
+
+
+class _Block(tnn.Module):
+    """ConvDropoutNormNonlin: conv -> InstanceNorm3d(affine) -> LeakyReLU."""
+
+    def __init__(self, cin, cout, k, stride):
+        super().__init__()
+        self.conv = tnn.Conv3d(cin, cout, tuple(k), tuple(stride),
+                               padding=tuple(x // 2 for x in k))
+        self.instnorm = tnn.InstanceNorm3d(cout, affine=True, eps=1e-5)
+        self.lrelu = tnn.LeakyReLU(0.01, inplace=True)
+
+    def forward(self, x):
+        return self.lrelu(self.instnorm(self.conv(x)))
+
+
+class _Stacked(tnn.Module):
+    def __init__(self, blocks):
+        super().__init__()
+        self.blocks = tnn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.blocks(x)
+
+
+class _GenericUNetReplica(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        P = len(POOLS)
+        ctx = []
+        cin = 1
+        for s in range(P):
+            stride = POOLS[s - 1] if s > 0 else (1, 1, 1)
+            ctx.append(_Stacked([
+                _Block(cin, _feats(s), CONVS[s], stride),
+                _Block(_feats(s), _feats(s), CONVS[s], (1, 1, 1)),
+            ]))
+            cin = _feats(s)
+        # bottleneck: Sequential of two single-block StackedConvLayers
+        ctx.append(tnn.Sequential(
+            _Stacked([_Block(cin, _feats(P), CONVS[P], POOLS[P - 1])]),
+            _Stacked([_Block(_feats(P), _feats(P), CONVS[P], (1, 1, 1))]),
+        ))
+        self.conv_blocks_context = tnn.ModuleList(ctx)
+        tu, loc, heads = [], [], []
+        for u in range(P):
+            below = _feats(P - u)
+            skip = _feats(P - 1 - u)
+            pool = POOLS[P - 1 - u]
+            tu.append(tnn.ConvTranspose3d(below, skip, tuple(pool),
+                                          tuple(pool), bias=False))
+            loc.append(tnn.Sequential(
+                _Stacked([_Block(2 * skip, skip, CONVS[P - 1 - u], (1, 1, 1))]),
+                _Stacked([_Block(skip, skip, CONVS[P - 1 - u], (1, 1, 1))]),
+            ))
+            heads.append(tnn.Conv3d(skip, NUM_CLASSES, 1, bias=False))
+        self.tu = tnn.ModuleList(tu)
+        self.conv_blocks_localization = tnn.ModuleList(loc)
+        self.seg_outputs = tnn.ModuleList(heads)
+
+    def forward(self, x):
+        P = len(POOLS)
+        skips = []
+        for s in range(P):
+            x = self.conv_blocks_context[s](x)
+            skips.append(x)
+        x = self.conv_blocks_context[P](x)
+        segs = []
+        for u in range(P):
+            x = self.tu[u](x)
+            x = torch.cat([x, skips[P - 1 - u]], dim=1)
+            x = self.conv_blocks_localization[u](x)
+            segs.append(self.seg_outputs[u](x))
+        return segs  # deepest first; segs[-1] is full resolution
+
+
+def _plans_dict():
+    return {
+        "plans_per_stage": {
+            0: {"patch_size": [8, 8, 8], "current_spacing": [2.0, 2.0, 2.0],
+                "pool_op_kernel_sizes": [[2, 2, 2]],
+                "conv_kernel_sizes": [[3, 3, 3], [3, 3, 3]],
+                "batch_size": 2},
+            1: {"patch_size": [16, 16, 16],
+                "current_spacing": [1.0, 1.0, 1.0],
+                "pool_op_kernel_sizes": POOLS,
+                "conv_kernel_sizes": CONVS,
+                "batch_size": 2,
+                "median_patient_size_in_voxels": [32, 32, 32]},
+        },
+        "base_num_features": BASE,
+        "num_classes": NUM_CLASSES - 1,  # nnU-Net counts foreground only
+        "num_modalities": 1,
+    }
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("conv")
+    torch.manual_seed(0)
+    net = _GenericUNetReplica().eval()
+    # nn.init leaves instnorm scale=1/bias=0; randomize so the test cannot
+    # pass with norm params accidentally ignored
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, tnn.InstanceNorm3d):
+                m.weight.copy_(0.5 + torch.rand_like(m.weight))
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+    # nnU-Net fold-dir layout
+    fold = tmp / "nnUNet" / "3d_fullres" / "Task002_FinalModel" / \
+        "nnUNetTrainerV2__nnUNetPlansv2.1" / "all"
+    fold.mkdir(parents=True)
+    torch.save({"epoch": 5, "state_dict": net.state_dict()},
+               str(fold / "model_best.model"))
+    with open(tmp / "nnUNetPlansv2.1_plans_3D.pkl", "wb") as f:
+        pickle.dump(_plans_dict(), f)
+    model, plans = find_nnunet_checkpoint(str(tmp))
+    out = convert_nnunet_model(model, plans, str(tmp / "pkg"))
+    return net, out
+
+
+def test_plan_from_plans():
+    plan = plan_from_nnunet_plans(_plans_dict())
+    assert plan.patch_size == [16, 16, 16]
+    assert plan.pool_kernels == POOLS
+    assert plan.num_classes == NUM_CLASSES
+    assert plan.base_features == BASE
+    assert plan.pad_style == "torch"
+
+
+def test_forward_parity(converted):
+    net, pkg = converted
+    from deepwmh_tpu.unet import checkpoint as ckpt
+    from deepwmh_tpu.unet.model import init_params
+    from deepwmh_tpu.unet.plan import Plan
+    from deepwmh_tpu.unet.release import PLAN_FILE
+
+    plan = Plan.load(os.path.join(pkg, PLAN_FILE))
+    # f32 model for exact comparison (the production loader runs bf16)
+    model = UNet3D(plan=plan, dtype=jnp.float32)
+    template = init_params(model, jax.random.PRNGKey(0))
+    params, _ = ckpt.load_params_only(pkg, "model_best", template)
+
+    rng = np.random.RandomState(1)
+    # pool-divisible shapes (the network only ever sees those — nnU-Net
+    # pads volumes first); even sizes are exactly where torch's symmetric
+    # strided-conv padding diverges from XLA SAME, so this fails without
+    # pad_style="torch"
+    for shape in [(12, 16, 16), (10, 24, 8)]:
+        x = rng.rand(1, *shape).astype(np.float32) * 2 - 1
+        with torch.no_grad():
+            segs = net(torch.from_numpy(x[:, None]))
+        want_full = segs[-1].numpy()  # full resolution head
+        got = model.apply({"params": params},
+                          jnp.asarray(x[..., None]), deep_supervision=True)
+        got_full = np.transpose(np.asarray(got[0]), (0, 4, 1, 2, 3))
+        np.testing.assert_allclose(got_full, want_full, atol=2e-4, rtol=1e-3)
+        # deepest supervision head maps too
+        want_deep = segs[0].numpy()
+        got_deep = np.transpose(np.asarray(got[-1]), (0, 4, 1, 2, 3))
+        np.testing.assert_allclose(got_deep, want_deep, atol=2e-4, rtol=1e-3)
+
+
+def test_converted_package_loads_and_predicts(converted):
+    _net, pkg = converted
+    from deepwmh_tpu.unet.infer import SlidingWindowPredictor
+    from deepwmh_tpu.unet.release import load_released_model
+
+    model, params, plan = load_released_model(pkg)
+    pred = SlidingWindowPredictor(model, params, plan, tta=False)
+    rng = np.random.RandomState(2)
+    seg, _fg = pred.predict_case(rng.rand(18, 20, 16).astype(np.float32) * 100,
+                                 (1.0, 1.0, 1.0))
+    assert np.asarray(seg).shape == (18, 20, 16)
