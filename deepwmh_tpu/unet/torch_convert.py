@@ -107,19 +107,30 @@ def params_from_nnunet_state_dict(state_dict: dict, plan: Plan) -> dict:
     UNet3D layout: ConvNormAct_{n} in creation order (encoder stage i ->
     2i,2i+1; decoder from deepest -> 2P+2+2u, 2P+3+2u), ConvTranspose_{u},
     seg_head_{level} with level = P-1-u (unet/model.py __call__)."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # DataParallel-trained checkpoints prefix every key with "module."
+    sd = {(k[7:] if k.startswith("module.") else k): np.asarray(v)
+          for k, v in state_dict.items()}
     P = plan.num_pools
     params = {}
+
+    def _get(key):
+        if key not in sd:
+            near = sorted(k for k in sd if k.split(".")[0] == key.split(".")[0])
+            raise KeyError(
+                "state_dict key %r not found — the checkpoint's layout "
+                "doesn't match Generic_UNet (conv_per_stage=2, convolutional "
+                "pooling/upsampling). Nearby keys: %s" % (key, near[:8]))
+        return sd[key]
 
     def block(dst_idx, conv_prefix, norm_prefix):
         entry = {
             "Conv_0": {
-                "kernel": _conv_w(sd[conv_prefix + ".weight"]),
-                "bias": np.asarray(sd[conv_prefix + ".bias"]),
+                "kernel": _conv_w(_get(conv_prefix + ".weight")),
+                "bias": np.asarray(_get(conv_prefix + ".bias")),
             },
             "GroupNorm_0": {
-                "scale": np.asarray(sd[norm_prefix + ".weight"]),
-                "bias": np.asarray(sd[norm_prefix + ".bias"]),
+                "scale": np.asarray(_get(norm_prefix + ".weight")),
+                "bias": np.asarray(_get(norm_prefix + ".bias")),
             },
         }
         params["ConvNormAct_%d" % dst_idx] = entry
@@ -138,13 +149,13 @@ def params_from_nnunet_state_dict(state_dict: dict, plan: Plan) -> dict:
     # decoder: u=0 is the deepest localization stage
     for u in range(P):
         params["ConvTranspose_%d" % u] = {
-            "kernel": _convT_w(sd["tu.%d.weight" % u])
+            "kernel": _convT_w(_get("tu.%d.weight" % u))
         }
         for b in range(2):
             block(2 * P + 2 + 2 * u + b,
                   "conv_blocks_localization.%d.%d.blocks.0.conv" % (u, b),
                   "conv_blocks_localization.%d.%d.blocks.0.instnorm" % (u, b))
-        head = {"kernel": _conv_w(sd["seg_outputs.%d.weight" % u])}
+        head = {"kernel": _conv_w(_get("seg_outputs.%d.weight" % u))}
         bias_key = "seg_outputs.%d.bias" % u
         head["bias"] = (np.asarray(sd[bias_key]) if bias_key in sd
                         else np.zeros(plan.num_classes, np.float32))
