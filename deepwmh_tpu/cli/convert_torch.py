@@ -26,24 +26,26 @@ def main(argv=None):
                         help="Output package folder (plan.json + weights).")
     parser.add_argument("-p", "--plans", type=str, default=None,
                         help="plans.pkl path (auto-discovered when omitted).")
-    parser.add_argument("--checkpoint-name", type=str, default="model_best")
+    parser.add_argument("--which", type=str, default=None,
+                        help="Which reference checkpoint file to convert "
+                        "(e.g. model_latest.model). Default: model_best, "
+                        "then final, then latest.")
     args = parser.parse_args(argv)
 
     from deepwmh_tpu.unet.torch_convert import (
         convert_nnunet_model,
-        find_nnunet_checkpoint,
+        find_nnunet_model,
+        find_nnunet_plans,
     )
 
-    if args.plans is not None:
-        from deepwmh_tpu.unet.torch_convert import find_nnunet_checkpoint as _f
-        model, _ = _f(args.input)
-        plans = args.plans
-    else:
-        model, plans = find_nnunet_checkpoint(args.input)
+    import os
+
+    model = find_nnunet_model(args.input, which=args.which)
+    plans = args.plans if args.plans is not None else find_nnunet_plans(
+        model, args.input if os.path.isdir(args.input) else None)
     print("checkpoint: %s" % model)
     print("plans:      %s" % plans)
-    out = convert_nnunet_model(model, plans, args.output_folder,
-                               checkpoint_name=args.checkpoint_name)
+    out = convert_nnunet_model(model, plans, args.output_folder)
     print("Model package written to: %s" % out)
     print('Use it with: DeepWMH_predict -m "%s" ...' % out)
 

@@ -112,8 +112,10 @@ def params_from_nnunet_state_dict(state_dict: dict, plan: Plan) -> dict:
           for k, v in state_dict.items()}
     P = plan.num_pools
     params = {}
+    consumed = set()
 
     def _get(key):
+        consumed.add(key)
         if key not in sd:
             near = sorted(k for k in sd if k.split(".")[0] == key.split(".")[0])
             raise KeyError(
@@ -157,9 +159,26 @@ def params_from_nnunet_state_dict(state_dict: dict, plan: Plan) -> dict:
                   "conv_blocks_localization.%d.%d.blocks.0.instnorm" % (u, b))
         head = {"kernel": _conv_w(_get("seg_outputs.%d.weight" % u))}
         bias_key = "seg_outputs.%d.bias" % u
-        head["bias"] = (np.asarray(sd[bias_key]) if bias_key in sd
-                        else np.zeros(plan.num_classes, np.float32))
+        if bias_key in sd:
+            consumed.add(bias_key)
+            head["bias"] = np.asarray(sd[bias_key])
+        else:
+            head["bias"] = np.zeros(plan.num_classes, np.float32)
         params["seg_head_%d" % (P - 1 - u)] = head
+
+    # every weight must land somewhere: a fork variant with EXTRA layers
+    # (e.g. conv_per_stage=3) would otherwise convert into a silently
+    # different function. Loud failure per the repo's artifact contract.
+    leftover = sorted(
+        k for k in sd
+        if k not in consumed and not k.endswith("num_batches_tracked")
+    )
+    if leftover:
+        raise RuntimeError(
+            "checkpoint has %d weight tensors this converter did not map "
+            "(unsupported architecture variant): %s%s"
+            % (len(leftover), ", ".join(leftover[:6]),
+               ", ..." if len(leftover) > 6 else ""))
 
     return {k: _tree_f32(v) for k, v in params.items()}
 
@@ -170,48 +189,84 @@ def _tree_f32(t):
     return np.asarray(t, np.float32)
 
 
-def find_nnunet_checkpoint(root: str):
-    """Locate model_best.model + plans.pkl under a reference model install
-    (install_model.py:85-106 layout) or accept direct file paths."""
+def find_nnunet_model(root: str, which: str = None) -> str:
+    """Locate the nnU-Net checkpoint under a reference model install
+    (install_model.py:85-106 layout) or accept a direct file path.
+    `which` pins a checkpoint filename (e.g. 'model_latest.model'); the
+    default prefers model_best, then final, then latest. Several matches
+    (multi-task/multi-fold installs) are an error, not an arbitrary pick —
+    matching resolve_model_dir's refuse-ambiguity contract."""
     if os.path.isfile(root):
-        model = root
-    else:
-        model = None
-        for dirpath, _dirs, files in os.walk(root):
-            for name in ("model_best.model", "model_final_checkpoint.model",
-                         "model_latest.model"):
-                if name in files:
-                    model = os.path.join(dirpath, name)
-                    break
-            if model:
-                break
-        if model is None:
+        return root
+    if not os.path.isdir(root):
+        raise RuntimeError('Directory not exist: "%s".' % root)
+    names = [which] if which else [
+        "model_best.model", "model_final_checkpoint.model",
+        "model_latest.model",
+    ]
+    for name in names:
+        found = sorted(
+            os.path.join(dirpath, name)
+            for dirpath, _dirs, files in os.walk(root)
+            if name in files
+        )
+        if len(found) > 1:
             raise RuntimeError(
-                "no nnU-Net checkpoint (*.model) found under %s" % root)
-    # plans.pkl sits in the trainer directory (two levels up from the fold
-    # dir) or at the install root as <planner>_plans_3D.pkl
-    candidates = []
-    d = os.path.dirname(model)
-    for up in range(3):
-        candidates.append(os.path.join(d, "plans.pkl"))
-        d = os.path.dirname(d)
-    top = root if os.path.isdir(root) else os.path.dirname(root)
-    for dirpath, _dirs, files in os.walk(top):
-        for name in files:
-            if name.endswith("_plans_3D.pkl") or name == "plans.pkl":
-                candidates.append(os.path.join(dirpath, name))
-    for c in candidates:
-        if os.path.isfile(c):
-            return model, c
+                "several %s checkpoints under %s: %s — point -i at one of "
+                "them directly." % (name, root, ", ".join(found)))
+        if found:
+            return found[0]
     raise RuntimeError(
-        "found checkpoint %s but no plans.pkl next to it" % model)
+        "no nnU-Net checkpoint (%s) found under %s"
+        % ("/".join(names), root))
 
 
-def convert_nnunet_model(model_path: str, plans_path: str, out_folder: str,
-                         checkpoint_name: str = "model_best") -> str:
+def find_nnunet_plans(model_path: str, root: str = None) -> str:
+    """Locate the plans pickle for a checkpoint: the trainer directory's
+    plans.pkl (an ancestor of the fold dir), falling back to a UNIQUE
+    *_plans_3D.pkl / plans.pkl under the search root. Ambiguity is an
+    error (pairing weights with another task's plans silently changes
+    spacing/patch geometry) — pass -p to pin one."""
+    d = os.path.dirname(os.path.abspath(model_path))
+    for _up in range(4):
+        cand = os.path.join(d, "plans.pkl")
+        if os.path.isfile(cand):
+            return cand
+        d = os.path.dirname(d)
+    top = root if root and os.path.isdir(root) \
+        else os.path.dirname(os.path.abspath(model_path))
+    cands = sorted(
+        os.path.join(dirpath, name)
+        for dirpath, _dirs, files in os.walk(top)
+        for name in files
+        if name.endswith("_plans_3D.pkl") or name == "plans.pkl"
+    )
+    if len(cands) == 1:
+        return cands[0]
+    if not cands:
+        raise RuntimeError(
+            "no plans.pkl found for checkpoint %s — pass -p explicitly"
+            % model_path)
+    raise RuntimeError(
+        "several plans files near %s: %s — pass -p to pick one."
+        % (model_path, ", ".join(cands)))
+
+
+def find_nnunet_checkpoint(root: str, which: str = None):
+    """(model_path, plans_path) for a reference install — see
+    find_nnunet_model / find_nnunet_plans."""
+    model = find_nnunet_model(root, which)
+    return model, find_nnunet_plans(model, root if os.path.isdir(root) else None)
+
+
+def convert_nnunet_model(model_path: str, plans_path: str,
+                         out_folder: str) -> str:
     """Convert a reference torch checkpoint into a framework model package
     (plan.json + msgpack weights + manifest) loadable by
-    unet.release.load_released_model. Returns the package folder."""
+    unet.release.load_released_model. The output checkpoint is always
+    named model_best — the name every loader expects; WHICH reference
+    checkpoint to convert is chosen by `model_path` (see
+    find_nnunet_model's `which`). Returns the package folder."""
     import torch
 
     from deepwmh_tpu.core.artifacts import atomic_write_json, mkdir
@@ -230,7 +285,7 @@ def convert_nnunet_model(model_path: str, plans_path: str, out_folder: str,
     out = mkdir(out_folder)
     meta = {"converted_from": os.path.basename(model_path),
             "epoch": int(blob.get("epoch", -1)) if isinstance(blob, dict) else -1}
-    ckpt.save_checkpoint(out, checkpoint_name, params, meta=meta)
+    ckpt.save_checkpoint(out, ckpt.MODEL_BEST, params, meta=meta)
     plan.save(os.path.join(out, release.PLAN_FILE))
     atomic_write_json(
         {"package": "deepwmh_tpu", "version": __version__, "format": 1,

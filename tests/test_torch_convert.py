@@ -197,6 +197,54 @@ def test_forward_parity(converted):
         np.testing.assert_allclose(got_deep, want_deep, atol=2e-4, rtol=1e-3)
 
 
+def test_discovery_edge_cases(tmp_path, converted):
+    """Review regressions: explicit -p works without auto-discovery,
+    ambiguous checkpoints/plans refuse, extra weights are a loud error."""
+    from deepwmh_tpu.unet.torch_convert import (
+        find_nnunet_model,
+        find_nnunet_plans,
+        params_from_nnunet_state_dict,
+        plan_from_nnunet_plans,
+    )
+
+    net, _pkg = converted
+    # isolated checkpoint file + plans elsewhere (-p path): no discovery
+    lone = tmp_path / "lone"
+    lone.mkdir()
+    model_file = str(lone / "model_best.model")
+    torch.save({"epoch": 1, "state_dict": net.state_dict()}, model_file)
+    assert find_nnunet_model(model_file) == model_file
+    with pytest.raises(RuntimeError, match="no plans"):
+        find_nnunet_plans(model_file)
+
+    # two tasks with the same checkpoint name -> refuse ambiguity
+    multi = tmp_path / "multi"
+    for task in ("TaskA", "TaskB"):
+        d = multi / task / "all"
+        d.mkdir(parents=True)
+        torch.save({"state_dict": net.state_dict()},
+                   str(d / "model_best.model"))
+    with pytest.raises(RuntimeError, match="several"):
+        find_nnunet_model(str(multi))
+    # --which falls through to a uniquely-named checkpoint
+    torch.save({"state_dict": net.state_dict()},
+               str(multi / "TaskA" / "all" / "model_latest.model"))
+    got = find_nnunet_model(str(multi), which="model_latest.model")
+    assert got.endswith("TaskA/all/model_latest.model")
+
+    # unmapped extra weights are a loud error, not a silent drop
+    plan = plan_from_nnunet_plans(_plans_dict())
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    sd["conv_blocks_context.0.blocks.2.conv.weight"] = \
+        np.zeros((4, 4, 3, 3, 3), np.float32)
+    with pytest.raises(RuntimeError, match="did not map"):
+        params_from_nnunet_state_dict(sd, plan)
+    # DataParallel prefixes strip cleanly
+    sd_dp = {"module." + k: v.numpy() for k, v in net.state_dict().items()}
+    params = params_from_nnunet_state_dict(sd_dp, plan)
+    assert "ConvNormAct_0" in params
+
+
 def test_converted_package_loads_and_predicts(converted):
     _net, pkg = converted
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
