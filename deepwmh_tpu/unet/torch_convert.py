@@ -276,6 +276,21 @@ def convert_nnunet_model(model_path: str, plans_path: str,
 
     plans = load_nnunet_plans(plans_path)
     plan = plan_from_nnunet_plans(plans)
+    # normalization parity: this framework z-scores over the whole volume,
+    # which is nnU-Net's nonCT path with use_nonzero_mask=False (the usual
+    # outcome for non-skull-stripped MRI, where the nonzero crop is ~the
+    # whole image). Plans that normalized within a nonzero MASK saw
+    # different input statistics in training — warn loudly.
+    mask_norm = plans.get("use_mask_for_norm") or {}
+    if any(bool(v) for v in
+           (mask_norm.values() if isinstance(mask_norm, dict) else [mask_norm])):
+        import warnings
+
+        warnings.warn(
+            "this checkpoint's plans used nonzero-mask normalization "
+            "(use_mask_for_norm=True); this framework normalizes over the "
+            "whole volume, so inference inputs will be scaled slightly "
+            "differently than in training.")
     blob = torch.load(model_path, map_location="cpu", weights_only=False)
     state_dict = blob["state_dict"] if "state_dict" in blob else blob
     state_dict = {k: v.numpy() if hasattr(v, "numpy") else v
