@@ -256,3 +256,27 @@ def test_converted_package_loads_and_predicts(converted):
     seg, _fg = pred.predict_case(rng.rand(18, 20, 16).astype(np.float32) * 100,
                                  (1.0, 1.0, 1.0))
     assert np.asarray(seg).shape == (18, 20, 16)
+
+
+def test_bf16_decisions_match_torch(converted):
+    """The production loader runs the converted model at bf16; its argmax
+    decisions must agree with the torch f32 model on almost all voxels
+    (bit-parity is f32-only, tested above)."""
+    net, pkg = converted
+    from deepwmh_tpu.unet import checkpoint as ckpt
+    from deepwmh_tpu.unet.model import init_params
+    from deepwmh_tpu.unet.plan import Plan
+    from deepwmh_tpu.unet.release import PLAN_FILE
+
+    plan = Plan.load(os.path.join(pkg, PLAN_FILE))
+    model = UNet3D(plan=plan)  # default bf16
+    template = init_params(model, jax.random.PRNGKey(0))
+    params, _ = ckpt.load_params_only(pkg, "model_best", template)
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 12, 16, 16).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        want = net(torch.from_numpy(x[:, None]))[-1].numpy().argmax(1)
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(x[..., None]))).argmax(-1)
+    agree = float(np.mean(got == want))
+    assert agree > 0.98, agree
