@@ -287,6 +287,11 @@ def load_nifti_simple(path, return_type="float32"):
 
 
 def _write_payload(payload, path, level=4):
+    """Write atomically (tmp + os.replace): a reader — including a
+    concurrent duplicate run after stale-claim recovery, or any consumer
+    that trusts a success receipt — must never observe a torn file. A
+    loadability probe that accepted a truncated artifact would poison every
+    later resume."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     if str(path).endswith(".gz"):
         blob = None
@@ -298,11 +303,19 @@ def _write_payload(payload, path, level=4):
             blob = None
         if blob is None:
             blob = gzip.compress(payload, compresslevel=level)
-        with open(path, "wb") as f:
-            f.write(blob)
     else:
-        with open(path, "wb") as f:
-            f.write(payload)
+        blob = payload
+    tmp = "%s.tmp-%d" % (path, os.getpid())
+    try:
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def save_nifti(data, header, path, dtype="float32", level=4):

@@ -290,19 +290,26 @@ N4_SHARD_MIN_VOXELS = 64_000_000
 _auto_ops = None
 
 
-def n4_bias_correction_auto(data, **kwargs):
-    """n4_bias_correction with automatic spatial sharding: big volumes
-    (>= N4_SHARD_MIN_VOXELS) on a multi-device backend run slab-sharded
-    over the mesh; everything else takes the single-device program."""
-    global _auto_ops
+def n4_would_shard(shape) -> bool:
+    """True when n4_bias_correction_auto would route this shape to the
+    slab-sharded program. The fused-case gate (pipeline/inference._can_fuse)
+    must agree with the auto router, so both call THIS predicate."""
     vox = 1
-    for s in np.shape(data):
+    for s in shape:
         vox *= int(s)
     # a select_device pin (-g/--device: one chip per process) must win over
     # auto-sharding: building a mesh over ALL devices from a pinned process
     # would trample the other processes' chips
     pinned = jax.config.jax_default_device is not None
-    if vox >= N4_SHARD_MIN_VOXELS and jax.device_count() > 1 and not pinned:
+    return vox >= N4_SHARD_MIN_VOXELS and jax.device_count() > 1 and not pinned
+
+
+def n4_bias_correction_auto(data, **kwargs):
+    """n4_bias_correction with automatic spatial sharding: big volumes
+    (>= N4_SHARD_MIN_VOXELS) on a multi-device backend run slab-sharded
+    over the mesh; everything else takes the single-device program."""
+    global _auto_ops
+    if n4_would_shard(np.shape(data)):
         if _auto_ops is None or _auto_ops.n != jax.device_count():
             from deepwmh_tpu.parallel.mesh import make_mesh
             from deepwmh_tpu.parallel.spatial import HaloShardedOps

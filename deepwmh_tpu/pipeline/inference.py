@@ -34,18 +34,12 @@ def make_output_folders(output_folder):
 
 def _can_fuse(shape, skip_bfc) -> bool:
     """The fused program runs N4 single-device (replicated under a mesh);
-    volumes big enough for the slab-sharded N4 keep the staged path so
-    n4_bias_correction_auto can route them (ops/n4.py)."""
-    import jax
+    volumes the auto router would slab-shard keep the staged path. Shares
+    the ROUTER'S OWN predicate so the two can never diverge (a fresh case
+    and a resumed case must produce the same pre artifact)."""
+    from deepwmh_tpu.ops.n4 import n4_would_shard
 
-    from deepwmh_tpu.ops.n4 import N4_SHARD_MIN_VOXELS
-
-    if skip_bfc or jax.device_count() == 1:
-        return True
-    if jax.config.jax_default_device is not None:
-        return True  # pinned process: the staged path would also run
-        # single-device N4 (n4_bias_correction_auto honors the pin)
-    return int(np.prod(shape)) < N4_SHARD_MIN_VOXELS
+    return skip_bfc or not n4_would_shard(shape)
 
 
 def predict_one_case(
@@ -78,12 +72,16 @@ def predict_one_case(
 
     raw_data = None
     fov_data = None
-    loaded = None  # (data, hdr) for image_path, reused by whichever path runs
+    # (data, hdr) for image_path, reused by whichever path runs — the serve
+    # prefetch's decode must help the staged fallback too, not just the
+    # fused branch
+    loaded = preloaded
     fused = not any(
         nifti.try_load_nifti(p) for p in (pre_path, raw_seg, seg_3mm, seg_fov)
     )
     if fused:
-        loaded = preloaded if preloaded is not None else nifti.load_nifti(image_path)
+        if loaded is None:
+            loaded = nifti.load_nifti(image_path)
         data, hdr = loaded
         if not _can_fuse(data.shape, skip_bfc):
             fused = False

@@ -144,6 +144,13 @@ class SpoolServer:
         for _mt, fn, (case, ext) in pending:
             src = join_path(self.spool_dir, fn)
             dst = join_path(self.work_dir, fn)
+            if os.path.exists(dst):
+                # this server already holds an unfinished claim of the same
+                # case (a client resubmission): renaming over it would swap
+                # the in-flight run's input mid-pipeline and lose the new
+                # request. Leave it in the spool; it is claimed after the
+                # in-flight one finishes (process() removes the claim).
+                continue
             try:
                 os.rename(src, dst)
             except OSError:
@@ -162,10 +169,54 @@ class SpoolServer:
                 json.dump({"server_id": self.server_id, "served": 0,
                            "failed": 0}, f)
 
+    @staticmethod
+    def _input_sha(path):
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    def _clear_case_artifacts(self, case):
+        """Remove a case's artifacts so a CHANGED resubmission recomputes
+        instead of serving the old input's results through resume probes."""
+        paths = [
+            join_path(self.folders["images"], "%s_0000.nii.gz" % case),
+            join_path(self.folders["raw"], "%s.nii.gz" % case),
+            join_path(self.folders["post_3mm"], "%s.nii.gz" % case),
+            join_path(self.folders["post_fov"], "%s.nii.gz" % case),
+            join_path(self.folders["previews"], "%s.gif" % case),
+        ]
+        for p in paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     def process(self, case, claimed_path, preloaded=None):
         from deepwmh_tpu.pipeline.inference import predict_one_case
 
         t0 = time.time()
+        # a resubmission under an existing case name with DIFFERENT bytes
+        # must recompute — without this, the artifact resume probes would
+        # acknowledge the new request with the OLD input's segmentation
+        input_sha = self._input_sha(claimed_path)
+        receipt_path = join_path(self.done_dir, "%s.json" % case)
+        if os.path.isfile(receipt_path):
+            try:
+                with open(receipt_path) as f:
+                    prev_sha = json.load(f).get("input_sha256")
+            except (OSError, ValueError):
+                prev_sha = None
+            if prev_sha is not None and prev_sha != input_sha:
+                print(
+                    "case %s resubmitted with different content — "
+                    "recomputing" % case, flush=True)
+                self._clear_case_artifacts(case)
+                # preloaded stays: the prefetch decoded the claimed file,
+                # which IS the new submission
         try:
             seg_path = predict_one_case(
                 self.predictor, case, claimed_path, self.folders,
@@ -193,6 +244,7 @@ class SpoolServer:
             "server_id": self.server_id,
             "latency_s": round(latency, 3),
             "segmentation": seg_path,
+            "input_sha256": input_sha,
             "finished_at": time.strftime("%Y-%m-%d %H:%M:%S"),
         }
         tmp = join_path(self.done_dir, ".%s.json.tmp" % case)

@@ -343,6 +343,14 @@ class CaseProgramMixin:
 
     def _build_case_fn(self, orig_shape, spacing, apply_n4):
         plan = self.plan
+        if int(plan.num_classes) != 2:
+            # the whole case pipeline downstream (fg>0.5 threshold, 3mm
+            # spark removal, FOV masking, lesion-overlay previews) is
+            # binary-segmentation semantics; running a multi-class plan
+            # through it would silently drop classes 2+
+            raise ValueError(
+                "case inference is binary (background+lesion); plan has "
+                "num_classes=%d" % plan.num_classes)
         res_shape = self._res_shape(orig_shape, spacing)
         run_sweep, target = self._make_run_sweep(res_shape)
 

@@ -201,6 +201,65 @@ def test_serve_with_mesh(tmp_path):
     assert nifti.try_load_nifti(seg)
 
 
+def test_resubmission_while_in_flight_not_clobbered(served):
+    """A same-name request arriving while the case is claimed must NOT be
+    renamed over the in-flight claim (which would swap its input and lose
+    the new request) — it stays in the spool until the claim clears."""
+    srv, spool, out, *_ = served
+    claimed = None
+    try:
+        spool_request(spool, "caseC", seed=2)
+        claimed = srv.claim_one()
+        assert claimed is not None and claimed[0] == "caseC"
+        # resubmission lands while caseC is in flight
+        spool_request(spool, "caseC", seed=3)
+        assert srv.claim_one() is None  # skipped, NOT clobbered
+        assert os.path.isfile(os.path.join(spool, "caseC.nii.gz"))
+        assert os.path.isfile(claimed[1])  # in-flight claim untouched
+    finally:
+        # clean up both so later fixture assertions see an empty spool
+        if claimed:
+            os.remove(claimed[1])
+        os.remove(os.path.join(spool, "caseC.nii.gz"))
+
+
+def test_changed_resubmission_recomputes(served):
+    """Resubmitting a case with DIFFERENT bytes recomputes instead of
+    serving the old segmentation through the artifact resume probes; the
+    receipt records the input hash."""
+    srv, spool, out, *_ = served
+    receipt_path = os.path.join(spool, ".done", "caseA.json")
+    sha0 = json.load(open(receipt_path))["input_sha256"]
+    pre = os.path.join(out, "001_Preprocessed_Images", "caseA_0000.nii.gz")
+    old_pre = nifti.load_nifti_simple(pre)
+
+    # identical resubmission: acknowledged without clearing artifacts
+    spool_request(spool, "caseA", seed=0)
+    srv.drain()
+    assert json.load(open(receipt_path))["input_sha256"] == sha0
+
+    # changed resubmission: artifacts recomputed from the new bytes
+    spool_request(spool, "caseA", seed=7)
+    srv.drain()
+    r = json.load(open(receipt_path))
+    assert r["input_sha256"] != sha0
+    new_pre = nifti.load_nifti_simple(pre)
+    # skip_bfc: pre IS the input volume, so it must now differ
+    assert not np.allclose(old_pre, new_pre)
+    np.testing.assert_allclose(new_pre, head_volume(seed=7), atol=1e-4)
+
+
+def test_save_nifti_is_atomic(tmp_path):
+    """Artifact writes go through tmp+os.replace and leave no temp files —
+    a reader can never observe a torn volume (RELIABILITY.md)."""
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape((4, 4, 4))
+    p = str(tmp_path / "x.nii.gz")
+    nifti.save_nifti(np.ones((4, 4, 4), np.float32), hdr, p)
+    assert nifti.try_load_nifti(p)
+    assert [f for f in os.listdir(tmp_path) if ".tmp-" in f] == []
+
+
 def test_stop_mid_drain_unclaims_prefetched(served):
     """STOP arriving while a case computes: the in-flight case finishes,
     the already-claimed (prefetched) next request goes back to the spool."""
