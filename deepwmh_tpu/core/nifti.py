@@ -302,7 +302,10 @@ def _write_payload(payload, path, level=4):
         except Exception:
             blob = None
         if blob is None:
-            blob = gzip.compress(payload, compresslevel=level)
+            # mtime=0 like the native zlib path: identical data -> identical
+            # bytes, so content hashes (serve resubmission receipts) and
+            # re-written duplicate artifacts are deterministic
+            blob = gzip.compress(payload, compresslevel=level, mtime=0)
     else:
         blob = payload
     tmp = "%s.tmp-%d" % (path, os.getpid())

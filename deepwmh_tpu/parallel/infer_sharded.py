@@ -105,6 +105,10 @@ class ShardedSlidingWindowPredictor(CaseProgramMixin):
 
     def __init__(self, model, params, plan, mesh, tta: bool = False, step_fraction=0.5,
                  mode: str = "auto"):
+        if int(plan.num_classes) != 2:
+            raise ValueError(
+                "case inference is binary (background+lesion); plan has "
+                "num_classes=%d" % plan.num_classes)
         self.model = model
         self.params = params
         self.plan = plan

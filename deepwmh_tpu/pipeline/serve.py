@@ -144,12 +144,13 @@ class SpoolServer:
         for _mt, fn, (case, ext) in pending:
             src = join_path(self.spool_dir, fn)
             dst = join_path(self.work_dir, fn)
-            if os.path.exists(dst):
-                # this server already holds an unfinished claim of the same
-                # case (a client resubmission): renaming over it would swap
-                # the in-flight run's input mid-pipeline and lose the new
-                # request. Leave it in the spool; it is claimed after the
-                # in-flight one finishes (process() removes the claim).
+            if self._claimed_anywhere(fn):
+                # SOME server holds an unfinished claim of the same case (a
+                # client resubmission landed meanwhile): claiming it now
+                # would either swap the in-flight run's input mid-pipeline
+                # (same server) or race two servers' artifact writes for one
+                # case (fleet). Leave it in the spool; it is claimed after
+                # the in-flight one finishes (process() removes the claim).
                 continue
             try:
                 os.rename(src, dst)
@@ -157,6 +158,35 @@ class SpoolServer:
                 continue  # lost the race for this one; try the next
             return case, dst
         return None
+
+    def _claimed_anywhere(self, fn) -> bool:
+        """True if ANY server's work dir holds an unfinished claim of this
+        request filename."""
+        root = join_path(self.spool_dir, ".work")
+        try:
+            sids = os.listdir(root)
+        except OSError:
+            return False
+        for sid in sids:
+            if os.path.exists(join_path(root, sid, fn)):
+                return True
+        return False
+
+    def _respool(self, src_path):
+        """Return a claimed request to the spool — UNLESS a newer
+        submission of the same case is already there, in which case the
+        old claim is superseded and dropped (renaming over the spool file
+        would destroy the newer request's bytes)."""
+        fn = os.path.basename(src_path)
+        target = join_path(self.spool_dir, fn)
+        if os.path.exists(target):
+            try:
+                os.remove(src_path)
+            except FileNotFoundError:
+                pass
+            return False
+        os.rename(src_path, target)
+        return True
 
     def _heartbeat(self):
         """Freshen this server's status mtime — the liveness signal
@@ -179,44 +209,66 @@ class SpoolServer:
                 h.update(chunk)
         return h.hexdigest()
 
-    def _clear_case_artifacts(self, case):
-        """Remove a case's artifacts so a CHANGED resubmission recomputes
-        instead of serving the old input's results through resume probes."""
-        paths = [
+    def _case_artifacts(self, case):
+        return [
             join_path(self.folders["images"], "%s_0000.nii.gz" % case),
             join_path(self.folders["raw"], "%s.nii.gz" % case),
             join_path(self.folders["post_3mm"], "%s.nii.gz" % case),
             join_path(self.folders["post_fov"], "%s.nii.gz" % case),
             join_path(self.folders["previews"], "%s.gif" % case),
         ]
-        for p in paths:
+
+    def _clear_case_artifacts(self, case):
+        """Invalidate the receipt FIRST (a consumer must never hold a
+        receipt whose artifacts are gone or about to change), then remove
+        the artifacts so a CHANGED resubmission recomputes instead of
+        serving the old input's results through resume probes. A removal
+        failure of an EXISTING file raises: leaving one behind would let
+        the resume probes silently serve stale data under a fresh
+        receipt."""
+        try:
+            os.remove(join_path(self.done_dir, "%s.json" % case))
+        except FileNotFoundError:
+            pass
+        for p in self._case_artifacts(case):
             try:
                 os.remove(p)
-            except OSError:
+            except FileNotFoundError:
                 pass
 
-    def process(self, case, claimed_path, preloaded=None):
+    def process(self, case, claimed_path, preloaded=None, input_sha=None):
         from deepwmh_tpu.pipeline.inference import predict_one_case
 
         t0 = time.time()
         # a resubmission under an existing case name with DIFFERENT bytes
         # must recompute — without this, the artifact resume probes would
-        # acknowledge the new request with the OLD input's segmentation
-        input_sha = self._input_sha(claimed_path)
+        # acknowledge the new request with the OLD input's segmentation.
+        # The prefetch thread hashes while it decodes; fall back to a
+        # synchronous read only when no prefetch ran.
+        if input_sha is None:
+            input_sha = self._input_sha(claimed_path)
         receipt_path = join_path(self.done_dir, "%s.json" % case)
+        prev_sha = None
         if os.path.isfile(receipt_path):
             try:
                 with open(receipt_path) as f:
                     prev_sha = json.load(f).get("input_sha256")
             except (OSError, ValueError):
                 prev_sha = None
-            if prev_sha is not None and prev_sha != input_sha:
-                print(
-                    "case %s resubmitted with different content — "
-                    "recomputing" % case, flush=True)
-                self._clear_case_artifacts(case)
-                # preloaded stays: the prefetch decoded the claimed file,
-                # which IS the new submission
+        if prev_sha != input_sha and (
+            prev_sha is not None
+            or any(os.path.exists(p) for p in self._case_artifacts(case))
+        ):
+            # covers BOTH a recorded different hash and an UNKNOWN
+            # provenance (pre-upgrade receipt, or artifacts without a
+            # receipt): stamping the new sha onto old artifacts would make
+            # a stale result permanent and undetectable
+            print(
+                "case %s: input provenance %s — recomputing"
+                % (case, "changed" if prev_sha else "unknown"), flush=True)
+            self._clear_case_artifacts(case)
+            # preloaded stays: the prefetch decoded the claimed file,
+            # which IS the new submission
         try:
             seg_path = predict_one_case(
                 self.predictor, case, claimed_path, self.folders,
@@ -282,9 +334,10 @@ class SpoolServer:
         n = 0
         for fn in os.listdir(self.work_dir):
             if case_name_of(fn) is not None:
-                os.rename(join_path(self.work_dir, fn),
-                          join_path(self.spool_dir, fn))
-                n += 1
+                # _respool, never a bare rename: a newer resubmission of
+                # the same case may be sitting in the spool and must win
+                if self._respool(join_path(self.work_dir, fn)):
+                    n += 1
         return n
 
     def recover_stale(self, stale_after: float = 1800.0):
@@ -318,9 +371,8 @@ class SpoolServer:
             n = 0
             for fn in pending:
                 try:
-                    os.rename(join_path(wdir, fn),
-                              join_path(self.spool_dir, fn))
-                    n += 1
+                    if self._respool(join_path(wdir, fn)):
+                        n += 1
                 except OSError:
                     continue  # another recoverer beat us to it
             if n:
@@ -350,6 +402,9 @@ class SpoolServer:
 
         def run():
             try:
+                # hash here too: process() then needs no second full read
+                # of the request on the latency path
+                box["sha"] = self._input_sha(claimed[1])
                 box["v"] = nifti.load_nifti(claimed[1])
             except Exception:
                 pass
@@ -360,9 +415,9 @@ class SpoolServer:
 
     def _unclaim(self, claimed):
         """Return a claimed-but-unprocessed request to the spool (STOP
-        arrived between claim and process)."""
-        os.rename(claimed[1],
-                  join_path(self.spool_dir, os.path.basename(claimed[1])))
+        arrived between claim and process); a newer resubmission already
+        in the spool wins over the unprocessed claim."""
+        self._respool(claimed[1])
 
     def drain(self):
         """Process everything currently claimable, prefetching the next
@@ -381,7 +436,8 @@ class SpoolServer:
             (case, path), thread, box = cur
             thread.join()
             print(">> case %s" % case, flush=True)
-            self.process(case, path, preloaded=box.get("v"))
+            self.process(case, path, preloaded=box.get("v"),
+                         input_sha=box.get("sha"))
             if self.stop_requested() and nxt is not None:
                 self._unclaim(nxt[0])
                 nxt = None

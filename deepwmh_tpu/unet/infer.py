@@ -406,6 +406,13 @@ class SlidingWindowPredictor(CaseProgramMixin):
 
     def __init__(self, model, params, plan, tta: bool = True, step_fraction: float = 0.5,
                  mode: str = "auto"):
+        # refuse misconfiguration at LOAD, not per request: a serve fleet
+        # with a multi-class plan must fail at startup, not quarantine
+        # every request as a bad input (the _build_case_fn guard backstops)
+        if int(plan.num_classes) != 2:
+            raise ValueError(
+                "case inference is binary (background+lesion); plan has "
+                "num_classes=%d" % plan.num_classes)
         self.model = model
         self.params = params
         self.plan = plan

@@ -249,6 +249,69 @@ def test_changed_resubmission_recomputes(served):
     np.testing.assert_allclose(new_pre, head_volume(seed=7), atol=1e-4)
 
 
+def test_respool_never_clobbers_newer_submission(served):
+    """recover_work/_unclaim/recover_stale route through _respool: a claim
+    returning to the spool must NOT replace a newer resubmission's bytes —
+    the old claim is superseded and dropped."""
+    srv, spool, out, *_ = served
+    import shutil
+
+    spool_request(spool, "caseD", seed=4)
+    claimed = srv.claim_one()
+    assert claimed[0] == "caseD"
+    # newer submission lands while claimed
+    spool_request(spool, "caseD", seed=5)
+    newer = open(os.path.join(spool, "caseD.nii.gz"), "rb").read()
+    assert srv._respool(claimed[1]) is False  # superseded, dropped
+    assert not os.path.exists(claimed[1])
+    assert open(os.path.join(spool, "caseD.nii.gz"), "rb").read() == newer
+    # no conflict: respool restores the claim
+    claimed2 = (srv.claim_one() or (None, None))
+    assert claimed2[0] == "caseD"
+    assert srv._respool(claimed2[1]) is True
+    os.remove(os.path.join(spool, "caseD.nii.gz"))
+
+
+def test_inflight_guard_covers_other_servers(served, tmp_path):
+    """A resubmission is not claimable while ANY server holds the case —
+    two servers must never compute one case concurrently on different
+    bytes."""
+    srv, spool, out, *_ = served
+    other = os.path.join(spool, ".work", "other-srv")
+    os.makedirs(other, exist_ok=True)
+    try:
+        spool_request(spool, "caseE", seed=6)
+        # simulate another server's in-flight claim of caseE
+        open(os.path.join(other, "caseE.nii.gz"), "wb").write(b"x")
+        assert srv.claim_one() is None
+        os.remove(os.path.join(other, "caseE.nii.gz"))
+        claimed = srv.claim_one()
+        assert claimed[0] == "caseE"
+        os.remove(claimed[1])
+    finally:
+        os.rmdir(other)
+        p = os.path.join(spool, "caseE.nii.gz")
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def test_changed_resubmission_invalidates_receipt_first(served):
+    """While a changed resubmission recomputes, no receipt exists (a
+    consumer must never hold a receipt whose artifacts are being
+    replaced); unknown provenance (receipt without sha) also recomputes."""
+    srv, spool, out, *_ = served
+    receipt = os.path.join(spool, ".done", "caseB.json")
+    assert os.path.isfile(receipt)
+    # strip the sha -> unknown provenance -> recompute path
+    r = json.load(open(receipt))
+    del r["input_sha256"]
+    json.dump(r, open(receipt, "w"))
+    spool_request(spool, "caseB", seed=1)
+    srv.drain()
+    r2 = json.load(open(receipt))
+    assert "input_sha256" in r2  # re-stamped by the recompute
+
+
 def test_save_nifti_is_atomic(tmp_path):
     """Artifact writes go through tmp+os.replace and leave no temp files —
     a reader can never observe a torn volume (RELIABILITY.md)."""
@@ -269,9 +332,9 @@ def test_stop_mid_drain_unclaims_prefetched(served):
     stop = os.path.join(spool, "STOP")
     orig = srv.process
 
-    def process_and_stop(case, path, preloaded=None):
+    def process_and_stop(case, path, **kw):
         open(stop, "w").close()
-        return orig(case, path, preloaded=preloaded)
+        return orig(case, path, **kw)
 
     srv.process = process_and_stop
     try:
