@@ -3,7 +3,7 @@
 Reproduces the reference CLI surface and output layout
 (deepwmh/main/predict.py:50-199):
 
-  -i images -n names -m model -o output [-g device] [--skip-bfc]
+  -i images -n names -m model -o output [-g device | --mesh] [--skip-bfc]
   output/001_Preprocessed_Images/<case>_0000.nii.gz        (N4-corrected)
   output/002_Segmentations/001_raw/<case>.nii.gz           (raw U-Net seg)
   output/002_Segmentations/002_postproc_3mm/<case>.nii.gz  (3mm spark removal)
@@ -42,13 +42,26 @@ def run_predict(
     make_previews: bool = True,
     checkpoint_name: str = "model_best",
     task_name: str | None = None,
+    mesh=None,
 ):
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
     from deepwmh_tpu.unet.release import load_released_model, resolve_model_dir
 
     model_dir = resolve_model_dir(model_dir, task_name)
     model, params, plan = load_released_model(model_dir, checkpoint_name)
-    predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
+    if mesh is not None:
+        # shard each volume's sweep over the mesh (flip-sharded whole-volume
+        # TTA / patch-sharded Gaussian sweep) — minimum per-volume latency,
+        # same predict_one_case artifact contract (CaseProgramMixin)
+        from deepwmh_tpu.parallel.infer_sharded import (
+            ShardedSlidingWindowPredictor,
+        )
+
+        predictor = ShardedSlidingWindowPredictor(
+            model, params, plan, mesh, tta=tta
+        )
+    else:
+        predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
 
     folders = make_output_folders(output_folder)
     for case, image_path in zip(case_names, input_images):
@@ -87,6 +100,11 @@ def main(argv=None):
                         "(predict.py:150); lets N CLI runs share a "
                         "multi-chip host, one chip each (default: the "
                         "backend's default device).")
+    parser.add_argument("--mesh", action="store_true",
+                        help="Shard each volume's TTA sweep over every "
+                        "visible device for minimum per-volume latency "
+                        "(vs -g: N runs, one chip each, for throughput). "
+                        "Mutually exclusive with -g.")
     parser.add_argument("--skip-bfc", action="store_true",
                         help="[Advanced] Skip N4 bias field correction.")
     parser.add_argument("--custom-task-name", type=str, default=None,
@@ -108,6 +126,14 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    if args.mesh and args.gpu is not None:
+        parser.error("--mesh and -g/--gpu are mutually exclusive")
+    mesh = None
+    if args.mesh:
+        from deepwmh_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print("mesh: sharding each sweep over %d device(s)" % mesh.size)
     if args.gpu is not None:
         from deepwmh_tpu.parallel.mesh import select_device
 
@@ -138,6 +164,7 @@ def main(argv=None):
         make_previews=not args.no_previews,
         checkpoint_name=args.checkpoint,
         task_name=args.custom_task_name,
+        mesh=mesh,
     )
 
 

@@ -210,3 +210,43 @@ def test_can_fuse_respects_sharded_n4_routing():
     assert _can_fuse(big, skip_bfc=True)
     if jax.device_count() > 1:
         assert not _can_fuse(big, skip_bfc=False)
+
+
+def test_cli_predict_mesh(tmp_path, rng):
+    """--mesh: the batch CLI shards each volume's sweep over the device
+    mesh (parallel/infer_sharded) while keeping the artifact contract."""
+    import pytest
+
+    from deepwmh_tpu.cli import predict as predict_cli
+
+    train_dir, plan = make_trained_dir(tmp_path)
+    rel_dir = str(tmp_path / "release")
+    release_model(train_dir, plan, rel_dir, make_tarball=False)
+
+    vol = (rng.rand(20, 20, 16) * 100).astype(np.float32)
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape(vol.shape)
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    img_path = str(tmp_path / "c1.nii.gz")
+    nifti.save_nifti(vol, hdr, img_path)
+    out = str(tmp_path / "mesh_out")
+    predict_cli.main(
+        [
+            "-i", img_path, "-n", "c1", "-m", rel_dir, "-o", out,
+            "--mesh", "--skip-bfc", "--disable-tta", "--no-previews",
+            "--skip-integrity-check",
+        ]
+    )
+    seg = nifti.load_nifti_simple(
+        os.path.join(out, "002_Segmentations/003_postproc_fov/c1.nii.gz")
+    )
+    assert seg.shape == vol.shape
+
+    # single-chip pinning and mesh sharding are opposite deployment shapes
+    with pytest.raises(SystemExit):
+        predict_cli.main(
+            [
+                "-i", img_path, "-n", "c1", "-m", rel_dir, "-o", out,
+                "--mesh", "-g", "0", "--skip-integrity-check",
+            ]
+        )
