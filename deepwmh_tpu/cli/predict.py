@@ -42,8 +42,10 @@ def run_predict(
     make_previews: bool = True,
     checkpoint_name: str = "model_best",
     task_name: str | None = None,
-    mesh=None,
+    mesh: "jax.sharding.Mesh | None" = None,
 ):
+    """mesh: when given, selects the sharded predictor — each volume's TTA
+    sweep is split over the mesh devices (parallel/infer_sharded.py)."""
     from deepwmh_tpu.unet.infer import SlidingWindowPredictor
     from deepwmh_tpu.unet.release import load_released_model, resolve_model_dir
 
@@ -102,9 +104,9 @@ def main(argv=None):
                         "backend's default device).")
     parser.add_argument("--mesh", action="store_true",
                         help="Shard each volume's TTA sweep over every "
-                        "visible device for minimum per-volume latency "
-                        "(vs -g: N runs, one chip each, for throughput). "
-                        "Mutually exclusive with -g.")
+                        "device local to this host for minimum per-volume "
+                        "latency (vs -g: N runs, one chip each, for "
+                        "throughput). Mutually exclusive with -g.")
     parser.add_argument("--skip-bfc", action="store_true",
                         help="[Advanced] Skip N4 bias field correction.")
     parser.add_argument("--custom-task-name", type=str, default=None,
@@ -128,17 +130,10 @@ def main(argv=None):
 
     if args.mesh and args.gpu is not None:
         parser.error("--mesh and -g/--gpu are mutually exclusive")
-    mesh = None
-    if args.mesh:
-        from deepwmh_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh()
-        print("mesh: sharding each sweep over %d device(s)" % mesh.size)
-    if args.gpu is not None:
-        from deepwmh_tpu.parallel.mesh import select_device
-
-        select_device(args.gpu)
-
+    # argument errors must fail fast WITHOUT touching devices: jax.devices()
+    # blocks forever when the TPU tunnel is down, so all cheap validation
+    # runs before any mesh/device selection
     if len(args.case_names) != len(args.input_images):
         raise SystemExit(
             "Number of input images (%d) must equal number of case names (%d)."
@@ -153,6 +148,19 @@ def main(argv=None):
     }
     if not check_dataset(dataset):
         raise SystemExit(1)
+
+    mesh = None
+    if args.mesh:
+        from deepwmh_tpu.parallel.mesh import make_mesh
+
+        # local=True: this is a single-process CLI — on a multi-host pod
+        # only THIS host's chips are addressable from one process
+        mesh = make_mesh(local=True)
+        print("mesh: sharding each sweep over %d device(s)" % mesh.size)
+    if args.gpu is not None:
+        from deepwmh_tpu.parallel.mesh import select_device
+
+        select_device(args.gpu)
 
     run_predict(
         dataset["flair"],

@@ -18,12 +18,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_mesh(n_devices: int = None, axis: str = "dp"):
-    """A 1-D data-parallel mesh over the first n local (or all) devices."""
+def make_mesh(n_devices: int = None, axis: str = "dp", local: bool = False):
+    """A 1-D data-parallel mesh over the first n (or all) devices.
+
+    local=True restricts to jax.local_devices() — required for
+    single-process CLIs (e.g. DeepWMH_predict --mesh) where a global mesh
+    on a multi-host pod would contain non-addressable devices."""
     import jax
     from jax.sharding import Mesh
 
-    devs = jax.devices()
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
