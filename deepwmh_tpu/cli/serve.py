@@ -72,6 +72,12 @@ def main(argv=None):
                         help="[Advanced] Pick one model package when the "
                         "model root contains several task folders "
                         "(same semantics as DeepWMH_predict).")
+    parser.add_argument("--batch-max", type=int, default=4,
+                        help="Burst batching: same-geometry requests pending "
+                        "at the same moment run as ONE vmapped program, up "
+                        "to this many (bounded latency: a lone request never "
+                        "waits for companions). 1 disables; ignored with "
+                        "--mesh.")
     args = parser.parse_args(argv)
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
@@ -88,8 +94,10 @@ def main(argv=None):
 
         from deepwmh_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh()
-        print("mesh: sharding each sweep over %d device(s)" % jax.device_count())
+        # local=True: a single-process server can only address this host's
+        # chips (same reasoning as DeepWMH_predict --mesh)
+        mesh = make_mesh(local=True)
+        print("mesh: sharding each sweep over %d device(s)" % mesh.size)
     elif args.device is not None:
         from deepwmh_tpu.parallel.mesh import select_device
 
@@ -110,6 +118,7 @@ def main(argv=None):
         settle_seconds=args.settle_seconds,
         stale_after=args.stale_after,
         task_name=args.custom_task_name,
+        batch_max=args.batch_max,
     )
 
     # finish the in-flight case, then exit cleanly

@@ -42,6 +42,107 @@ def _can_fuse(shape, skip_bfc) -> bool:
     return skip_bfc or not n4_would_shard(shape)
 
 
+def predict_batch_cases(
+    predictor,
+    cases,
+    folders,
+    skip_bfc: bool = False,
+    make_previews: bool = True,
+    preloads: dict | None = None,
+):
+    """A BURST of same-geometry cases through ONE vmapped fused program
+    (CaseProgramMixin.predict_case_full_batch) — the serving burst path.
+
+    cases: list of (case, image_path), all sharing volume shape AND spacing
+    (the caller buckets; asserted here). preloads: {case: (data, hdr)}
+    already decoded. Cases that are not fresh (existing artifacts: resume
+    semantics demand the staged path) or not fuseable run individually via
+    predict_one_case. Per-case artifacts and previews are identical to the
+    one-case path. Returns {case: seg_fov_path}."""
+    import jax.numpy as jnp
+
+    preloads = dict(preloads or {})
+    batch, solo = [], []
+    for case, image_path in cases:
+        paths = [
+            join_path(folders["images"], "%s_0000.nii.gz" % case),
+            join_path(folders["raw"], "%s.nii.gz" % case),
+            join_path(folders["post_3mm"], "%s.nii.gz" % case),
+            join_path(folders["post_fov"], "%s.nii.gz" % case),
+        ]
+        if case not in preloads:
+            preloads[case] = nifti.load_nifti(image_path)
+        data, hdr = preloads[case]
+        if any(nifti.try_load_nifti(p) for p in paths) or not _can_fuse(
+            data.shape, skip_bfc
+        ):
+            solo.append((case, image_path))
+        else:
+            batch.append((case, image_path, data, hdr))
+
+    out = {}
+    if len(batch) >= 2:
+        shapes = {d.shape for _, _, d, _ in batch}
+        zooms = {tuple(round(float(z), 4) for z in h.zooms[:3])
+                 for _, _, _, h in batch}
+        assert len(shapes) == 1 and len(zooms) == 1, (
+            "burst cases must share geometry: shapes=%s zooms=%s"
+            % (shapes, zooms))
+        spacing = [abs(z) for z in next(iter(zooms))]
+        stack = jnp.stack([jnp.asarray(d, jnp.float32) for _, _, d, _ in batch])
+        try:
+            pre_b, seg_b, s3_b, fov_b, _fg_b = predictor.predict_case_full_batch(
+                stack, spacing, apply_n4=not skip_bfc
+            )
+            for i, (case, image_path, data, hdr) in enumerate(batch):
+                pre_path = join_path(folders["images"], "%s_0000.nii.gz" % case)
+                raw_seg = join_path(folders["raw"], "%s.nii.gz" % case)
+                seg_3mm = join_path(folders["post_3mm"], "%s.nii.gz" % case)
+                seg_fov = join_path(folders["post_fov"], "%s.nii.gz" % case)
+                nifti.save_nifti(np.asarray(pre_b[i]), hdr, pre_path)
+                nifti.save_nifti(np.asarray(seg_b[i]), hdr, raw_seg)
+                nifti.save_nifti(np.asarray(s3_b[i]), hdr, seg_3mm)
+                fov_np = np.asarray(fov_b[i])
+                nifti.save_nifti(fov_np, hdr, seg_fov)
+                out[case] = seg_fov
+                if make_previews:
+                    _render_preview(folders, case, data, fov_np)
+        except Exception as e:
+            # the batch is an optimization, never a correctness boundary:
+            # any failure degrades to the per-case path (which quarantines
+            # individually in serving)
+            print("burst of %d failed (%r); falling back to per-case"
+                  % (len(batch), e), flush=True)
+            solo.extend((case, p) for case, p, _, _ in batch)
+    else:
+        solo.extend((case, p) for case, p, _, _ in batch)
+
+    for case, image_path in solo:
+        out[case] = predict_one_case(
+            predictor, case, image_path, folders,
+            skip_bfc=skip_bfc, make_previews=make_previews,
+            preloaded=preloads.get(case),
+        )
+    return out
+
+
+def _render_preview(folders, case, raw_data, fov_data):
+    """Best-effort GIF preview (same policy as predict_one_case)."""
+    from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
+
+    out_gif = join_path(folders["previews"], "%s.gif" % case)
+    try:
+        if not try_load_gif(out_gif):
+            s0, s1 = nii_slice_range(raw_data, axis="axial")
+            nii_as_gif(
+                raw_data, out_gif, axis="axial", lesion_mask=fov_data,
+                side_by_side=True, slice_range=(s0, s1),
+            )
+    except Exception as e:
+        print("warning: preview rendering failed for %s: %r" % (case, e),
+              flush=True)
+
+
 def predict_one_case(
     predictor,
     case,

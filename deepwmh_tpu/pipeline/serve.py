@@ -63,6 +63,7 @@ class SpoolServer:
         settle_seconds: float = 2.0,
         stale_after: float = 1800.0,
         task_name: str | None = None,
+        batch_max: int = 4,
     ):
         from deepwmh_tpu.pipeline.inference import make_output_folders
         from deepwmh_tpu.unet.infer import SlidingWindowPredictor
@@ -103,6 +104,13 @@ class SpoolServer:
             )
         else:
             self.predictor = SlidingWindowPredictor(model, params, plan, tta=tta)
+
+        # burst batching: same-geometry requests that are claimable at the
+        # same moment run as ONE vmapped fused program (bounded latency: only
+        # what is already pending is batched — a lone request never waits).
+        # The mesh predictor shards a single volume's sweep across devices;
+        # batching on top of it is not supported, so mesh forces 1.
+        self.batch_max = 1 if mesh is not None else max(int(batch_max), 1)
 
         self._t0 = time.time()
         self.served = 0
@@ -236,17 +244,10 @@ class SpoolServer:
             except FileNotFoundError:
                 pass
 
-    def process(self, case, claimed_path, preloaded=None, input_sha=None):
-        from deepwmh_tpu.pipeline.inference import predict_one_case
-
-        t0 = time.time()
-        # a resubmission under an existing case name with DIFFERENT bytes
-        # must recompute — without this, the artifact resume probes would
-        # acknowledge the new request with the OLD input's segmentation.
-        # The prefetch thread hashes while it decodes; fall back to a
-        # synchronous read only when no prefetch ran.
-        if input_sha is None:
-            input_sha = self._input_sha(claimed_path)
+    def _check_provenance(self, case, input_sha):
+        """A resubmission under an existing case name with DIFFERENT bytes
+        must recompute — without this, the artifact resume probes would
+        acknowledge the new request with the OLD input's segmentation."""
         receipt_path = join_path(self.done_dir, "%s.json" % case)
         prev_sha = None
         if os.path.isfile(receipt_path):
@@ -267,8 +268,34 @@ class SpoolServer:
                 "case %s: input provenance %s — recomputing"
                 % (case, "changed" if prev_sha else "unknown"), flush=True)
             self._clear_case_artifacts(case)
-            # preloaded stays: the prefetch decoded the claimed file,
-            # which IS the new submission
+            # any preloaded volume stays valid: the prefetch decoded the
+            # claimed file, which IS the new submission
+
+    def _write_receipt(self, case, latency, seg_path, input_sha, burst=1):
+        receipt = {
+            "case": case,
+            "server_id": self.server_id,
+            "latency_s": round(latency, 3),
+            "segmentation": seg_path,
+            "input_sha256": input_sha,
+            "finished_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        if burst > 1:
+            receipt["burst_size"] = burst
+        tmp = join_path(self.done_dir, ".%s.json.tmp" % case)
+        with open(tmp, "w") as f:
+            json.dump(receipt, f, indent=1)
+        os.replace(tmp, join_path(self.done_dir, "%s.json" % case))
+
+    def process(self, case, claimed_path, preloaded=None, input_sha=None):
+        from deepwmh_tpu.pipeline.inference import predict_one_case
+
+        t0 = time.time()
+        # the prefetch thread hashes while it decodes; fall back to a
+        # synchronous read only when no prefetch ran
+        if input_sha is None:
+            input_sha = self._input_sha(claimed_path)
+        self._check_provenance(case, input_sha)
         try:
             seg_path = predict_one_case(
                 self.predictor, case, claimed_path, self.folders,
@@ -291,24 +318,56 @@ class SpoolServer:
             return False
         latency = time.time() - t0
         self.served += 1
-        receipt = {
-            "case": case,
-            "server_id": self.server_id,
-            "latency_s": round(latency, 3),
-            "segmentation": seg_path,
-            "input_sha256": input_sha,
-            "finished_at": time.strftime("%Y-%m-%d %H:%M:%S"),
-        }
-        tmp = join_path(self.done_dir, ".%s.json.tmp" % case)
-        with open(tmp, "w") as f:
-            json.dump(receipt, f, indent=1)
-        os.replace(tmp, join_path(self.done_dir, "%s.json" % case))
+        self._write_receipt(case, latency, seg_path, input_sha)
         try:
             os.remove(claimed_path)
         except OSError:
             pass  # a stale-recoverer re-spooled it mid-run; the receipt
             # stands and the duplicate run will find complete artifacts
         self._write_status(case, latency, ok=True)
+        return True
+
+    def process_batch(self, items):
+        """A burst of same-geometry requests through ONE vmapped fused
+        program (pipeline/inference.predict_batch_cases). items:
+        [(case, claimed_path, prefetch_box)], len >= 2, identical volume
+        shape and spacing (drain groups them). Receipts, claim removal,
+        provenance and status are per case, exactly like process(); any
+        burst-level failure degrades to the per-case path so a single bad
+        input quarantines alone."""
+        from deepwmh_tpu.pipeline.inference import predict_batch_cases
+
+        t0 = time.time()
+        preloads, shas = {}, {}
+        for case, path, box in items:
+            sha = box.get("sha") or self._input_sha(path)
+            shas[case] = sha
+            self._check_provenance(case, sha)
+            if box.get("v") is not None:
+                preloads[case] = box["v"]
+        try:
+            seg_paths = predict_batch_cases(
+                self.predictor, [(c, p) for c, p, _ in items], self.folders,
+                skip_bfc=self.skip_bfc, make_previews=self.make_previews,
+                preloads=preloads,
+            )
+        except Exception:
+            ok = True
+            for case, path, box in items:
+                ok = self.process(
+                    case, path, preloaded=box.get("v"), input_sha=shas[case]
+                ) and ok
+            return ok
+        latency = time.time() - t0
+        for case, path, _box in items:
+            self.served += 1
+            self._write_receipt(case, latency, seg_paths[case], shas[case],
+                                burst=len(items))
+            try:
+                os.remove(path)
+            except OSError:
+                pass  # stale-recoverer re-spooled it; receipt stands
+            self._write_status(case, latency, ok=True)
         return True
 
     def _write_status(self, case, latency, ok):
@@ -419,29 +478,71 @@ class SpoolServer:
         in the spool wins over the unprocessed claim."""
         self._respool(claimed[1])
 
-    def drain(self):
-        """Process everything currently claimable, prefetching the next
-        request's IO while the current one computes; returns
-        (served, failed) deltas for this call."""
-        s0, f0 = self.served, self.failed
-        cur = None
-        if not self.stop_requested():
+    def _claim_burst_loads(self):
+        """Claim up to batch_max currently-pending requests and start their
+        IO loads concurrently. Only what is already claimable is taken —
+        a lone request is never delayed waiting for companions (the
+        bounded-latency contract of burst batching)."""
+        loads = []
+        while len(loads) < self.batch_max and not self.stop_requested():
             claimed = self.claim_one()
-            cur = self._start_load(claimed) if claimed else None
-        while cur is not None:
-            nxt = None
-            if not self.stop_requested():
-                claimed = self.claim_one()
-                nxt = self._start_load(claimed) if claimed else None
-            (case, path), thread, box = cur
-            thread.join()
-            print(">> case %s" % case, flush=True)
-            self.process(case, path, preloaded=box.get("v"),
-                         input_sha=box.get("sha"))
-            if self.stop_requested() and nxt is not None:
-                self._unclaim(nxt[0])
-                nxt = None
-            cur = nxt
+            if claimed is None:
+                break
+            loads.append(self._start_load(claimed))
+        return loads
+
+    @staticmethod
+    def _group_by_geometry(items):
+        """Group [(case, path, box)] by (shape, spacing) of the prefetched
+        volume; requests whose prefetch failed become singletons (their
+        error surfaces through the per-case path)."""
+        groups, order = {}, []
+        for it in items:
+            case, _path, box = it
+            v = box.get("v")
+            if v is None:
+                key = ("solo", case)
+            else:
+                data, hdr = v
+                key = (tuple(data.shape),
+                       tuple(round(float(z), 4) for z in hdr.zooms[:3]))
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(it)
+        return [groups[k] for k in order]
+
+    def drain(self):
+        """Process everything currently claimable: claim a burst, group by
+        volume geometry, run each same-geometry group >= 2 as ONE vmapped
+        program (process_batch) and singletons through the one-case path,
+        prefetching the NEXT burst's IO while the current one computes;
+        returns (served, failed) deltas for this call."""
+        s0, f0 = self.served, self.failed
+        loads = self._claim_burst_loads()
+        while loads:
+            items = []
+            for (case, path), thread, box in loads:
+                thread.join()
+                items.append((case, path, box))
+            # claim + start loading the next burst BEFORE computing this one
+            # (IO overlaps device compute)
+            next_loads = [] if self.stop_requested() else self._claim_burst_loads()
+            for group in self._group_by_geometry(items):
+                if len(group) >= 2 and self.batch_max > 1:
+                    print(">> burst of %d: %s"
+                          % (len(group), [c for c, _, _ in group]), flush=True)
+                    self.process_batch(group)
+                else:
+                    for case, path, box in group:
+                        print(">> case %s" % case, flush=True)
+                        self.process(case, path, preloaded=box.get("v"),
+                                     input_sha=box.get("sha"))
+            if self.stop_requested() and next_loads:
+                for claimed, _t, _b in next_loads:
+                    self._unclaim(claimed)
+                next_loads = []
+            loads = next_loads
         return self.served - s0, self.failed - f0
 
     def serve_forever(self):

@@ -341,6 +341,32 @@ class CaseProgramMixin:
             )
         return self._case_cache[key](self.params, data)
 
+    def predict_case_full_batch(self, datas, spacing, apply_n4: bool = False):
+        """predict_case_full for a BURST of same-geometry volumes: one
+        vmapped fused program over the stacked batch [B,D,H,W]. Returns the
+        same 5-tuple with a leading batch axis.
+
+        This is the serving burst path (pipeline/serve.py): same-shape spool
+        requests that arrived together run as ONE program dispatch — the
+        U-Net convolutions see an effective batch of B*|flips|, which keeps
+        the MXU fed where B=1 whole-volume convs underfill the batch
+        dimension, and B-1 tunnel round-trips are saved. The batch is
+        B-specific per compile; callers bucket B (powers of two) to bound
+        compile count."""
+        import jax
+
+        datas = jnp.asarray(datas, jnp.float32)
+        assert datas.ndim == 4, "expect [B,D,H,W]"
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = ("fullbatch", datas.shape, spacing_r, apply_n4)
+        if key not in self._case_cache:
+            case_fn = self._build_case_fn(datas.shape[1:], spacing_r, False)
+            full_fn = _build_full_case_fn(case_fn, spacing_r, apply_n4)
+            self._case_cache[key] = jax.jit(
+                jax.vmap(full_fn, in_axes=(None, 0))
+            )
+        return self._case_cache[key](self.params, datas)
+
     def _build_case_fn(self, orig_shape, spacing, apply_n4):
         plan = self.plan
         if int(plan.num_classes) != 2:

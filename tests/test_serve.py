@@ -327,6 +327,7 @@ def test_stop_mid_drain_unclaims_prefetched(served):
     """STOP arriving while a case computes: the in-flight case finishes,
     the already-claimed (prefetched) next request goes back to the spool."""
     srv, spool, out, *_ = served
+    srv.batch_max = 1  # prefetch/unclaim semantics are the per-case path's
     spool_request(spool, "caseG", seed=6)
     spool_request(spool, "caseH", seed=7)
     stop = os.path.join(spool, "STOP")
@@ -439,3 +440,72 @@ def test_two_servers_share_one_spool(tmp_path):
     assert a.served + b.served == 4 and a.served >= 1 and b.served >= 1
     done = sorted(os.listdir(os.path.join(spool, ".done")))
     assert done == ["case%d.json" % i for i in range(4)]
+
+
+def test_burst_batching_contract(tmp_path):
+    """Same-geometry requests pending together run as ONE vmapped program
+    (receipts carry burst_size); a different-geometry request in the same
+    drain runs per-case. Outputs match the one-case path bit-for-bit."""
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    for i in range(3):
+        spool_request(spool, "same%d" % i, seed=i)
+    # one request on a different grid
+    hdr = nifti.NiftiHeader()
+    hdr.set_shape((20, 24, 20))
+    hdr.set_zooms((2.0, 2.0, 2.0))
+    nifti.save_nifti(head_volume((20, 24, 20), seed=9), hdr,
+                     os.path.join(spool, "odd.nii.gz"))
+
+    srv = SpoolServer(
+        spool, str(tmp_path / "out"), model_dir,
+        skip_bfc=True, tta=False, make_previews=False, server_id="burst",
+        settle_seconds=0.0, batch_max=8,
+    )
+    served, failed = srv.drain()
+    assert (served, failed) == (4, 0)
+    for i in range(3):
+        r = json.load(open(os.path.join(spool, ".done", "same%d.json" % i)))
+        assert r.get("burst_size") == 3, r
+    r = json.load(open(os.path.join(spool, ".done", "odd.json")))
+    assert "burst_size" not in r
+
+    # bit-equivalence with the one-case path on the same input
+    single = SpoolServer(
+        spool, str(tmp_path / "out_single"), model_dir,
+        skip_bfc=True, tta=False, make_previews=False, server_id="single",
+        settle_seconds=0.0, batch_max=1,
+    )
+    spool_request(spool, "same0", seed=0)  # resubmit the identical bytes
+    assert single.drain() == (1, 0)
+    a = nifti.load_nifti_simple(os.path.join(
+        str(tmp_path / "out"), "002_Segmentations", "003_postproc_fov",
+        "same0.nii.gz"))
+    b = nifti.load_nifti_simple(os.path.join(
+        str(tmp_path / "out_single"), "002_Segmentations", "003_postproc_fov",
+        "same0.nii.gz"))
+    assert np.array_equal(a, b)
+
+
+def test_burst_failure_degrades_to_per_case(tmp_path):
+    """A burst-level program failure must not fail the requests: each runs
+    through the per-case path (and only genuinely bad inputs quarantine)."""
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    spool_request(spool, "x0", seed=0)
+    spool_request(spool, "x1", seed=1)
+    srv = SpoolServer(
+        spool, str(tmp_path / "out"), model_dir,
+        skip_bfc=True, tta=False, make_previews=False, server_id="bf",
+        settle_seconds=0.0, batch_max=4,
+    )
+
+    def boom(*a, **kw):
+        raise RuntimeError("burst compile failed")
+
+    srv.predictor.predict_case_full_batch = boom
+    assert srv.drain() == (2, 0)
+    for case in ("x0", "x1"):
+        assert os.path.isfile(os.path.join(spool, ".done", "%s.json" % case))
