@@ -280,3 +280,88 @@ def test_bf16_decisions_match_torch(converted):
                                  jnp.asarray(x[..., None]))).argmax(-1)
     agree = float(np.mean(got == want))
     assert agree > 0.98, agree
+
+
+def test_full_predict_path_matches_torch_sweep(converted):
+    """The whole-predict-path equivalence the reference's install contract
+    implies (deepwmh/main/install_model.py:91-106): a converted model run
+    through OUR full path (resample -> z-score -> Gaussian sliding window
+    with mirror TTA -> resample back -> threshold) must produce the same
+    segmentation as the torch network pushed through a from-scratch
+    replica of the nnU-Net sweep on the same preprocessed volume —
+    not just an agreeing single forward."""
+    net, pkg = converted
+    from deepwmh_tpu.unet import checkpoint as ckpt
+    from deepwmh_tpu.unet.infer import (
+        ALL_FLIPS,
+        SlidingWindowPredictor,
+        gaussian_importance_map,
+        patch_positions,
+    )
+    from deepwmh_tpu.unet.model import init_params
+    from deepwmh_tpu.unet.plan import Plan
+    from deepwmh_tpu.unet.preprocess import (
+        pad_to,
+        padded_shape,
+        preprocess_case,
+        resample_to_shape,
+    )
+    from deepwmh_tpu.unet.release import PLAN_FILE
+
+    plan = Plan.load(os.path.join(pkg, PLAN_FILE))
+    model = UNet3D(plan=plan, dtype=jnp.float32)  # f32 for tight comparison
+    template = init_params(model, jax.random.PRNGKey(0))
+    params, _ = ckpt.load_params_only(pkg, "model_best", template)
+
+    # synthetic head at anisotropic spacing so the resample legs are real
+    shape = (18, 26, 22)
+    spacing = (1.4, 1.0, 1.0)
+    g = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape], indexing="ij")
+    r = np.sqrt(sum(a**2 for a in g))
+    vol = ((r < 0.8) * (200 + 40 * np.random.RandomState(5).rand(*shape))
+           ).astype(np.float32)
+
+    # OUR full path, forced onto the patch sweep (the sweep being replicated)
+    pred = SlidingWindowPredictor(model, params, plan, tta=True, mode="patch")
+    seg_ours, fg_ours = pred.predict_case(vol, spacing)
+
+    # torch replica of the sweep on the SAME preprocessed volume
+    pre = np.asarray(preprocess_case(jnp.asarray(vol), spacing, plan))
+    patch = tuple(plan.patch_size)
+    target = padded_shape(pre.shape, patch)
+    padded = np.asarray(pad_to(jnp.asarray(pre), target))
+    pos, pos_w = patch_positions(target, patch, 0.5)
+    gauss = np.asarray(gaussian_importance_map(patch))
+    acc = np.zeros(target + (2,), np.float64)
+    wt = np.zeros(target, np.float64)
+    for p, w in zip(np.asarray(pos), np.asarray(pos_w)):
+        if w == 0:
+            continue  # bucket padding
+        z, y, x = [int(v) for v in p]
+        crop = padded[z:z + patch[0], y:y + patch[1], x:x + patch[2]]
+        probs = np.zeros(patch + (2,), np.float64)
+        for flips in ALL_FLIPS:
+            axes = [a for a, f in enumerate(flips) if f]
+            xf = np.flip(crop, axes) if axes else crop
+            with torch.no_grad():
+                logits = net(torch.from_numpy(
+                    np.ascontiguousarray(xf)[None, None]))[-1][0]
+            sm = torch.softmax(logits, 0).numpy().transpose(1, 2, 3, 0)
+            probs += np.flip(sm, axes) if axes else sm
+        probs /= len(ALL_FLIPS)
+        acc[z:z + patch[0], y:y + patch[1], x:x + patch[2]] += \
+            probs * gauss[..., None]
+        wt[z:z + patch[0], y:y + patch[1], x:x + patch[2]] += gauss
+    sm_t = acc / np.maximum(wt, 1e-8)[..., None]
+    fg_t = sm_t[: pre.shape[0], : pre.shape[1], : pre.shape[2], 1]
+    fg_t_orig = np.asarray(
+        resample_to_shape(jnp.asarray(fg_t.astype(np.float32)), shape, order=1)
+    )
+    seg_t = (fg_t_orig > 0.5).astype(np.uint8)
+
+    agree = float(np.mean(np.asarray(seg_ours) == seg_t))
+    assert agree > 0.999, "segmentation agreement %.5f" % agree
+    np.testing.assert_allclose(
+        np.asarray(fg_ours), fg_t_orig, atol=5e-3,
+        err_msg="fg probability field diverges from the torch sweep",
+    )
