@@ -66,17 +66,23 @@ def run_train(
     distributed=None,
     batch_pairs=1,
     mesh=None,
+    registration_mode="auto",
 ):
     """quick_registration/large_deformation both default ON: the training
     command the reference emits composes the two switches
     (deepwmh/main/train.py:215). mesh: a jax.sharding.Mesh shards
-    registration pair batches AND pipeline training across devices."""
+    registration pair batches AND pipeline training across devices.
+    registration_mode: 'svf' (per-pair optimization), 'learned' (one
+    amortized network, the reference's VoxelMorph pathway), or 'auto' —
+    learned above the measured pair-count crossover
+    (registration/policy.py)."""
     from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
     from deepwmh_tpu.registration.group import (
         GroupRegistration,
         apply_pair_transforms,
         pair_name,
     )
+    from deepwmh_tpu.registration.policy import select_registration_mode
 
     # absolute from the start: the emitted regsource/regtarget CSVs and
     # run_registration.sh are a MULTI-MACHINE contract (another host runs
@@ -127,30 +133,48 @@ def run_train(
         join_path(output_folder, "regtarget.csv"),
         {"case": training_dataset["case"], "data": [train_paths[c] for c in training_dataset["case"]]},
     )
+    mode = select_registration_mode(
+        len(S), len(T), mode=registration_mode, distributed=distributed
+    )
+    print("registration mode: %s (%d pairs%s)"
+          % (mode, len(S) * len(T),
+             "" if registration_mode != "auto" else ", auto-selected"))
     with open(join_path(output_folder, "run_registration.sh"), "w") as f:
         f.write(
             "#!/bin/sh\n"
             "# Distribute registration over machines sharing this filesystem by\n"
             "# running shard k of n on each: add --distributed k/n\n"
+            "# (per-pair sharding applies to the svf mode; --learned trains\n"
+            "#  one shared network on a single host instead)\n"
             "deepwmhGroupRegistration -s '%s' -t '%s' -o '%s'"
-            " --keep-deformation%s%s\n"
+            " --keep-deformation%s%s%s\n"
             % (
                 join_path(output_folder, "regsource.csv"),
                 join_path(output_folder, "regtarget.csv"),
                 registration_folder,
                 " --allow-quick-registration" if quick_registration else "",
                 " --allow-large-deformations" if large_deformation else "",
+                " --learned" if mode == "learned" else "",
             )
         )
     os.chmod(join_path(output_folder, "run_registration.sh"), 0o755)
 
-    reg = GroupRegistration(
-        S, T, registration_folder, keep_deformation=True, quick=quick_registration,
-        large_deformation=large_deformation, distributed=distributed,
-    )
-    if mesh is not None:
-        batch_pairs = max(batch_pairs, int(mesh.size))
-    reg.launch(batch_pairs=batch_pairs, mesh=mesh)
+    if mode == "learned":
+        from deepwmh_tpu.registration.learned_group import (
+            LearnedGroupRegistration,
+        )
+
+        reg = LearnedGroupRegistration(S, T, registration_folder, mesh=mesh)
+        reg.launch()
+    else:
+        reg = GroupRegistration(
+            S, T, registration_folder, keep_deformation=True,
+            quick=quick_registration,
+            large_deformation=large_deformation, distributed=distributed,
+        )
+        if mesh is not None:
+            batch_pairs = max(batch_pairs, int(mesh.size))
+        reg.launch(batch_pairs=batch_pairs, mesh=mesh)
 
     # barrier: with --distributed a/b this shard only registered part of the
     # pair list; continue only when every pair's FULL artifact set (warped
@@ -282,6 +306,15 @@ def main(argv=None):
     parser.add_argument("--batch-pairs", type=int, default=1,
                         help="[Advanced] Register N same-geometry pairs "
                         "simultaneously (one vmapped XLA program per chunk).")
+    parser.add_argument("--registration-mode",
+                        choices=["auto", "svf", "learned"], default="auto",
+                        help="Pairwise registration engine: 'svf' optimizes "
+                        "every pair, 'learned' trains ONE network and "
+                        "registers each pair with a forward pass (the "
+                        "reference's VoxelMorph pathway). 'auto' picks "
+                        "learned above the measured pair-count crossover "
+                        "(quality measured equal on the non-circular "
+                        "label-overlap benchmark; docs/PERF.md).")
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 
@@ -345,6 +378,7 @@ def main(argv=None):
         budget=budget,
         batch_pairs=args.batch_pairs,
         mesh=mesh,
+        registration_mode=args.registration_mode,
     )
 
 

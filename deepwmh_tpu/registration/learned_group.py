@@ -94,6 +94,12 @@ class LearnedGroupRegistration:
         self.template_iterations = template_iterations
         self.mesh = mesh  # dp mesh for the network-training pair batches
 
+    def pair_complete(self, s_name: str, t_name: str) -> bool:
+        """Public resume/barrier probe — same contract as
+        GroupRegistration.pair_complete (cli/train.py's completion barrier
+        works with either mode)."""
+        return self._pair_complete(s_name, t_name)
+
     def _pair_complete(self, s_name: str, t_name: str) -> bool:
         """Resume probe covering ALL pair artifacts (a crash between the
         image and json writes must not orphan the pair)."""
