@@ -420,6 +420,11 @@ def bench_e2e_dice():
 
     from deepwmh_tpu.eval.e2e import run_e2e_accuracy
 
+    # the harness defaults (64x80x64 @2mm, n_ref=5, 15/25-epoch budget)
+    # measured heldout Dice 0.931 in 988s on a v5e; a trimmed config
+    # (56x64x56, n_ref=4, 10/18 epochs) measured 789s but Dice 0.648 —
+    # n_ref and training steps are the accuracy levers, so the full config
+    # is the one worth tracking (reservation sized accordingly)
     with tempfile.TemporaryDirectory() as tmp:
         res = run_e2e_accuracy(
             tmp, n_ref=5, n_train=3, n_test=2, seed=0, run_stages="full",
@@ -538,10 +543,11 @@ def main():
     # tail sections); every other section holds a RESERVED minimum slice
     # (see RESERVES below), so a slow section can no longer silently eat the
     # sections after it, and ONE JSON line is always printed.
-    # Nominal uncontended total ~1100s (axon compiles server-side and is
-    # not persistent-cacheable, so every section pays its compiles fresh).
+    # Nominal uncontended total ~2000s, ~half of it the end-to-end accuracy
+    # loop (axon compiles server-side and is not persistent-cacheable, so
+    # every section pays its compiles fresh).
     t_start = time.time()  # anchor: bench_wall_seconds + elapsed prints
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2000"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2200"))
     deadline = t_start + budget
 
     # Dead-man timer: the TPU sits behind a tunnel that can hang
@@ -621,13 +627,13 @@ def main():
     # consume the global slack (budget - sum(reserves)), never another
     # section's reservation.
     RESERVES = [
-        ("stages", 50),
-        ("training", 110),
-        ("nll", 170),
-        ("registration", 330),
-        ("registration_quality", 110),
-        ("registration_label_quality", 90),
-        ("e2e_dice", 700),
+        ("stages", 40),
+        ("training", 90),
+        ("nll", 150),
+        ("registration", 300),
+        ("registration_quality", 90),
+        ("registration_label_quality", 80),
+        ("e2e_dice", 1000),
     ]
     reserve_left = dict(RESERVES)
 

@@ -63,6 +63,12 @@ class StageBudget:
     batch_size: int = 2
     val_fraction: float = 0.05
     voxel_budget: int = 128 * 128 * 128
+    # network width overrides (None = the plan defaults, 32->320). Used by
+    # CPU-scale tests and width experiments (e.g. the C=64 stage-0 study);
+    # a released model records its width in plan.json so predict loads it
+    # correctly either way.
+    base_features: int = None
+    max_features: int = None
 
     @property
     def ensemble_epochs(self) -> int:
@@ -144,6 +150,10 @@ class PipelineMultistage:
             voxel_budget=self.budget.voxel_budget,
             batch_size=self.budget.batch_size,
         )
+        if self.budget.base_features is not None:
+            plan.base_features = int(self.budget.base_features)
+        if self.budget.max_features is not None:
+            plan.max_features = int(self.budget.max_features)
         plan.save(plan_path)
         return plan
 
