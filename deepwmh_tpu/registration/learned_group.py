@@ -22,8 +22,10 @@ which factors into the standard [affine, warp] form with
 
 from __future__ import annotations
 
+import functools
 import os
 
+import jax
 import numpy as np
 
 from deepwmh_tpu.core import nifti
@@ -44,31 +46,67 @@ def _compose_affines(a, b):
     return (A @ B)[:3, :]
 
 
-def _disp_to_target_grid(disp_T, M_t, sp_T, sp_t, t_shape):
-    """Lift a template-grid displacement field into the target's native grid
-    so that affine=M_s@M_t^-1 plus this field reproduces the full chain."""
+def _lift_core(disp_T, Minv_t, M_t, sp_T, sp_t, t_shape):
+    """Template-grid displacement -> target-native displacement (traced)."""
     import jax.numpy as jnp
 
-    from deepwmh_tpu.ops.warp import identity_grid, sample_volume
+    from deepwmh_tpu.ops.warp import identity_grid, sample_channels
 
-    M_t = np.asarray(M_t)
-    Minv = invert_affine(M_t)
     grid_t = identity_grid(tuple(t_shape))  # [3, Dt, Ht, Wt] voxels
     sp_t_a = jnp.asarray(sp_t, jnp.float32).reshape(3, 1)
     sp_T_a = jnp.asarray(sp_T, jnp.float32).reshape(3, 1)
     x_phys = grid_t.reshape(3, -1) * sp_t_a
-    A, b = jnp.asarray(Minv[:, :3], jnp.float32), jnp.asarray(Minv[:, 3], jnp.float32)
+    A, b = Minv_t[:, :3], Minv_t[:, 3]
     psi_phys = A @ x_phys + b[:, None]
     psi_vox = (psi_phys / sp_T_a).reshape(grid_t.shape)
-    # sample the learned displacement at psi
-    d = jnp.stack(
-        [sample_volume(jnp.asarray(disp_T[i]), psi_vox) for i in range(3)]
-    )
+    # one fused 3-channel gather instead of three per-component samples
+    d = sample_channels(jnp.asarray(disp_T, jnp.float32), psi_vox)
     moved_phys = (psi_vox + d).reshape(3, -1) * sp_T_a
-    At, bt = jnp.asarray(M_t[:, :3], jnp.float32), jnp.asarray(M_t[:, 3], jnp.float32)
+    At, bt = M_t[:, :3], M_t[:, 3]
     back_phys = At @ moved_phys + bt[:, None]
     back_vox = (back_phys / sp_t_a).reshape(grid_t.shape)
-    return np.asarray(back_vox - grid_t)
+    return back_vox - grid_t
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sp_T", "sp_t", "sp_s", "t_shape", "order")
+)
+def _lift_and_warp(disp_T, Minv_t, M_t, matrix, moving,
+                   sp_T, sp_t, sp_s, t_shape, order=1):
+    """Fused per-pair program: lift the template-grid displacement to the
+    target grid AND resample the moving image through [affine, warp] — ONE
+    dispatch per pair. The unfused chain (three sample_volume dispatches +
+    a separate apply_affine_svf) measured ~12s/pair through the remote
+    tunnel vs ~1s fused (docs/PERF.md 'Registration at scale')."""
+    import jax.numpy as jnp
+
+    disp_t = _lift_core(disp_T, Minv_t, M_t, sp_T, sp_t, t_shape)
+    warped = apply_affine_svf(
+        moving, jnp.asarray(matrix, jnp.float32), disp_t, t_shape, sp_t,
+        sp_s, order=order,
+    )
+    return warped, disp_t
+
+
+def _disp_to_target_grid(disp_T, M_t, sp_T, sp_t, t_shape):
+    """Lift a template-grid displacement field into the target's native
+    grid so that affine=M_s@M_t^-1 plus this field reproduces the full
+    chain. (Standalone entry point; production pairs run _lift_and_warp,
+    which fuses this with the image resample.)"""
+    import jax.numpy as jnp
+
+    M_t = np.asarray(M_t)
+    Minv = invert_affine(M_t)
+    return np.asarray(
+        _lift_core(
+            jnp.asarray(disp_T, jnp.float32),
+            jnp.asarray(Minv, jnp.float32),
+            jnp.asarray(M_t, jnp.float32),
+            tuple(float(s) for s in sp_T),
+            tuple(float(s) for s in sp_t),
+            tuple(int(s) for s in t_shape),
+        )
+    )
 
 
 class LearnedGroupRegistration:
@@ -180,18 +218,25 @@ class LearnedGroupRegistration:
                 disp_T = reg.register(aligned[t_name], aligned[s_name])
                 t_vol, t_hdr = img_by_name[t_name], t_hdrs[t_name]
                 sp_t = sp_by_name[t_name]
+                M_t = np.asarray(M_by_name[t_name])
                 matrix = _compose_affines(
-                    M_by_name[s_name], invert_affine(M_by_name[t_name])
+                    M_by_name[s_name], invert_affine(M_t)
                 )
-                disp_t = _disp_to_target_grid(
-                    disp_T, M_by_name[t_name], sp_T, sp_t, t_vol.shape
+                import jax.numpy as jnp
+
+                warped, disp_t = _lift_and_warp(
+                    jnp.asarray(disp_T, jnp.float32),
+                    jnp.asarray(invert_affine(M_t), jnp.float32),
+                    jnp.asarray(M_t, jnp.float32),
+                    matrix,
+                    jnp.asarray(img_by_name[s_name], jnp.float32),
+                    tuple(float(v) for v in sp_T),
+                    tuple(float(v) for v in sp_t),
+                    tuple(float(v) for v in sp_by_name[s_name]),
+                    tuple(int(v) for v in t_vol.shape),
                 )
-                warped = np.asarray(
-                    apply_affine_svf(
-                        img_by_name[s_name], matrix, disp_t, t_vol.shape, sp_t,
-                        sp_by_name[s_name], order=1,
-                    )
-                )
+                warped = np.asarray(warped)
+                disp_t = np.asarray(disp_t)
                 nifti.save_nifti(warped, t_hdr, out_img)
                 nifti.save_nifti_scaled_int16(
                     np.moveaxis(disp_t, 0, -1), t_hdr, join_path(pair_dir, "warp.nii.gz")

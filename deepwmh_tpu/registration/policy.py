@@ -26,13 +26,18 @@ wall-clock decision.
 
 from __future__ import annotations
 
-# Measured on one TPU v5 lite chip (docs/PERF.md "Registration at scale"):
-# production (quick + large-deformation composed) SVF pair wall vs the
-# learned path's template + network training amortization. The constant is
-# the pair count where the learned total drops below the SVF total with a
-# 1.5x safety margin on the measured template+train cost (cohort-size
-# dependence is mild: the template adds one affine per volume).
-LEARNED_CROSSOVER_PAIRS = 60
+# Measured on one TPU v5 lite chip at bench shape, 192x224x192 @1mm
+# (docs/PERF.md "Registration at scale"):
+#   t_svf_pair      20.6 s   artifact-to-artifact, production preset
+#   t_fwd_pair       ~6 s    learned: forward 0.8 + fused lift/warp 1.3
+#                            + artifact writes ~3.6
+#   fixed cost    ~1800 s    template ~19 s/volume + network training
+#                            1066 s (300 steps) + one-time compiles ~350 s
+# Crossover = fixed / (t_svf_pair - t_fwd_pair) ~= 125 pairs at a 20-volume
+# cohort; 150 adds margin for smaller volumes (where svf pairs are faster).
+# At the reference's own workloads the choice is clear-cut: 10x50 = 2.0x,
+# 10x100 = 2.2x total wall-clock win for learned.
+LEARNED_CROSSOVER_PAIRS = 150
 
 
 def select_registration_mode(
