@@ -24,6 +24,22 @@ import jax.numpy as jnp
 from deepwmh_tpu.ops.morphology import _shift, binary_erosion_2d  # noqa: F401
 
 
+def _run_min(l, bg, ax):
+    """Segmented min along `ax`: every voxel gets the min label over its
+    contiguous foreground RUN (background resets runs) — one associative
+    scan per direction instead of one voxel of propagation per round.
+    The segmented-min combine ((v1,b1)•(v2,b2) = (v2 if b2 else min, b1|b2))
+    is associative, so XLA evaluates it in log-depth."""
+    def op(a, b):
+        av, ab = a
+        bv, bb = b
+        return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+    fwd, _ = jax.lax.associative_scan(op, (l, bg), axis=ax)
+    bwd, _ = jax.lax.associative_scan(op, (l, bg), axis=ax, reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
 def label_components(mask, axes=(0, 1, 2), max_iters: int = 4096):
     """Label connected components of a binary mask.
 
@@ -31,21 +47,21 @@ def label_components(mask, axes=(0, 1, 2), max_iters: int = 4096):
     minimum linear index of their component; `N` (= mask.size) for
     background. `axes` restricts connectivity — (1, 2) labels each [0]-slice
     independently (used for per-slice filtering), all in parallel.
-    `max_iters` bounds the propagation loop (pointer jumping converges in
-    O(log diameter) rounds, so the default is far beyond any real volume).
+
+    Each round propagates the component minimum across ENTIRE contiguous
+    runs along every connectivity axis (segmented min-scans, _run_min) and
+    then compresses with two pointer jumps (label = label[label]). Versus
+    the classic 1-voxel-per-round neighbor hook, rounds scale with a
+    component's zigzag complexity instead of its diameter — measured 6.3x
+    faster on the bench-shape brain mask (the dominant op of stage-1 NLL,
+    docs/PERF.md). `max_iters` bounds the loop; convergence is detected.
     """
     m = mask > 0.5
     N = int(m.size)
     BIG = jnp.int32(N)
     idx = jnp.arange(N, dtype=jnp.int32).reshape(m.shape)
     lbl0 = jnp.where(m, idx, BIG)
-
-    def neighbor_min(l):
-        ln = l
-        for ax in axes:
-            ln = jnp.minimum(ln, _shift(l, 1, ax, N))
-            ln = jnp.minimum(ln, _shift(l, -1, ax, N))
-        return jnp.where(m, ln, BIG)
+    bg = ~m
 
     def jump(l):
         flat = l.reshape(-1)
@@ -55,7 +71,10 @@ def label_components(mask, axes=(0, 1, 2), max_iters: int = 4096):
 
     def body(state):
         l, _, it = state
-        l2 = neighbor_min(l)
+        l2 = l
+        for ax in axes:
+            l2 = _run_min(l2, bg, ax)
+        l2 = jnp.where(m, l2, BIG)
         l2 = jump(jump(l2))
         changed = jnp.any(l2 != l)
         return l2, changed, it + 1
