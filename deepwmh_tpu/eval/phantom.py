@@ -175,11 +175,14 @@ def make_lesions(tissue, csf, rng, n_lesions=(2, 5), radius_vox=(2.0, 4.5)):
         rad = rng.uniform(*radius_vox)
         d = np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
         # sigmoid radial profile: value 0.5 exactly at d = rad with a
-        # ~1.5-voxel soft edge — real WMH are sharply demarcated on FLAIR;
-        # a gaussian profile leaks a wide subthreshold halo outside the
-        # half-maximum ground truth, which teaches the pipeline to
-        # over-segment relative to the GT definition
-        prof = 1.0 / (1.0 + np.exp(-(rad - d) / 0.7))
+        # <1-voxel soft edge — real WMH are sharply demarcated on FLAIR.
+        # A wider profile leaks above-noise intensity OUTSIDE the
+        # half-maximum ground-truth boundary (measured: a 0.7-width edge
+        # leaves a +32 ring one voxel out, and every pipeline FP was that
+        # halo), which penalizes the pipeline for segmenting exactly what
+        # the image shows; 0.4 puts the first outside voxel at +13,
+        # below the +-15 texture noise
+        prof = 1.0 / (1.0 + np.exp(-(rad - d) / 0.4))
         add = np.maximum(add, prof.astype(np.float32))
         placed += 1
     gt = (add > 0.5) & wm
