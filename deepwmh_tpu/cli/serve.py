@@ -72,12 +72,15 @@ def main(argv=None):
                         help="[Advanced] Pick one model package when the "
                         "model root contains several task folders "
                         "(same semantics as DeepWMH_predict).")
-    parser.add_argument("--batch-max", type=int, default=4,
+    parser.add_argument("--batch-max", type=int, default=None,
                         help="Burst batching: same-geometry requests pending "
-                        "at the same moment run as ONE vmapped program, up "
-                        "to this many (bounded latency: a lone request never "
-                        "waits for companions). 1 disables; ignored with "
-                        "--mesh.")
+                        "at the same moment run as ONE program, up to this "
+                        "many (bounded latency: a lone request never waits "
+                        "for companions). Default is the measured policy: 1 "
+                        "on a single chip (batching within one device is a "
+                        "throughput LOSS — docs/PERF.md), one case per "
+                        "device with --mesh (capped at the mesh size). Set "
+                        "explicitly to override the single-chip default.")
     args = parser.parse_args(argv)
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache

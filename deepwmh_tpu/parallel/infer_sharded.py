@@ -127,6 +127,59 @@ class ShardedSlidingWindowPredictor(CaseProgramMixin):
     def _use_fullvol(self, res_shape) -> bool:
         return use_fullvol(self.mode, res_shape, self.plan)
 
+    def predict_case_full_batch(self, datas, spacing, apply_n4: bool = False):
+        """Data-parallel burst: predict_case_full for a batch of
+        same-geometry volumes with ONE CASE PER DEVICE — the single-chip
+        fused case program vmapped over the batch, batch axis sharded
+        across the mesh. Returns the same 5-tuple with a leading batch
+        axis (original batch size; mesh padding is dropped).
+
+        This is where serving burst batching actually pays. Measured on
+        one chip (docs/PERF.md, serving burst study), vmapping whole-case
+        programs WITHIN a device is a 0.5-0.75x throughput LOSS at every
+        realistic shape, with or without TTA: the fused case program was
+        never dispatch-bound (it is already one program), and vmap
+        de-optimizes its loop/scan stages (N4's fori_loops, the
+        connected-component scans). Across a mesh the batch axis maps to
+        devices instead — each device runs the UNBATCHED program schedule
+        on its own case, the same routing rule as pipeline/analysis.py's
+        batched NLL. B is padded up to a multiple of the mesh size by
+        replicating the last volume."""
+        from jax.sharding import NamedSharding
+
+        from deepwmh_tpu.unet.infer import _build_full_case_fn
+
+        datas = jnp.asarray(datas, jnp.float32)
+        assert datas.ndim == 4, "expect [B,D,H,W]"
+        B = int(datas.shape[0])
+        n = int(self.mesh.devices.size)
+        Bp = -(-B // n) * n
+        if Bp != B:
+            pad = jnp.broadcast_to(datas[-1:], (Bp - B,) + datas.shape[1:])
+            datas = jnp.concatenate([datas, pad], axis=0)
+        spacing_r = tuple(round(float(s), 4) for s in spacing)
+        key = ("dpburst", datas.shape, spacing_r, apply_n4)
+        if key not in self._case_cache:
+            from deepwmh_tpu.unet.infer import SlidingWindowPredictor
+
+            inner = SlidingWindowPredictor(
+                self.model, self.params, self.plan, tta=self.tta,
+                step_fraction=self.step_fraction, mode=self.mode,
+            )
+            case_fn = inner._build_case_fn(datas.shape[1:], spacing_r, False)
+            full_fn = _build_full_case_fn(case_fn, spacing_r, apply_n4)
+            axis = self.mesh.axis_names[0]
+            self._case_cache[key] = jax.jit(
+                jax.vmap(full_fn, in_axes=(None, 0)),
+                in_shardings=(
+                    NamedSharding(self.mesh, P()),
+                    NamedSharding(self.mesh, P(axis)),
+                ),
+                out_shardings=NamedSharding(self.mesh, P(axis)),
+            )
+        outs = self._case_cache[key](self.params, datas)
+        return tuple(o[:B] for o in outs)
+
     def _build(self):
         # shapes are carried by the jitted call's arguments; the cache key
         # in predict_volume is what distinguishes compilations

@@ -63,7 +63,7 @@ class SpoolServer:
         settle_seconds: float = 2.0,
         stale_after: float = 1800.0,
         task_name: str | None = None,
-        batch_max: int = 4,
+        batch_max: int | None = None,
     ):
         from deepwmh_tpu.pipeline.inference import make_output_folders
         from deepwmh_tpu.unet.infer import SlidingWindowPredictor
@@ -108,9 +108,24 @@ class SpoolServer:
         # burst batching: same-geometry requests that are claimable at the
         # same moment run as ONE vmapped fused program (bounded latency: only
         # what is already pending is batched — a lone request never waits).
-        # The mesh predictor shards a single volume's sweep across devices;
-        # batching on top of it is not supported, so mesh forces 1.
-        self.batch_max = 1 if mesh is not None else max(int(batch_max), 1)
+        # Default policy is MEASURED (docs/PERF.md serving burst study):
+        #   - single chip: burst off (1). vmapping whole-case programs
+        #     within one device is a 0.5-0.75x throughput loss at every
+        #     realistic shape, TTA on or off — the fused program is not
+        #     dispatch-bound and vmap de-optimizes its loop/scan stages.
+        #   - mesh: one case PER DEVICE (the sharded predictor's dp-burst
+        #     program), capped at the mesh size so the within-device batch
+        #     stays 1; a lone request still takes the flip-sharded
+        #     minimum-latency path.
+        # An explicit --batch-max overrides the single-chip default (for
+        # experimentation); the mesh cap always holds.
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        if batch_max is None:
+            self.batch_max = n_dev if mesh is not None else 1
+        elif mesh is not None:
+            self.batch_max = max(min(int(batch_max), n_dev), 1)
+        else:
+            self.batch_max = max(int(batch_max), 1)
 
         self._t0 = time.time()
         self.served = 0

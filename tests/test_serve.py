@@ -509,3 +509,82 @@ def test_burst_failure_degrades_to_per_case(tmp_path):
     assert srv.drain() == (2, 0)
     for case in ("x0", "x1"):
         assert os.path.isfile(os.path.join(spool, ".done", "%s.json" % case))
+
+
+def test_batch_max_default_policy(tmp_path):
+    """The default burst policy is the MEASURED one (docs/PERF.md serving
+    burst study): single chip serves per-case (within-device vmap batching
+    of the fused case program is a 0.5-0.75x loss), a mesh bursts one case
+    per device (capped at the mesh size); an explicit value overrides the
+    single-chip default."""
+    from deepwmh_tpu.parallel.mesh import make_mesh
+
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    single = SpoolServer(
+        spool, str(tmp_path / "o1"), model_dir, skip_bfc=True, tta=False,
+        make_previews=False, server_id="p1", settle_seconds=0.0,
+    )
+    assert single.batch_max == 1
+    override = SpoolServer(
+        spool, str(tmp_path / "o2"), model_dir, skip_bfc=True, tta=False,
+        make_previews=False, server_id="p2", settle_seconds=0.0, batch_max=4,
+    )
+    assert override.batch_max == 4
+    if jax.device_count() >= 2:
+        n = min(8, jax.device_count())
+        mesh = make_mesh(n)
+        meshed = SpoolServer(
+            spool, str(tmp_path / "o3"), model_dir, skip_bfc=True, tta=False,
+            make_previews=False, server_id="p3", settle_seconds=0.0, mesh=mesh,
+        )
+        assert meshed.batch_max == n
+        capped = SpoolServer(
+            spool, str(tmp_path / "o4"), model_dir, skip_bfc=True, tta=False,
+            make_previews=False, server_id="p4", settle_seconds=0.0, mesh=mesh,
+            batch_max=99,
+        )
+        assert capped.batch_max == n
+
+
+def test_mesh_dp_burst(tmp_path):
+    """Under a mesh, a same-geometry burst runs data-parallel — one case
+    per device through the sharded predictor's dp-burst program (the batch
+    axis sharded over devices; B=3 pads to the mesh size and the padding
+    is dropped). Receipts carry burst_size and outputs match the
+    single-chip per-case path."""
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from deepwmh_tpu.parallel.mesh import make_mesh
+
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    for i in range(3):
+        spool_request(spool, "dp%d" % i, seed=i)
+    srv = SpoolServer(
+        spool, str(tmp_path / "out"), model_dir,
+        skip_bfc=True, tta=True, make_previews=False, server_id="dpb",
+        settle_seconds=0.0, mesh=make_mesh(min(8, jax.device_count())),
+    )
+    assert srv.drain() == (3, 0)
+    for i in range(3):
+        r = json.load(open(os.path.join(spool, ".done", "dp%d.json" % i)))
+        assert r.get("burst_size") == 3, r
+
+    # agreement with the single-chip per-case path on identical bytes
+    single = SpoolServer(
+        spool, str(tmp_path / "out_single"), model_dir,
+        skip_bfc=True, tta=True, make_previews=False, server_id="dps",
+        settle_seconds=0.0,
+    )
+    spool_request(spool, "dp0", seed=0)
+    assert single.drain() == (1, 0)
+    a = nifti.load_nifti_simple(os.path.join(
+        str(tmp_path / "out"), "002_Segmentations", "003_postproc_fov",
+        "dp0.nii.gz"))
+    b = nifti.load_nifti_simple(os.path.join(
+        str(tmp_path / "out_single"), "002_Segmentations", "003_postproc_fov",
+        "dp0.nii.gz"))
+    assert np.array_equal(a, b)
