@@ -52,6 +52,27 @@ def n4_preprocess_cases(cases, flairs, out_folder, skip_bfc=False):
     return out_paths
 
 
+def registration_command(source_csv, target_csv, registration_folder, mode,
+                         quick_registration, large_deformation):
+    """The recovery/sharding command emitted into run_registration.sh.
+
+    The preset flags belong to the svf mode only — the registration CLI
+    rejects `--learned` combined with them (cli/group_register.py) — so the
+    emitted command must match the mode run_train actually selected, or the
+    documented recovery path ("run run_registration.sh, then re-run this
+    command") would always fail."""
+    return (
+        "deepwmhGroupRegistration -s '%s' -t '%s' -o '%s' --keep-deformation%s"
+        % (
+            source_csv, target_csv, registration_folder,
+            " --learned" if mode == "learned" else (
+                (" --allow-quick-registration" if quick_registration else "")
+                + (" --allow-large-deformations" if large_deformation else "")
+            ),
+        )
+    )
+
+
 def run_train(
     reference_csv,
     training_csv,
@@ -83,6 +104,19 @@ def run_train(
         pair_name,
     )
     from deepwmh_tpu.registration.policy import select_registration_mode
+
+    # --distributed a/b shards a PAIR LIST across machines; the learned
+    # mode has no pair list to shard (one shared template + network), and
+    # two hosts running it would duplicate the most expensive work and race
+    # on the same artifacts. auto resolves to svf under --distributed
+    # (policy.py); an explicit request for both is a contradiction.
+    if registration_mode == "learned" and distributed is not None:
+        raise SystemExit(
+            "--registration-mode learned cannot be combined with "
+            "--distributed a/b: the learned mode trains ONE shared network "
+            "(nothing to shard). Drop --distributed, or use "
+            "--registration-mode svf/auto."
+        )
 
     # absolute from the start: the emitted regsource/regtarget CSVs and
     # run_registration.sh are a MULTI-MACHINE contract (another host runs
@@ -146,16 +180,12 @@ def run_train(
             "# running shard k of n on each: add --distributed k/n\n"
             "# (per-pair sharding applies to the svf mode; --learned trains\n"
             "#  one shared network on a single host instead)\n"
-            "deepwmhGroupRegistration -s '%s' -t '%s' -o '%s'"
-            " --keep-deformation%s%s%s\n"
-            % (
+            + registration_command(
                 join_path(output_folder, "regsource.csv"),
                 join_path(output_folder, "regtarget.csv"),
-                registration_folder,
-                " --allow-quick-registration" if quick_registration else "",
-                " --allow-large-deformations" if large_deformation else "",
-                " --learned" if mode == "learned" else "",
-            )
+                registration_folder, mode,
+                quick_registration, large_deformation,
+            ) + "\n"
         )
     os.chmod(join_path(output_folder, "run_registration.sh"), 0o755)
 

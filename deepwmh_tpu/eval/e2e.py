@@ -88,7 +88,10 @@ def run_e2e_accuracy(
         case = "TEST%02d" % i
         fp = os.path.join(data_dir, "%s_flair.nii.gz" % case)
         gp = os.path.join(data_dir, "%s_lesion_gt.nii.gz" % case)
-        if not nifti.try_load_nifti(fp):
+        # probe BOTH artifacts: a crash between the two saves must re-save
+        # on resume, never leave the GT permanently missing behind a
+        # loadable flair (the CLAUDE.md idempotency contract)
+        if not (nifti.try_load_nifti(fp) and nifti.try_load_nifti(gp)):
             nifti.save_nifti(sub["flair"], hdr, fp)
             nifti.save_nifti(sub["lesion_gt"].astype(np.float32), hdr, gp)
         test_cases.append((case, fp))
@@ -123,8 +126,11 @@ def run_e2e_accuracy(
     if run_stages == "full":
         tarball = os.path.join(core, "Model_release", "model_release.tar.gz")
         model_dir = os.path.join(work_dir, "installed_model")
-        if not os.path.isdir(model_dir) or not os.listdir(model_dir):
-            install_model(tarball, model_dir)
+        # always (re-)extract: installation is sub-second, overwrites in
+        # place, and ends in validate_model_dir — a resume after a crash
+        # mid-extraction must never accept a half-installed package just
+        # because the directory is non-empty
+        install_model(tarball, model_dir)
         pred_dir = os.path.join(work_dir, "predict_out")
         run_predict(
             [p for _, p in test_cases], [c for c, _ in test_cases],

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deepwmh_tpu.ops.morphology import _shift, binary_erosion_2d  # noqa: F401
+from deepwmh_tpu.ops.morphology import binary_erosion_2d
 
 
 def _run_min(l, bg, ax):

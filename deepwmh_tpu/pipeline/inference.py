@@ -126,16 +126,25 @@ def predict_batch_cases(
     return out
 
 
-def _render_preview(folders, case, raw_data, fov_data):
-    """Best-effort GIF preview (same policy as predict_one_case)."""
+def _render_preview(folders, case, raw_data, fov_data,
+                    image_path=None, seg_path=None):
+    """Best-effort GIF preview: a rendering error must never fail a case
+    whose segmentation artifacts are already complete on disk (same policy
+    as the stage-1 histogram plots, analysis.py). raw_data/fov_data may be
+    None when image_path/seg_path are given — loaded lazily, and only if
+    the GIF is actually missing."""
     from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
 
     out_gif = join_path(folders["previews"], "%s.gif" % case)
     try:
         if not try_load_gif(out_gif):
-            s0, s1 = nii_slice_range(raw_data, axis="axial")
+            data = (raw_data if raw_data is not None
+                    else nifti.load_nifti_simple(image_path))
+            seg = (fov_data if fov_data is not None
+                   else nifti.load_nifti_simple(seg_path))
+            s0, s1 = nii_slice_range(data, axis="axial")
             nii_as_gif(
-                raw_data, out_gif, axis="axial", lesion_mask=fov_data,
+                data, out_gif, axis="axial", lesion_mask=seg,
                 side_by_side=True, slice_range=(s0, s1),
             )
     except Exception as e:
@@ -161,7 +170,6 @@ def predict_one_case(
     computes and passes it here."""
     import jax.numpy as jnp
 
-    from deepwmh_tpu.eval.preview import nii_as_gif, nii_slice_range, try_load_gif
     from deepwmh_tpu.ops.brain import brain_extract
     from deepwmh_tpu.ops.components import remove_3mm_sparks
     from deepwmh_tpu.ops.n4 import n4_bias_correction_auto
@@ -234,32 +242,6 @@ def predict_one_case(
             nifti.save_nifti(((seg * mask) > 0.5).astype(np.float32), hdr, seg_fov)
 
     if make_previews:
-        # previews are best-effort: a GIF rendering error must never fail a
-        # case whose segmentation artifacts are already complete on disk
-        # (same policy as the stage-1 histogram plots, analysis.py)
-        out_gif = join_path(folders["previews"], "%s.gif" % case)
-        try:
-            if not try_load_gif(out_gif):
-                data = (
-                    raw_data if raw_data is not None
-                    else nifti.load_nifti_simple(image_path)
-                )
-                s0, s1 = nii_slice_range(data, axis="axial")
-                seg = (
-                    fov_data if fov_data is not None
-                    else nifti.load_nifti_simple(seg_fov)
-                )
-                nii_as_gif(
-                    data,
-                    out_gif,
-                    axis="axial",
-                    lesion_mask=seg,
-                    side_by_side=True,
-                    slice_range=(s0, s1),
-                )
-        except Exception as e:
-            print(
-                "warning: preview rendering failed for %s: %r" % (case, e),
-                flush=True,
-            )
+        _render_preview(folders, case, raw_data, fov_data,
+                        image_path=image_path, seg_path=seg_fov)
     return seg_fov

@@ -350,13 +350,22 @@ class CaseProgramMixin:
         requests that arrived together run as ONE program dispatch — the
         U-Net convolutions see an effective batch of B*|flips|, which keeps
         the MXU fed where B=1 whole-volume convs underfill the batch
-        dimension, and B-1 tunnel round-trips are saved. The batch is
-        B-specific per compile; callers bucket B (powers of two) to bound
-        compile count."""
+        dimension, and B-1 tunnel round-trips are saved. B is bucketed to
+        the next power of two HERE (padding replicates the last case, the
+        outputs are sliced back), so a server seeing bursts of 2,3,5,7
+        compiles log2(max B) whole-pipeline programs, not one per distinct
+        burst size — each fullbatch compile costs minutes on the remote
+        backend."""
         import jax
 
         datas = jnp.asarray(datas, jnp.float32)
         assert datas.ndim == 4, "expect [B,D,H,W]"
+        b = int(datas.shape[0])
+        b_pad = 1 << (b - 1).bit_length()
+        if b_pad != b:
+            datas = jnp.concatenate(
+                [datas, jnp.repeat(datas[-1:], b_pad - b, axis=0)], axis=0
+            )
         spacing_r = tuple(round(float(s), 4) for s in spacing)
         key = ("fullbatch", datas.shape, spacing_r, apply_n4)
         if key not in self._case_cache:
@@ -365,7 +374,10 @@ class CaseProgramMixin:
             self._case_cache[key] = jax.jit(
                 jax.vmap(full_fn, in_axes=(None, 0))
             )
-        return self._case_cache[key](self.params, datas)
+        out = self._case_cache[key](self.params, datas)
+        if b_pad != b:
+            out = tuple(o[:b] for o in out)
+        return out
 
     def _build_case_fn(self, orig_shape, spacing, apply_n4):
         plan = self.plan

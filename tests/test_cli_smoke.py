@@ -137,3 +137,36 @@ def test_train_distributed_barrier(tmp_path, rng):
         run_train(str(tmp_path / "ref.csv"), str(tmp_path / "train.csv"),
                   str(tmp_path / "out"), skip_bfc=True, distributed="1/2")
     assert exc.value.code == 2  # "finish the other shards first"
+
+
+def test_train_rejects_learned_with_distributed(tmp_path):
+    """--registration-mode learned + --distributed a/b is a contradiction:
+    there is no pair list to shard (one shared template + network), and two
+    hosts honoring it would duplicate the most expensive work and race on
+    the same artifacts. run_train must fail fast, before any device or IO
+    work (tests/test_registration_policy.py relies on this guard existing
+    at the CLI level)."""
+    from deepwmh_tpu.cli.train import run_train
+
+    with pytest.raises(SystemExit, match="learned"):
+        run_train(str(tmp_path / "ref.csv"), str(tmp_path / "train.csv"),
+                  str(tmp_path / "out"), skip_bfc=True,
+                  registration_mode="learned", distributed="1/2")
+
+
+def test_registration_command_matches_mode():
+    """run_registration.sh must be runnable for the mode run_train selected:
+    the learned CLI rejects the svf preset flags, so the emitted recovery
+    command carries either --learned OR the presets, never both."""
+    from deepwmh_tpu.cli.train import registration_command
+
+    svf = registration_command("s.csv", "t.csv", "reg", "svf", True, True)
+    assert "--allow-quick-registration" in svf
+    assert "--allow-large-deformations" in svf
+    assert "--learned" not in svf
+
+    learned = registration_command("s.csv", "t.csv", "reg", "learned",
+                                   True, True)
+    assert "--learned" in learned
+    assert "--allow-quick-registration" not in learned
+    assert "--allow-large-deformations" not in learned

@@ -357,3 +357,27 @@ def test_decomposed_conv_matches_native(rng):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
             err_msg="shape=%s kernel=%s stride=%s" % (shape, kernel, stride),
         )
+
+
+def test_full_batch_power_of_two_bucketing(rng):
+    """Bursts of 3 and 4 share ONE compiled fullbatch program: B is padded
+    to the next power of two (replicating the last case) and the outputs
+    are sliced back, so a server seeing bursts of 2,3,5,7 compiles
+    log2(max B) whole-pipeline programs, not one per distinct burst size —
+    each fullbatch compile costs minutes on the remote backend. The sliced
+    outputs must equal the same cases run as an exact power-of-two burst."""
+    p = tiny_plan()
+    model = UNet3D(plan=p)
+    params = init_params(model, jax.random.PRNGKey(5))
+    pred = SlidingWindowPredictor(model, params, p, tta=False, mode="fullvol")
+    vols = (rng.rand(4, 18, 20, 18).astype(np.float32)) * 100.0
+    spacing = (1.0, 1.0, 1.0)
+
+    out4 = pred.predict_case_full_batch(vols, spacing)
+    n_programs = len(pred._case_cache)
+    out3 = pred.predict_case_full_batch(vols[:3], spacing)
+    assert len(pred._case_cache) == n_programs  # 3 padded to 4: cache HIT
+
+    for got, full in zip(out3, out4):
+        assert np.asarray(got).shape[0] == 3  # padding sliced back off
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(full)[:3])
