@@ -90,20 +90,13 @@ def make_synthetic_flair(shape=BENCH_SHAPE, seed=0):
     return head * (400 + 150 * tex) + 30 * rng.rand(*shape).astype(np.float32)
 
 
-def _median_time(fn, reps=3, max_s=None):
-    """Median wall time of fn() over up to `reps` calls (fn must block).
-    max_s time-boxes the measurement: at least one call always runs, and
-    the loop stops once the cumulative time exceeds max_s — under tunnel
-    contention a section degrades to fewer observations instead of
-    starving every section after it (the BENCH_r03 failure mode)."""
+def _median_time(fn, reps=3):
+    """Median wall time of fn() over `reps` calls (fn must block)."""
     ts = []
-    t_begin = time.time()
     for _ in range(reps):
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
-        if max_s is not None and time.time() - t_begin > max_s:
-            break
     return statistics.median(ts)
 
 
@@ -129,14 +122,20 @@ def bench_headline(predictor, vol, spacing, max_meas_s=110.0):
     seg, fg = full_pipeline(vol)  # warmup / compile
     _sync(fg)
 
-    # blocks of 4 queued volumes with ONE sync each (amortizes the tunnel
+    # blocks of queued volumes with ONE sync each (amortizes the tunnel
     # round-trip like production batch runs; execution is in-order so
-    # pulling a scalar from the last output drains the whole queue); the
-    # block loop stops at the time box regardless of chip speed
-    n_runs = 4
+    # pulling a scalar from the last output drains the whole queue). The
+    # FIRST block probes with a single volume: under contention one volume
+    # can take ~2 min, and a fixed 4-volume first block would blow ~8 min
+    # past the box before it is ever checked; later blocks queue 4 only
+    # when the probe-estimated cost fits the remaining box.
     block_times = []
     t_begin = time.time()
-    while len(block_times) < 3 and (time.time() - t_begin) < max_meas_s:
+    while len(block_times) < 4 and (time.time() - t_begin) < max_meas_s:
+        remaining = max_meas_s - (time.time() - t_begin)
+        n_runs = 1 if not block_times else (
+            4 if 4 * min(block_times) <= remaining else 1
+        )
         t0 = time.time()
         outs = [full_pipeline(vol) for _ in range(n_runs)]
         _sync(outs[-1][1])
@@ -550,6 +549,14 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "2200"))
     deadline = t_start + budget
 
+    # The driver parses stdout as exactly ONE JSON line. Sections drive the
+    # real CLIs (the e2e accuracy loop runs DeepWMH_train/predict in-process,
+    # which print progress via plain print()), so stdout is globally diverted
+    # to stderr for the whole run and only the final JSON goes to the real
+    # stream.
+    json_out = sys.stdout
+    sys.stdout = sys.stderr
+
     # Dead-man timer: the TPU sits behind a tunnel that can hang
     # indefinitely (observed: jax.devices() itself never returns). The
     # soft per-section budget below can't fire while the main thread is
@@ -581,7 +588,8 @@ def main():
             "last_measured_on_live_tpu": _load_last_measured(),
         }
         out.update(partial)  # headline/section values measured before the hang
-        print(json.dumps(out), flush=True)
+        print(json.dumps(out), file=json_out, flush=True)
+        json_out.flush()
         os._exit(3)
 
     hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", str(budget + 1800)))
@@ -689,8 +697,7 @@ def main():
             "device_kind": device_kind,
             "date": time.strftime("%Y-%m-%d"),
         })
-    print(
-        json.dumps(
+    final = json.dumps(
             {
                 "metric": "FLAIR volumes/min/chip (N4+preproc+inference, mirror TTA)",
                 "value": round(vol_per_min, 3),
@@ -726,8 +733,8 @@ def main():
                 "bench_wall_seconds": round(time.time() - t_start, 1),
                 "sections_dropped": dropped,
             }
-        )
     )
+    print(final, file=json_out, flush=True)
 
 
 if __name__ == "__main__":
