@@ -88,6 +88,7 @@ def run_train(
     batch_pairs=1,
     mesh=None,
     registration_mode="auto",
+    learned_reg_cfg=None,
 ):
     """quick_registration/large_deformation both default ON: the training
     command the reference emits composes the two switches
@@ -96,7 +97,8 @@ def run_train(
     registration_mode: 'svf' (per-pair optimization), 'learned' (one
     amortized network, the reference's VoxelMorph pathway), or 'auto' —
     learned above the measured pair-count crossover
-    (registration/policy.py)."""
+    (registration/policy.py). learned_reg_cfg: optional LearnedRegConfig
+    override for the learned mode's network (None = production config)."""
     from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
     from deepwmh_tpu.registration.group import (
         GroupRegistration,
@@ -194,7 +196,9 @@ def run_train(
             LearnedGroupRegistration,
         )
 
-        reg = LearnedGroupRegistration(S, T, registration_folder, mesh=mesh)
+        reg = LearnedGroupRegistration(
+            S, T, registration_folder, reg_cfg=learned_reg_cfg, mesh=mesh
+        )
         reg.launch()
     else:
         reg = GroupRegistration(

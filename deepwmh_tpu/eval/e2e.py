@@ -53,8 +53,14 @@ def run_e2e_accuracy(
     run_stages="full",
     skip_bfc=False,
     mesh=None,
+    registration_mode="auto",
+    learned_reg_cfg=None,
 ):
     """Run the full training loop on a phantom cohort and score it.
+
+    registration_mode/learned_reg_cfg pass through to run_train, so the
+    SAME accuracy protocol scores either registration pathway (svf per-pair
+    optimization or the amortized learned network) through the full loop.
 
     Returns a dict:
       stage1_dice      {case: dice of the stage-1 pseudo-label vs GT}
@@ -104,6 +110,8 @@ def run_e2e_accuracy(
         budget=budget or default_e2e_budget(),
         run_stages=run_stages,
         mesh=mesh,
+        registration_mode=registration_mode,
+        learned_reg_cfg=learned_reg_cfg,
     )
 
     result = {"stage1_dice": {}, "trainfit_dice": {}, "heldout_dice": {},
