@@ -18,10 +18,14 @@ measurement):
   learned total ~= t_template(n_vols) + t_train + t_fwd_pair * n_pairs
 
 Quality gate: the non-circular label-propagation benchmark measures the two
-modes EQUAL on distinct anatomies (mean foreground-tissue Dice 0.88 both,
-registration/quality.py; floors enforced by
-tests/test_registration_quality.py), so the crossover is purely a
-wall-clock decision.
+modes EQUAL per pair on distinct anatomies (mean foreground-tissue Dice
+0.88 both, registration/quality.py; floors enforced by
+tests/test_registration_quality.py). Below the crossover the svf default is
+also a measured QUALITY choice, not only wall-clock: at a 15-pair phantom
+cohort the full train->predict loop reaches held-out Dice 0.931 with svf
+vs 0.780 with learned forced (identical config/seed) — a network trained
+on 8 volumes is below the amortized design's regime (docs/PERF.md
+"Registration at scale").
 """
 
 from __future__ import annotations
