@@ -54,6 +54,12 @@ def main(argv=None):
                         "in one vmapped XLA program (TPU throughput).")
     parser.add_argument("-d", "--distributed", type=str, default=None,
                         help="'a/b': run shard a (1-based) of b machines.")
+    parser.add_argument("--svf-warm-start", action="store_true",
+                        help="Seed each pair's SVF from the composition of "
+                        "the anchor-source row and source->anchor pairs, "
+                        "refined on a shortened schedule (needs >= 2 "
+                        "sources, --keep-deformation, no --distributed/"
+                        "--mesh/--batch-pairs; registration/warm.py).")
     args = parser.parse_args(argv)
 
     from deepwmh_tpu.utils.compilation_cache import enable_compilation_cache
@@ -82,6 +88,7 @@ def main(argv=None):
                 ("--allow-quick-registration", args.allow_quick_registration),
                 ("--allow-large-deformations", args.allow_large_deformations),
                 ("--batch-pairs", args.batch_pairs != 1),
+                ("--svf-warm-start", args.svf_warm_start),
             ] if on
         ]
         if ignored:
@@ -117,6 +124,7 @@ def main(argv=None):
         large_deformation=args.allow_large_deformations,
         distributed=args.distributed,
         deformable=not args.affine_only,
+        warm_start=args.svf_warm_start,
     )
     print("%d registration pair(s) in this shard." % len(reg.tasks))
     mesh = None

@@ -137,6 +137,7 @@ class GroupRegistration:
         large_deformation: bool = False,
         distributed: str = None,
         deformable: bool = True,
+        warm_start: bool = False,
     ):
         """sources/targets: [(case_name, image_path)].
 
@@ -144,12 +145,32 @@ class GroupRegistration:
         reference's --allow-quick-registration (30-40% faster, :322-326).
         large_deformation: more iterations — --allow-large-deformations.
         distributed: 'a/b' runs shard a (1-based) of b (:248-258).
+        warm_start: OPT-IN — register the first source onto every target
+        and the remaining sources onto the first source at full budget,
+        then seed every other (source, target) pair's SVF from the
+        composed estimate and refine it on a shortened schedule
+        (registration/warm.py). Requires >= 2 sources, deformable pairs
+        with kept warps, and no --distributed sharding (the warm rows
+        depend on the anchor row's artifacts).
         """
         self.sources = list(sources)
         self.targets = list(targets)
         self.output_folder = mkdir(output_folder)
         self.keep_deformation = keep_deformation
         self.deformable = deformable
+        self._quick = quick
+        self._large = large_deformation
+        self.warm_start = bool(warm_start) and len(self.sources) >= 2
+        if warm_start and distributed:
+            raise ValueError(
+                "warm_start shards have cross-pair dependencies (anchor row "
+                "first); use --distributed without --svf-warm-start"
+            )
+        if warm_start and not (deformable and keep_deformation):
+            raise ValueError(
+                "warm_start needs deformable pairs with kept warps (the "
+                "composed seed reads the anchor row's warp fields)"
+            )
 
         if quick and large_deformation:
             # The reference's actual training-prep configuration composes
@@ -314,7 +335,124 @@ class GroupRegistration:
         path of register_pairs_mesh, with this launcher's idempotent
         artifact contract kept); batch_pairs should be >= the device count
         to keep all chips busy."""
+        if self.warm_start:
+            if mesh is not None or batch_pairs > 1:
+                raise ValueError(
+                    "warm_start is a single-chip serial schedule (anchor row "
+                    "-> warm rows); drop --svf-warm-start to batch/shard pairs"
+                )
+            return self._launch_warm(verbose=verbose)
         return self._launch_batched(max(1, batch_pairs), verbose=verbose, mesh=mesh)
+
+    def _launch_warm(self, verbose: bool = True):
+        """Warm-start schedule (registration/warm.py): the anchor source's
+        row and the source->anchor auxiliary pairs run at the full budget,
+        every remaining pair is seeded from their composition and refined on
+        the shortened warm_schedule. Artifacts are bit-compatible with the
+        cold path (same layout, same _pair_done probes), so resume works
+        across mode switches; the aux pairs live under _warm_aux/ and are
+        NOT part of the S x T contract."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from deepwmh_tpu.registration.warm import warm_pair_core_jit, warm_schedule
+
+        anchor = self.sources[0]
+        others = self.sources[1:]
+
+        # phase 0+1 at the FULL budget via the cold machinery (idempotent)
+        aux_dir = join_path(self.output_folder, "_warm_aux")
+        aux = GroupRegistration(
+            others, [anchor], aux_dir, keep_deformation=True,
+            quick=self._quick, large_deformation=self._large,
+        )
+        aux.launch(verbose=verbose)
+        row = GroupRegistration(
+            [anchor], self.targets, self.output_folder, keep_deformation=True,
+            quick=self._quick, large_deformation=self._large,
+        )
+        row.launch(verbose=verbose)
+
+        remaining = [
+            (s, t) for s in others for t in self.targets
+            if not self._pair_done(self._pair_paths(s[0], t[0]))
+        ]
+        if not remaining:
+            if verbose:
+                print("all warm pairs already done", flush=True)
+            return
+
+        # auxiliary fields + matrices, decoded once (f16: S-1 fields in RAM)
+        sp_s0 = nifti.get_nifti_pixdim(anchor[1])
+        aux_data = {}
+        for s_name, _ in others:
+            pdir = join_path(aux_dir, pair_name(s_name, anchor[0]))
+            meta = load_json(join_path(pdir, "affine.json"))
+            di0 = np.moveaxis(
+                nifti.load_nifti_simple(join_path(pdir, "warp.nii.gz")), -1, 0
+            ).astype(np.float16)
+            aux_data[s_name] = (np.asarray(meta["matrix"], np.float32), di0)
+        moving_by_src = {
+            s_name: nifti.load_nifti_simple(path).astype(np.float16)
+            for s_name, path in others
+        }
+
+        def load_target(t):
+            t_name, t_path = t
+            fixed = nifti.load_nifti_simple(t_path).astype(np.float16)
+            pdir = join_path(self.output_folder, pair_name(anchor[0], t_name))
+            meta = load_json(join_path(pdir, "affine.json"))
+            d0t = np.moveaxis(
+                nifti.load_nifti_simple(join_path(pdir, "warp.nii.gz")), -1, 0
+            ).astype(np.float16)
+            return fixed, np.asarray(meta["matrix"], np.float32), d0t
+
+        by_target = {}
+        for s, t in remaining:
+            by_target.setdefault(t, []).append(s)
+        targets_todo = list(by_target)
+
+        done, total = 0, len(remaining)
+        write_futures = []
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            tgt_future = pool.submit(load_target, targets_todo[0])
+            for ti, t in enumerate(targets_todo):
+                t_name, t_path = t
+                fixed, mat0t, d0t = tgt_future.result()
+                if ti + 1 < len(targets_todo):
+                    tgt_future = pool.submit(load_target, targets_todo[ti + 1])
+                f_hdr = nifti.get_nifti_header(t_path)
+                f_sp = nifti.get_nifti_pixdim(t_path)
+                affine_cfg, svf_cfg = self._pair_cfgs(fixed.shape)
+                warm_scfg = warm_schedule(svf_cfg)
+                fx = jnp.asarray(fixed)
+                d0t_j = jnp.asarray(d0t)
+                for s_name, s_path in by_target[t]:
+                    done += 1
+                    if verbose:
+                        print("[warm %d/%d] registering %s"
+                              % (done, total, pair_name(s_name, t_name)),
+                              flush=True)
+                    mati0, di0 = aux_data[s_name]
+                    m_sp = nifti.get_nifti_pixdim(s_path)
+                    outs = warm_pair_core_jit(
+                        fx, jnp.asarray(moving_by_src[s_name]),
+                        jnp.asarray(f_sp, jnp.float32),
+                        jnp.asarray(m_sp, jnp.float32),
+                        d0t_j, jnp.asarray(di0),
+                        jnp.asarray(mat0t), jnp.asarray(mati0),
+                        jnp.asarray(sp_s0, jnp.float32),
+                        affine_cfg, warm_scfg,
+                    )
+                    paths = self._pair_paths(s_name, t_name)
+                    write_futures.append(pool.submit(
+                        self._write_pair, paths, f_hdr, f_sp, m_sp,
+                        fixed.shape, *outs,
+                    ))
+                    for fut in [f for f in write_futures if f.done()]:
+                        fut.result()  # fail fast
+                    write_futures = [f for f in write_futures if not f.done()]
+            for fut in write_futures:
+                fut.result()
 
     def _launch_batched(self, batch_pairs: int, verbose: bool = True, mesh=None):
         from concurrent.futures import ThreadPoolExecutor

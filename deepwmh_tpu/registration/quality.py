@@ -44,16 +44,21 @@ def label_propagation_quality(
     spacing=(2.0, 2.0, 2.0),
     seed_src: int = 11,
     seed_tgt: int = 12,
+    seed_anchor: int = 13,
     quick: bool = True,
     large_deformation: bool = True,
     learned_cfg=None,
 ):
     """Register phantom subject A onto phantom subject B through the full
     group-registration path (mode 'svf' = GroupRegistration's optimization
-    path, 'learned' = LearnedGroupRegistration's amortized path), propagate
-    A's tissue labels with apply_pair_transforms (NearestNeighbor — the
-    reference's label warp, deepwmh/main/train.py:56-60), and Dice them
-    against B's own tissue labels.
+    path, 'learned' = LearnedGroupRegistration's amortized path, 'warm' =
+    GroupRegistration(warm_start=True) with a third anchor anatomy, so the
+    scored A->B pair is a COMPOSED-SEED warm pair refined on the shortened
+    schedule — registration/warm.py), propagate A's tissue labels with
+    apply_pair_transforms (NearestNeighbor — the reference's label warp,
+    deepwmh/main/train.py:56-60), and Dice them against B's own tissue
+    labels. 'warm' scores the identical (A, B) pair as 'svf', so the two
+    results are directly comparable.
 
     Returns {"mode", "dice_per_class", "mean_fg_dice", "unregistered_dice",
     "brain_dice"} — unregistered = A's labels compared directly (the floor
@@ -88,6 +93,16 @@ def label_propagation_quality(
             quick=quick, large_deformation=large_deformation,
         )
         reg.launch(verbose=False)
+    elif mode == "warm":
+        anch = make_subject(shape, seed=seed_anchor, lesion=False)
+        anch_p = os.path.join(work_dir, "ANCH_flair.nii.gz")
+        nifti.save_nifti(anch["flair"].astype(np.float32), hdr, anch_p)
+        reg = GroupRegistration(
+            [("ANCH", anch_p)] + sources, targets, reg_dir,
+            keep_deformation=True, quick=quick,
+            large_deformation=large_deformation, warm_start=True,
+        )
+        reg.launch(verbose=False)
     elif mode == "learned":
         from deepwmh_tpu.registration.learned_group import (
             LearnedGroupRegistration,
@@ -98,7 +113,7 @@ def label_propagation_quality(
         )
         reg.launch(verbose=False)
     else:
-        raise ValueError("mode must be 'svf' or 'learned', got %r" % mode)
+        raise ValueError("mode must be 'svf', 'warm' or 'learned', got %r" % mode)
 
     pair_dir = os.path.join(reg_dir, pair_name("SRC", "TGT"))
     out_l2 = os.path.join(work_dir, "prop_label2_%s.nii.gz" % mode)

@@ -197,11 +197,17 @@ def _optimize_svf_level(
     return v, losses[-1]
 
 
-def _svf_core(fixed, moving, cfg: SVFConfig):
+def _svf_core(fixed, moving, cfg: SVFConfig, v0=None):
     """The FULL deformable pyramid as one traceable function (winsorize,
     every level's Adam loop, final integration + upsample) so a pair is a
     single device dispatch when jitted — eager per-level dispatch through a
-    remote-TPU tunnel costs ~1s/pair in RPC latency alone."""
+    remote-TPU tunnel costs ~1s/pair in RPC latency alone.
+
+    v0: optional [3, D', H', W'] initial velocity field (voxel units, any
+    grid — resized to the coarsest pyramid level). A first-order warm start:
+    exp(v) ~= v for the smooth post-affine fields this registers, so a
+    composed displacement estimate seeds the optimization directly
+    (registration/warm.py) and a shortened schedule refines it."""
     fixed = winsorize_rescale(fixed)
     moving = winsorize_rescale(moving)
 
@@ -211,7 +217,11 @@ def _svf_core(fixed, moving, cfg: SVFConfig):
         f = downsample_mean(fixed, shrink)
         m = downsample_mean(moving, shrink)
         if v is None:
-            v = jnp.zeros((3,) + f.shape, jnp.float32)
+            v = (
+                jnp.zeros((3,) + f.shape, jnp.float32)
+                if v0 is None
+                else _resize_field(jnp.asarray(v0, jnp.float32), f.shape)
+            )
         else:
             v = _resize_field(v, f.shape)
         polish = (
