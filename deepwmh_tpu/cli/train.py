@@ -53,14 +53,17 @@ def n4_preprocess_cases(cases, flairs, out_folder, skip_bfc=False):
 
 
 def registration_command(source_csv, target_csv, registration_folder, mode,
-                         quick_registration, large_deformation):
+                         quick_registration, large_deformation,
+                         svf_warm_start=False):
     """The recovery/sharding command emitted into run_registration.sh.
 
     The preset flags belong to the svf mode only — the registration CLI
     rejects `--learned` combined with them (cli/group_register.py) — so the
     emitted command must match the mode run_train actually selected, or the
     documented recovery path ("run run_registration.sh, then re-run this
-    command") would always fail."""
+    command") would always fail. Same for --svf-warm-start: the warm
+    schedule is an svf-mode property and incompatible with --distributed,
+    so it is only emitted when the run actually used it."""
     return (
         "deepwmhGroupRegistration -s '%s' -t '%s' -o '%s' --keep-deformation%s"
         % (
@@ -68,6 +71,7 @@ def registration_command(source_csv, target_csv, registration_folder, mode,
             " --learned" if mode == "learned" else (
                 (" --allow-quick-registration" if quick_registration else "")
                 + (" --allow-large-deformations" if large_deformation else "")
+                + (" --svf-warm-start" if svf_warm_start else "")
             ),
         )
     )
@@ -89,6 +93,7 @@ def run_train(
     mesh=None,
     registration_mode="auto",
     learned_reg_cfg=None,
+    svf_warm_start=False,
 ):
     """quick_registration/large_deformation both default ON: the training
     command the reference emits composes the two switches
@@ -98,7 +103,11 @@ def run_train(
     amortized network, the reference's VoxelMorph pathway), or 'auto' —
     learned above the measured pair-count crossover
     (registration/policy.py). learned_reg_cfg: optional LearnedRegConfig
-    override for the learned mode's network (None = production config)."""
+    override for the learned mode's network (None = production config).
+    svf_warm_start: seed each svf pair's deformable stage from the
+    anchor-row composition and refine on the shortened schedule
+    (registration/warm.py) — svf mode only, single-chip serial, measured
+    equal label-overlap quality (docs/PERF.md "SVF warm start")."""
     from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
     from deepwmh_tpu.registration.group import (
         GroupRegistration,
@@ -119,6 +128,26 @@ def run_train(
             "(nothing to shard). Drop --distributed, or use "
             "--registration-mode svf/auto."
         )
+    if svf_warm_start:
+        # the warm schedule is an svf-mode property (registration/warm.py):
+        # it composes per-pair SVF artifacts, which the learned mode does
+        # not produce, and its anchor-row-first dependency rules out
+        # --distributed pair sharding (registration/group.py).
+        if registration_mode == "learned":
+            raise SystemExit(
+                "--svf-warm-start is an svf-mode schedule; it cannot be "
+                "combined with --registration-mode learned."
+            )
+        if distributed is not None:
+            raise SystemExit(
+                "--svf-warm-start pairs depend on the anchor row's "
+                "artifacts, which --distributed a/b cannot shard. Drop one "
+                "of the two flags."
+            )
+        if registration_mode == "auto":
+            # the flag states svf intent: warm start is the svf mode's
+            # mid-scale accelerator, so it overrides the learned crossover
+            registration_mode = "svf"
 
     # absolute from the start: the emitted regsource/regtarget CSVs and
     # run_registration.sh are a MULTI-MACHINE contract (another host runs
@@ -187,6 +216,7 @@ def run_train(
                 join_path(output_folder, "regtarget.csv"),
                 registration_folder, mode,
                 quick_registration, large_deformation,
+                svf_warm_start=svf_warm_start,
             ) + "\n"
         )
     os.chmod(join_path(output_folder, "run_registration.sh"), 0o755)
@@ -205,10 +235,19 @@ def run_train(
             S, T, registration_folder, keep_deformation=True,
             quick=quick_registration,
             large_deformation=large_deformation, distributed=distributed,
+            warm_start=svf_warm_start,
         )
-        if mesh is not None:
-            batch_pairs = max(batch_pairs, int(mesh.size))
-        reg.launch(batch_pairs=batch_pairs, mesh=mesh)
+        if svf_warm_start and reg.warm_start:
+            # the warm schedule is single-chip serial (anchor row first);
+            # the mesh still applies to pipeline training below
+            if mesh is not None:
+                print("svf warm start: registration runs serially on one "
+                      "chip (mesh still shards pipeline training)")
+            reg.launch()
+        else:
+            if mesh is not None:
+                batch_pairs = max(batch_pairs, int(mesh.size))
+            reg.launch(batch_pairs=batch_pairs, mesh=mesh)
 
     # barrier: with --distributed a/b this shard only registered part of the
     # pair list; continue only when every pair's FULL artifact set (warped
@@ -349,6 +388,14 @@ def main(argv=None):
                         "learned above the measured pair-count crossover "
                         "(quality measured equal on the non-circular "
                         "label-overlap benchmark; docs/PERF.md).")
+    parser.add_argument("--svf-warm-start", action="store_true",
+                        help="[Advanced] Seed each svf registration pair "
+                        "from the anchor-row composition and refine on a "
+                        "shortened schedule (registration/warm.py). "
+                        "Implies --registration-mode svf; incompatible "
+                        "with --distributed; needs >= 2 reference cases. "
+                        "Measured equal label-overlap quality at ~1.5-2x "
+                        "pair throughput (docs/PERF.md 'SVF warm start').")
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 
@@ -413,6 +460,7 @@ def main(argv=None):
         batch_pairs=args.batch_pairs,
         mesh=mesh,
         registration_mode=args.registration_mode,
+        svf_warm_start=args.svf_warm_start,
     )
 
 

@@ -170,3 +170,31 @@ def test_registration_command_matches_mode():
     assert "--learned" in learned
     assert "--allow-quick-registration" not in learned
     assert "--allow-large-deformations" not in learned
+
+
+def test_train_warm_start_flag_rules(tmp_path):
+    """--svf-warm-start is an svf-mode schedule (registration/warm.py):
+    explicit learned mode and --distributed pair sharding are both
+    contradictions that must fail fast, before any device or IO work;
+    'auto' + the flag resolves to svf (the flag states svf intent)."""
+    from deepwmh_tpu.cli.train import registration_command, run_train
+
+    with pytest.raises(SystemExit, match="svf-mode"):
+        run_train(str(tmp_path / "ref.csv"), str(tmp_path / "train.csv"),
+                  str(tmp_path / "out"), skip_bfc=True,
+                  registration_mode="learned", svf_warm_start=True)
+    with pytest.raises(SystemExit, match="anchor row"):
+        run_train(str(tmp_path / "ref.csv"), str(tmp_path / "train.csv"),
+                  str(tmp_path / "out"), skip_bfc=True,
+                  registration_mode="svf", distributed="1/2",
+                  svf_warm_start=True)
+
+    # the emitted recovery command must carry the flag iff the run used it
+    warm = registration_command("s.csv", "t.csv", "reg", "svf", True, True,
+                                svf_warm_start=True)
+    assert "--svf-warm-start" in warm
+    cold = registration_command("s.csv", "t.csv", "reg", "svf", True, True)
+    assert "--svf-warm-start" not in cold
+    learned = registration_command("s.csv", "t.csv", "reg", "learned",
+                                   True, True, svf_warm_start=False)
+    assert "--svf-warm-start" not in learned
