@@ -204,13 +204,30 @@ def run_train(
     print("registration mode: %s (%d pairs%s)"
           % (mode, len(S) * len(T),
              "" if registration_mode != "auto" else ", auto-selected"))
-    with open(join_path(output_folder, "run_registration.sh"), "w") as f:
-        f.write(
+    if svf_warm_start:
+        # --svf-warm-start pairs depend on the anchor row's artifacts, so
+        # the emitted command CANNOT take --distributed k/n (the guard
+        # above raises on that combination) — the recovery header must not
+        # advise it (advisor finding, round 4)
+        sh_header = (
+            "#!/bin/sh\n"
+            "# This command carries --svf-warm-start: it must run on a\n"
+            "# SINGLE machine (warm pairs compose the anchor row's\n"
+            "# artifacts, which --distributed k/n cannot shard). To spread\n"
+            "# it over machines sharing this filesystem instead, drop\n"
+            "# --svf-warm-start and add --distributed k/n on each shard.\n"
+        )
+    else:
+        sh_header = (
             "#!/bin/sh\n"
             "# Distribute registration over machines sharing this filesystem by\n"
             "# running shard k of n on each: add --distributed k/n\n"
             "# (per-pair sharding applies to the svf mode; --learned trains\n"
             "#  one shared network on a single host instead)\n"
+        )
+    with open(join_path(output_folder, "run_registration.sh"), "w") as f:
+        f.write(
+            sh_header
             + registration_command(
                 join_path(output_folder, "regsource.csv"),
                 join_path(output_folder, "regtarget.csv"),
@@ -237,6 +254,14 @@ def run_train(
             large_deformation=large_deformation, distributed=distributed,
             warm_start=svf_warm_start,
         )
+        if svf_warm_start and not reg.warm_start:
+            # GroupRegistration disables warm start when there is no anchor
+            # row to compose (fewer than 2 sources) — make the fallback to
+            # the cold schedule VISIBLE instead of quietly ignoring the
+            # user's explicitly requested schedule (advisor finding, r4)
+            print("svf warm start: disabled — needs >= 2 reference cases "
+                  "to form an anchor row (%d given); running the cold "
+                  "batched schedule instead" % len(S))
         if svf_warm_start and reg.warm_start:
             # the warm schedule is single-chip serial (anchor row first);
             # the mesh still applies to pipeline training below
