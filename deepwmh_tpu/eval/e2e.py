@@ -22,7 +22,7 @@ import numpy as np
 
 from deepwmh_tpu.core import nifti
 from deepwmh_tpu.eval.metrics import hard_dice_binary, voxel_precision_recall
-from deepwmh_tpu.eval.phantom import make_subject, write_cohort
+from deepwmh_tpu.eval.phantom import cohort_geometry, make_subject, write_cohort
 
 
 def default_e2e_budget():
@@ -55,12 +55,21 @@ def run_e2e_accuracy(
     mesh=None,
     registration_mode="auto",
     learned_reg_cfg=None,
+    shapes=None,
+    spacings=None,
 ):
     """Run the full training loop on a phantom cohort and score it.
 
     registration_mode/learned_reg_cfg pass through to run_train, so the
     SAME accuracy protocol scores either registration pathway (svf per-pair
     optimization or the amortized learned network) through the full loop.
+
+    shapes/spacings (optional per-subject cycles, phantom.cohort_geometry)
+    make the cohort HETEROGENEOUS — every subject its own volume size and
+    voxel spacing, the reference's normal operating regime
+    (deepwmh/pipeline/DCNN_multistage.py:39-93). Held-out patients cycle
+    the same lists (offset by their cohort position) so the test geometry
+    is mixed too.
 
     Returns a dict:
       stage1_dice      {case: dice of the stage-1 pseudo-label vs GT}
@@ -80,17 +89,20 @@ def run_e2e_accuracy(
     data_dir = os.path.join(work_dir, "data")
     ref_csv, train_csv, gt_paths = write_cohort(
         data_dir, shape=shape, spacing=spacing, n_ref=n_ref, n_train=n_train,
-        seed=seed,
+        seed=seed, shapes=shapes, spacings=spacings,
     )
 
     # held-out patients: same generator family, seeds disjoint from the
     # cohort (training patients use seed+1000+i)
-    hdr = nifti.NiftiHeader()
-    hdr.set_shape(shape)
-    hdr.set_zooms(spacing)
     test_cases, test_gt = [], {}
     for i in range(n_test):
-        sub = make_subject(shape, seed=seed + 2000 + i, lesion=True)
+        sh, sp = cohort_geometry(
+            shape, spacing, shapes, spacings, n_ref + n_train + i
+        )
+        hdr = nifti.NiftiHeader()
+        hdr.set_shape(sh)
+        hdr.set_zooms(sp)
+        sub = make_subject(sh, seed=seed + 2000 + i, lesion=True)
         case = "TEST%02d" % i
         fp = os.path.join(data_dir, "%s_flair.nii.gz" % case)
         gp = os.path.join(data_dir, "%s_lesion_gt.nii.gz" % case)

@@ -27,9 +27,27 @@ Everything is deterministic given (shape, seed).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
+
+
+def _host_compute():
+    """Pin phantom synthesis to the host CPU backend when one exists.
+
+    Subject generation is a handful of SMALL jax programs (smooth-noise
+    fields, scaling-and-squaring, two nearest-neighbor warps) dispatched
+    many times per subject; on a remote-attached TPU the per-dispatch
+    round-trips dominate — measured 217 s of an 879 s end-to-end run was
+    cohort generation alone. The CPU backend runs the same programs in
+    milliseconds and frees the TPU queue for the pipeline under test."""
+    try:
+        import jax
+
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:  # CPU platform unavailable: run wherever default is
+        return contextlib.nullcontext()
 
 # FLAIR-like mean intensities per structure. CSF is dark (FLAIR nulls it),
 # cortex/GM brighter than WM, lesions hyperintense ABOVE cortex so the
@@ -201,7 +219,18 @@ def make_subject(shape, seed, lesion=False, max_disp_vox=5.0, bias_amp=0.15,
     Anatomy = base head warped by a per-subject random diffeo composed with a
     small random affine; labels are warped nearest-neighbor FIRST and the
     intensity image is synthesized from the warped labels, so tissue edges
-    stay crisp and the GT is exact."""
+    stay crisp and the GT is exact.
+
+    All device compute runs on the host CPU backend (_host_compute): the
+    warp chain is a few small programs where dispatch latency, not FLOPs,
+    dominates on a remote accelerator."""
+    with _host_compute():
+        return _make_subject_impl(shape, seed, lesion, max_disp_vox,
+                                  bias_amp, noise_sigma)
+
+
+def _make_subject_impl(shape, seed, lesion, max_disp_vox, bias_amp,
+                       noise_sigma):
     import jax.numpy as jnp
 
     from deepwmh_tpu.ops.warp import compose_affine_then_disp, sample_volume
@@ -249,25 +278,49 @@ def make_subject(shape, seed, lesion=False, max_disp_vox=5.0, bias_amp=0.15,
     }
 
 
+def cohort_geometry(shape, spacing, shapes, spacings, index):
+    """Per-subject (shape, spacing) for cohort position `index`.
+
+    `shapes`/`spacings` are optional per-subject cycles: subject i gets
+    shapes[i % len(shapes)] and spacings[i % len(spacings)] — the
+    reference's normal operating regime, where every scan in a cohort has
+    its own volume size and voxel spacing (the reference prepares per-case
+    geometry in deepwmh/pipeline/DCNN_multistage.py:39-93; this framework's
+    answer is pad-and-bucket, unet/preprocess.padded_shape). None falls
+    back to the homogeneous (shape, spacing)."""
+    sh = tuple(shapes[index % len(shapes)]) if shapes else tuple(shape)
+    sp = tuple(spacings[index % len(spacings)]) if spacings else tuple(spacing)
+    return sh, sp
+
+
 def write_cohort(out_dir, shape=(64, 80, 64), spacing=(2.0, 2.0, 2.0),
-                 n_ref=3, n_train=3, seed=0, max_disp_vox=5.0):
+                 n_ref=3, n_train=3, seed=0, max_disp_vox=5.0,
+                 shapes=None, spacings=None):
     """Write a full train-ready cohort. Returns
     (reference_csv, training_csv, {case: lesion_gt_path}).
 
     CSV columns follow the DeepWMH_train contract
     (deepwmh/main/train.py:66-106; examples/Example_reference.csv):
-    reference = healthy subjects with label1/label2, training = patients."""
+    reference = healthy subjects with label1/label2, training = patients.
+
+    `shapes`/`spacings` (optional lists) make the cohort HETEROGENEOUS:
+    subject i (references first, then patients, one running index) gets
+    shapes[i % len], spacings[i % len] — see cohort_geometry."""
     from deepwmh_tpu.core import nifti
     from deepwmh_tpu.core.manifests import write_csv_simple
 
     os.makedirs(out_dir, exist_ok=True)
-    hdr = nifti.NiftiHeader()
-    hdr.set_shape(shape)
-    hdr.set_zooms(spacing)
+
+    def _hdr(sh, sp):
+        hdr = nifti.NiftiHeader()
+        hdr.set_shape(sh)
+        hdr.set_zooms(sp)
+        return hdr
 
     ref_rows = {"case": [], "desc": [], "flair": [], "label1": [], "label2": []}
     for i in range(n_ref):
-        sub = make_subject(shape, seed=seed + i, lesion=False,
+        sh, sp = cohort_geometry(shape, spacing, shapes, spacings, i)
+        sub = make_subject(sh, seed=seed + i, lesion=False,
                            max_disp_vox=max_disp_vox)
         case = "REF%02d" % i
         paths = {
@@ -275,7 +328,7 @@ def write_cohort(out_dir, shape=(64, 80, 64), spacing=(2.0, 2.0, 2.0),
             for k in ("flair", "label1", "label2")
         }
         for k, p in paths.items():
-            nifti.save_nifti(sub[k].astype(np.float32), hdr, p)
+            nifti.save_nifti(sub[k].astype(np.float32), _hdr(sh, sp), p)
         ref_rows["case"].append(case)
         ref_rows["desc"].append("healthy")
         for k in ("flair", "label1", "label2"):
@@ -284,13 +337,14 @@ def write_cohort(out_dir, shape=(64, 80, 64), spacing=(2.0, 2.0, 2.0),
     train_rows = {"case": [], "desc": [], "flair": []}
     gt_paths = {}
     for i in range(n_train):
-        sub = make_subject(shape, seed=seed + 1000 + i, lesion=True,
+        sh, sp = cohort_geometry(shape, spacing, shapes, spacings, n_ref + i)
+        sub = make_subject(sh, seed=seed + 1000 + i, lesion=True,
                            max_disp_vox=max_disp_vox)
         case = "SUB%02d" % i
         fp = os.path.join(out_dir, "%s_flair.nii.gz" % case)
         gp = os.path.join(out_dir, "%s_lesion_gt.nii.gz" % case)
-        nifti.save_nifti(sub["flair"], hdr, fp)
-        nifti.save_nifti(sub["lesion_gt"].astype(np.float32), hdr, gp)
+        nifti.save_nifti(sub["flair"], _hdr(sh, sp), fp)
+        nifti.save_nifti(sub["lesion_gt"].astype(np.float32), _hdr(sh, sp), gp)
         train_rows["case"].append(case)
         train_rows["desc"].append("patient")
         train_rows["flair"].append(fp)
