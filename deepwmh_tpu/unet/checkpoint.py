@@ -27,6 +27,13 @@ def save_checkpoint(folder: str, name: str, params, opt_state=None, meta: dict =
     payload = {"params": params}
     if opt_state is not None:
         payload["opt_state"] = opt_state
+    # one pipelined device->host fetch of the whole tree BEFORE msgpack:
+    # to_bytes would otherwise np.asarray each leaf serially, paying one
+    # blocking device round-trip per parameter tensor — over the remote-TPU
+    # tunnel that was measured as seconds per save (2 saves/epoch), the
+    # dominant cost of small-patch training epochs. device_get issues all
+    # the copies asynchronously and blocks once.
+    payload = jax.device_get(payload)
     data = serialization.to_bytes(payload)
     tmp = os.path.join(folder, name + ".msgpack.tmp")
     with open(tmp, "wb") as f:

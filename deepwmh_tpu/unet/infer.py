@@ -289,7 +289,15 @@ class CaseProgramMixin:
     [D,H,W,C] — plus `self.plan`, `self.params` and a BoundedCache at
     `self._case_cache`. Everything around the sweep (N4, resample/z-score,
     resample back, threshold, postprocessing) is defined once here so the
-    single-device and mesh paths cannot silently diverge."""
+    single-device and mesh paths cannot silently diverge.
+
+    `_case_key_prefix` namespaces the cache keys: a subclass that shares
+    one PROCESS-wide program cache across instances (SlidingWindowPredictor
+    does — see _SHARED_CASE_CACHE) must include everything that changes the
+    compiled program besides shape/spacing (model config, tta, mode) in the
+    prefix; per-instance caches can leave it empty."""
+
+    _case_key_prefix = ()
 
     def _res_shape(self, orig_shape, spacing):
         plan = self.plan
@@ -310,7 +318,7 @@ class CaseProgramMixin:
         resample back, so argmax == fg > 0.5.)"""
         data = jnp.asarray(data, jnp.float32)
         spacing_r = tuple(round(float(s), 4) for s in spacing)
-        key = (data.shape, spacing_r, apply_n4)
+        key = self._case_key_prefix + (data.shape, spacing_r, apply_n4)
         if key not in self._case_cache:
             # build with the SAME rounded spacing as the cache key, so cases
             # that collide on the key get identical resampling geometry
@@ -333,7 +341,7 @@ class CaseProgramMixin:
         ops, same order; tested)."""
         data = jnp.asarray(data, jnp.float32)
         spacing_r = tuple(round(float(s), 4) for s in spacing)
-        key = ("full", data.shape, spacing_r, apply_n4)
+        key = self._case_key_prefix + ("full", data.shape, spacing_r, apply_n4)
         if key not in self._case_cache:
             case_fn = self._build_case_fn(data.shape, spacing_r, False)
             self._case_cache[key] = _build_full_case_fn(
@@ -367,7 +375,9 @@ class CaseProgramMixin:
                 [datas, jnp.repeat(datas[-1:], b_pad - b, axis=0)], axis=0
             )
         spacing_r = tuple(round(float(s), 4) for s in spacing)
-        key = ("fullbatch", datas.shape, spacing_r, apply_n4)
+        key = self._case_key_prefix + (
+            "fullbatch", datas.shape, spacing_r, apply_n4
+        )
         if key not in self._case_cache:
             case_fn = self._build_case_fn(datas.shape[1:], spacing_r, False)
             full_fn = _build_full_case_fn(case_fn, spacing_r, apply_n4)
@@ -434,6 +444,40 @@ def _build_full_case_fn(case_fn, spacing, apply_n4):
     return jax.jit(full)
 
 
+# Process-wide program sharing across predictor instances. The multistage
+# pipeline (and a serve fleet reloading models) builds several predictors
+# over the SAME plan/architecture with different weights — stage-3
+# training-fit predict, then the released-model heldout predict, etc. jit
+# caches key the apply callable by identity, so a per-instance
+# `lambda p, x: model.apply(...)` forced a full fresh XLA compile of an
+# identical program per instance (~40 s each on the remote backend).
+# _SHARED_APPLY gives equal-config models ONE apply identity, and
+# _SHARED_CASE_CACHE shares the fused case programs, keyed by the
+# predictor's _case_key_prefix (model config + tta/mode) + shape/spacing.
+_SHARED_APPLY = {}
+_SHARED_CASE_CACHE = []  # lazily built so importing this module stays cheap
+
+
+def _shared_case_cache():
+    if not _SHARED_CASE_CACHE:
+        from deepwmh_tpu.utils.misc import BoundedCache
+
+        _SHARED_CASE_CACHE.append(BoundedCache(maxsize=16))
+    return _SHARED_CASE_CACHE[0]
+
+
+def _model_key(model):
+    return (
+        type(model).__name__,
+        model.plan.to_json(),
+        str(model.dtype),
+        bool(model.remat),
+        int(model.remat_max_stage),
+        bool(model.decompose_fullres),
+        bool(getattr(model, "fused_stats", False)),
+    )
+
+
 class SlidingWindowPredictor(CaseProgramMixin):
     """Caches compiled sweeps per padded shape; the user-facing predictor.
 
@@ -459,10 +503,15 @@ class SlidingWindowPredictor(CaseProgramMixin):
         self.mode = mode
         self.patch_size = tuple(int(p) for p in plan.patch_size)
         self.gauss = gaussian_importance_map(self.patch_size)
-        from deepwmh_tpu.utils.misc import BoundedCache
 
-        self._apply = lambda p, x: model.apply({"params": p}, x)
-        self._case_cache = BoundedCache(maxsize=8)
+        mk = _model_key(model)
+        if mk not in _SHARED_APPLY:
+            _SHARED_APPLY[mk] = (
+                lambda p, x, _m=model: _m.apply({"params": p}, x)
+            )
+        self._apply = _SHARED_APPLY[mk]
+        self._case_key_prefix = (mk, bool(tta), mode, float(step_fraction))
+        self._case_cache = _shared_case_cache()
 
     def _use_fullvol(self, res_shape) -> bool:
         return use_fullvol(self.mode, res_shape, self.plan)

@@ -59,6 +59,42 @@ class TrainConfig:
     seed: int = 0
 
 
+# One compiled train step shared across Trainer instances with identical
+# compute configuration (model/plan, augmentation, optimizer constants,
+# mesh). The multistage pipeline builds a separate Trainer per stage; with
+# the LR passed as a runtime argument their step programs are identical,
+# and re-jitting per instance would pay a full fresh XLA compile each time
+# (jit caches are per-wrapper). Keyed by everything _train_step_impl reads
+# from its trainer; the first trainer's closure serves the rest.
+_TRAIN_STEP_CACHE = {}
+
+
+def _shared_train_step(trainer):
+    import dataclasses as _dc
+
+    mesh = trainer.mesh
+    mesh_key = (
+        None
+        if mesh is None
+        else (tuple(mesh.axis_names), tuple(mesh.shape.values()),
+              tuple(d.id for d in np.asarray(mesh.devices).reshape(-1)))
+    )
+    cfg = trainer.cfg
+    key = (
+        trainer.plan.to_json(),
+        repr(trainer.model),  # flax dataclass repr covers remat/dtype flags
+        bool(cfg.augment),
+        repr(cfg.aug),
+        (cfg.grad_clip, cfg.weight_decay, cfg.momentum),
+        mesh_key,
+    )
+    if key not in _TRAIN_STEP_CACHE:
+        _TRAIN_STEP_CACHE[key] = jax.jit(
+            trainer._train_step_impl, donate_argnums=(0, 1)
+        )
+    return _TRAIN_STEP_CACHE[key]
+
+
 class Trainer:
     def __init__(self, plan: Plan, cfg: TrainConfig, out_dir: str, mesh=None, logger=None):
         self.plan = plan
@@ -96,12 +132,23 @@ class Trainer:
             mesh = sub
         self.mesh = mesh
 
+        # Poly LR (1 - step/total)^0.9 is computed HOST-side per step and
+        # passed into the compiled step as a scalar argument: with the
+        # schedule baked into optax (scale_by_schedule) the total-step count
+        # becomes a program constant, so the stage-2 (50-epoch) and stage-3
+        # (100-epoch) trainers of the multistage pipeline each paid a full
+        # fresh XLA compile of an otherwise identical step (~50 s each on
+        # the remote backend). The optimizer chain is schedule-free
+        # (sgd(1.0) ends in a stateless scale(-1)) and _train_step_impl
+        # multiplies the update by the traced lr — same math, one program.
         total_steps = cfg.epochs * cfg.batches_per_epoch
-        schedule = lambda step: cfg.lr * (1.0 - step / max(total_steps, 1)) ** 0.9
+        self._schedule = (
+            lambda step: cfg.lr * (1.0 - step / max(total_steps, 1)) ** 0.9
+        )
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.add_decayed_weights(cfg.weight_decay),
-            optax.sgd(schedule, momentum=cfg.momentum, nesterov=True),
+            optax.sgd(1.0, momentum=cfg.momentum, nesterov=True),
         )
 
         if mesh is not None:
@@ -111,7 +158,7 @@ class Trainer:
             self.rep_sharding = None
             self.batch_sharding = None
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._train_step = _shared_train_step(self)
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------ #
@@ -130,8 +177,9 @@ class Trainer:
             opt_state = jax.device_put(opt_state, self.rep_sharding)
         return params, opt_state
 
-    def _train_step_impl(self, params, opt_state, images, labels, rng):
-        """images [N,D,H,W] f32, labels [N,D,H,W] i32."""
+    def _train_step_impl(self, params, opt_state, images, labels, rng, lr):
+        """images [N,D,H,W] f32, labels [N,D,H,W] i32, lr scalar f32 (the
+        host-computed poly-schedule value for this step)."""
         if self.cfg.augment:
             images, labels = self._augment(rng, images, labels)
 
@@ -143,6 +191,7 @@ class Trainer:
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
@@ -233,8 +282,9 @@ class Trainer:
                 if b + 1 < cfg.batches_per_epoch:
                     pending = prefetcher.submit(_next_batch)
                 rng, step_rng = jax.random.split(rng)
+                lr = self._schedule(epoch * cfg.batches_per_epoch + b)
                 params, opt_state, loss = self._train_step(
-                    params, opt_state, imgs, lbls, step_rng
+                    params, opt_state, imgs, lbls, step_rng, np.float32(lr)
                 )
                 losses.append(loss)
             mean_loss = float(jnp.mean(jnp.stack(losses)))

@@ -76,3 +76,6 @@ class BoundedCache:
         self._d.move_to_end(key)
         while len(self._d) > self.maxsize:
             self._d.popitem(last=False)
+
+    def keys(self):
+        return list(self._d.keys())

@@ -90,7 +90,11 @@ def test_predictor_case_cache_bounded():
     params = init_params(model, jax.random.PRNGKey(0))
     pred = SlidingWindowPredictor(model, params, plan, tta=False)
     rng = np.random.RandomState(0)
-    for i in range(10):
+    # the case cache is PROCESS-wide (shared across predictor instances so
+    # equal-config models reuse compiled programs); drive it past its own
+    # bound and assert eviction, whatever other tests left in it
+    maxsize = pred._case_cache.maxsize
+    for i in range(maxsize + 2):
         vol = rng.rand(9 + i, 9, 9).astype(np.float32)
         pred.predict_case(vol, (1.0, 1.0, 1.0))
-    assert len(pred._case_cache) <= 8
+    assert len(pred._case_cache) <= maxsize
