@@ -88,3 +88,92 @@ def median3(vol):
     from deepwmh_tpu.ops.filters import median_filter
 
     return median_filter(vol, 3)
+
+
+# --------------------------------------------------------------------- #
+# Fused instance-norm statistics
+#
+# The inference sweep's instance-norm statistics are XLA convert_reduce
+# fusions reading the full-resolution bf16 activation (0.53 GB at bench
+# shape) at ~120 GB/s — ~16 ms/flip, the cheapest slice of the measured
+# ~25% non-conv sweep overhead (docs/PERF.md). This kernel computes the
+# SAME two moments in one bf16-rate pass: the [*, C] activation is viewed
+# as [M/fold, fold*C=128] (a free row-major reshape — C=32 fills only a
+# quarter of the 128-lane VPU/tile width; folding four consecutive voxels
+# into the lane dimension uses all of it), blocks of rows are reduced to
+# f32 (sum, sum-of-squares) partials on the VPU, and the sequential TPU
+# grid accumulates them into one resident output block. The host folds
+# the `fold` interleaved channel copies and forms mean/var exactly like
+# flax's GroupNorm(group_size=1) fast-variance path: var = E[x^2]-E[x]^2.
+# --------------------------------------------------------------------- #
+
+
+def _inorm_stats_kernel(x_ref, out_ref, *, m4: int, block_rows: int):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    blk = x_ref[0].astype(jnp.float32)  # [block_rows, 128]
+    # final block may overrun M/fold: garbage rows are zeroed, count uses
+    # the true element count host-side
+    rows = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) + i * block_rows
+    blk = jnp.where(rows < m4, blk, 0.0)
+    out_ref[0, 0, :] += jnp.sum(blk, axis=0)
+    out_ref[0, 1, :] += jnp.sum(blk * blk, axis=0)
+
+
+def instance_norm_stats_pallas(x, block_rows: int = 2048,
+                               interpret: bool = False):
+    """Per-(sample, channel) mean/variance of a channels-last activation.
+
+    x: [N, ...spatial..., C] with 128 % C == 0 and prod(spatial) % fold
+    == 0 (fold = 128//C) — the shapes the U-Net's full-resolution stages
+    produce. Returns (mean, var) f32 [N, C], numerically the statistics
+    flax.linen.GroupNorm(group_size=1) computes (fast-variance form).
+    Raises ValueError for shapes outside the contract (callers fall back
+    to the XLA reduction)."""
+    N = x.shape[0]
+    C = x.shape[-1]
+    spatial = 1
+    for s in x.shape[1:-1]:
+        spatial *= int(s)
+    if C > 128 or 128 % C:
+        raise ValueError("C must divide 128, got %d" % C)
+    fold = 128 // C
+    if spatial % fold:
+        raise ValueError("prod(spatial)=%d not divisible by fold=%d"
+                         % (spatial, fold))
+    m4 = spatial // fold
+    x4 = x.reshape(N, m4, 128)
+
+    grid = (N, pl.cdiv(m4, block_rows))
+    out = pl.pallas_call(
+        functools.partial(_inorm_stats_kernel, m4=m4, block_rows=block_rows),
+        out_shape=jax.ShapeDtypeStruct((N, 8, 128), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_rows, 128),
+                index_map=lambda n, i: (n, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128),
+            index_map=lambda n, i: (n, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x4)
+
+    s = out[:, 0, :].reshape(N, fold, C).sum(axis=1)
+    s2 = out[:, 1, :].reshape(N, fold, C).sum(axis=1)
+    inv_n = 1.0 / float(spatial)
+    mean = s * inv_n
+    var = s2 * inv_n - mean * mean
+    return mean, var

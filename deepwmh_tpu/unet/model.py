@@ -127,6 +127,49 @@ class Conv3D(nn.Module):
         return y + b.astype(self.dtype)
 
 
+class _InstanceNormParams(nn.Module):
+    """Parameter-only stand-in for nn.GroupNorm: same scope name, same
+    param names/shapes/dtypes, so checkpoints move freely between the
+    fused-stats and flax paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+        return scale, bias
+
+
+def _instance_norm_stats(x):
+    """Per-(sample, channel) mean/var of [N, D, H, W, C], f32.
+
+    On TPU, shapes inside the Pallas kernel's contract take the fused
+    one-pass kernel (ops/pallas_kernels.instance_norm_stats_pallas); other
+    backends/shapes use the plain XLA reduction (identical fast-variance
+    math, reduction-order differences only)."""
+    if jax.default_backend() == "tpu":
+        try:
+            from deepwmh_tpu.ops.pallas_kernels import (
+                instance_norm_stats_pallas,
+            )
+
+            return instance_norm_stats_pallas(x)
+        except ValueError:
+            pass
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    mean = xf.mean(axes)
+    var = (xf * xf).mean(axes) - mean * mean
+    return mean, var
+
+
 class ConvNormAct(nn.Module):
     features: int
     kernel: Sequence[int]
@@ -134,6 +177,7 @@ class ConvNormAct(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     decompose: bool = False
     pad_style: str = "same"
+    fused_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -152,13 +196,32 @@ class ConvNormAct(nn.Module):
         # stable statistics. (A stats-on-flattened-view variant that tried
         # to steer XLA's layout choice measured exactly equal at inference
         # and 10% slower in the train step — negative result, don't retry.)
-        x = nn.GroupNorm(
-            num_groups=None,
-            group_size=1,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.fused_stats:
+            # inference-only fused path (the Pallas stats kernel defines
+            # no VJP): one bf16-rate pass for the two moments, then the
+            # normalize+affine folded to a single FMA XLA fuses onward.
+            # Param scope/names match nn.GroupNorm exactly.
+            scale, bias = _InstanceNormParams(
+                self.features, name="GroupNorm_0"
+            )()
+            mean, var = _instance_norm_stats(x)
+            w = scale[None, :] * jax.lax.rsqrt(var + 1e-5)  # [N, C] f32
+            bc = (slice(None),) + (None,) * (x.ndim - 2) + (slice(None),)
+            # (x - mean) * w + bias in f32 like flax's _normalize (the f32
+            # mean promotes the expression; the convert fuses into the
+            # elementwise pass, so x is still READ at bf16 rate), cast to
+            # the compute dtype at the end
+            x = ((x - mean[bc]) * w[bc] + bias[None, :][bc]).astype(
+                self.dtype
+            )
+        else:
+            x = nn.GroupNorm(
+                num_groups=None,
+                group_size=1,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         x = nn.leaky_relu(x, negative_slope=LRELU_SLOPE)
         return x.astype(self.dtype)
 
@@ -187,6 +250,11 @@ class UNet3D(nn.Module):
     # depth-decomposed 2D convolutions — exact same math, measured 1.4-2.4x
     # faster on TPU where XLA's 3D conv lowering is weakest (see Conv3D)
     decompose_fullres: bool = True
+    # fuse the instance-norm statistics into one Pallas bf16-rate pass
+    # (ConvNormAct fused path). INFERENCE ONLY — the stats kernel defines
+    # no VJP, so training keeps the flax GroupNorm. Identical parameter
+    # tree either way (checkpoints interchange freely).
+    fused_stats: bool = False
 
     @nn.compact
     def __call__(self, x, deep_supervision: bool = False):
@@ -210,7 +278,8 @@ class UNet3D(nn.Module):
                 else ConvNormAct
             )
             m = blk(f, k, s, dt, decompose and self.decompose_fullres,
-                    pad_style, name="ConvNormAct_%d" % n_blocks)
+                    pad_style, self.fused_stats,
+                    name="ConvNormAct_%d" % n_blocks)
             n_blocks += 1
             return m
 
