@@ -153,45 +153,25 @@ def bench_headline(predictor, vol, spacing, max_meas_s=110.0):
 def bench_mfu(predictor, vol, spacing, per_volume):
     """Model-FLOPs utilization: analytic sweep FLOPs / wall / chip peak.
 
-    XLA cost_analysis counts a lax.scan/fori body ONCE, so the fused
-    program's reported flops under-count by the trip count; instead the
-    model flops are ONE cost-analyzed forward times the real trip count:
-    full-volume mode = batch-1 whole-volume forward x |flips|; patch mode
-    = batched-all-flips patch forward x real positions."""
-    import jax.numpy as jnp
-
-    from deepwmh_tpu.unet.infer import (
-        ALL_FLIPS,
-        NO_FLIPS,
-        fullvol_shape,
-        patch_positions,
-    )
-    from deepwmh_tpu.unet.preprocess import padded_shape
+    The FLOP count is the ANALYTIC conv walk (unet/flops.py, pinned against
+    traced model shapes by tests/test_flops.py): deterministic and zero
+    device/compile cost. The old XLA cost_analysis probe compiled a second
+    forward just to read its flops — on the axon backend (server-side
+    compiles, no persistent cache) that burned 30-120 s of bench wall —
+    and counted a lax.scan body only once anyway, forcing the same
+    trip-count multiplication by hand."""
+    from deepwmh_tpu.unet.flops import case_model_flops
 
     plan = predictor.plan
     res_shape = tuple(
         max(int(round(vol.shape[a] * spacing[a] / plan.target_spacing[a])), 1)
         for a in range(3)
     )
-    n_flips = len(ALL_FLIPS if predictor.tta else NO_FLIPS)
     try:
-        fwd = jax.jit(predictor._apply)
-        if predictor._use_fullvol(res_shape):
-            target = fullvol_shape(res_shape, plan)
-            x = jnp.zeros((1,) + tuple(target) + (1,), jnp.float32)
-            ca = fwd.lower(predictor.params, x).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, list) else ca
-            flops = float(ca["flops"]) * n_flips
-        else:
-            target = padded_shape(res_shape, predictor.patch_size)
-            _pos, pos_w = patch_positions(
-                target, predictor.patch_size, predictor.step_fraction
-            )
-            n_real = int(np.asarray(pos_w).sum())
-            x = jnp.zeros((n_flips,) + predictor.patch_size + (1,), jnp.float32)
-            ca = fwd.lower(predictor.params, x).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, list) else ca
-            flops = float(ca["flops"]) * n_real
+        flops = float(case_model_flops(
+            plan, res_shape, predictor.patch_size, predictor.step_fraction,
+            tta=predictor.tta, fullvol=predictor._use_fullvol(res_shape),
+        ))
     except Exception:
         return None, None
     kind = jax.devices()[0].device_kind
@@ -306,11 +286,16 @@ def bench_registration():
         )
         warm.launch(verbose=False)
 
-        reg = GroupRegistration(srcs, tgts, os.path.join(tmp, "reg"), quick=True)
+        # 2 timed quick pairs (was 3 — the quick config is a sanity-level
+        # throughput signal; the production config below keeps 3 so the
+        # pipelined sustained rate stays the meaningful one)
+        reg = GroupRegistration(
+            srcs, tgts[:2], os.path.join(tmp, "reg"), quick=True
+        )
         t0 = time.time()
         reg.launch(verbose=False)
         dt = time.time() - t0
-        n = len(srcs) * len(tgts)
+        n = len(srcs) * 2
         quick_ppm = n / dt * 60.0
 
         # production config: the composed quick+large-deformation setup
@@ -456,9 +441,9 @@ def bench_training(plan):
     from deepwmh_tpu.unet.train import TrainConfig, Trainer
 
     # size the LR schedule to the steps actually run (1 warmup + 8 timed):
-    # a 1-step schedule would evaluate (1 - step/1)**0.9 at step>=2 — a
-    # negative base to a fractional power = NaN lr, NaN params, and the
-    # benchmark would silently measure steps over NaN gradients
+    # evaluating the poly schedule past its total would raise a negative
+    # base to a fractional power = NaN lr, NaN params, and the benchmark
+    # would silently measure steps over NaN gradients
     cfg = TrainConfig(epochs=1, batches_per_epoch=9, batch_size=2, augment=True)
     rng = np.random.RandomState(0)
     imgs = rng.rand(2, *plan.patch_size).astype(np.float32)
@@ -468,14 +453,17 @@ def bench_training(plan):
         params, opt_state = tr.init_state(jax.random.PRNGKey(0))
         imgs, lbls = tr._put_batch(imgs, lbls)
         key = jax.random.PRNGKey(1)
-        params, opt_state, loss = tr._train_step(params, opt_state, imgs, lbls, key)
+        params, opt_state, loss = tr._train_step(
+            params, opt_state, imgs, lbls, key, np.float32(tr._schedule(0))
+        )
         float(loss)  # compile + sync
 
         n = 8
         t0 = time.time()
         for i in range(n):
             params, opt_state, loss = tr._train_step(
-                params, opt_state, imgs, lbls, jax.random.fold_in(key, i)
+                params, opt_state, imgs, lbls, jax.random.fold_in(key, i),
+                np.float32(tr._schedule(i + 1)),
             )
         float(loss)
         return n / (time.time() - t0)
@@ -544,16 +532,22 @@ def bench_nll():
 
 def main():
     # Wall-clock budget: the TPU sits behind a shared tunnel whose latency
-    # varies wildly with contention. The headline number is measured first
-    # (internally time-boxed — BENCH_r03's open-ended headline starved the
-    # tail sections); every other section holds a RESERVED minimum slice
-    # (see RESERVES below), so a slow section can no longer silently eat the
-    # sections after it, and ONE JSON line is always printed.
-    # Nominal uncontended total ~2000s, ~half of it the end-to-end accuracy
-    # loop (axon compiles server-side and is not persistent-cacheable, so
-    # every section pays its compiles fresh).
+    # varies wildly with contention, and the DRIVER kills the whole process
+    # on its own timeout (BENCH_r04 died at rc=124 around ~1800s with no
+    # JSON at all). Sizing rule: the worst observed driver window is ~1800s,
+    # so the soft budget (1400s) + the dead-man margin (120s) must land the
+    # ONE JSON line strictly inside it, rc=0 in the normal case and rc=3
+    # with partial values if the runtime wedges.
+    # Scheduling is PRIORITY-ORDERED with an own-cost admission check: the
+    # two driver-critical signals (headline, e2e accuracy) run first, then
+    # the cheap regression sections, then the expensive registration
+    # sections; a section runs only if ITS OWN estimated cost fits the
+    # remaining budget, and skipping one never blocks a cheaper one after
+    # it (BENCH_r04 skipped 40s sections while 460s ones ran — the old
+    # scheme reserved time for later sections but ignored the candidate's
+    # own cost).
     t_start = time.time()  # anchor: bench_wall_seconds + elapsed prints
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2200"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1400"))
     deadline = t_start + budget
 
     # The driver parses stdout as exactly ONE JSON line. Sections drive the
@@ -569,10 +563,12 @@ def main():
     # soft per-section budget below can't fire while the main thread is
     # blocked inside the runtime (a blocked native call also defers Python
     # signal handlers, so SIGALRM is not enough); a daemon-thread timer
-    # guarantees the ONE JSON line the driver records either way. Generous
-    # margin over the soft budget: a cold compile through the remote
-    # compile helper can legitimately take many minutes, and a
-    # slow-but-live run must never be recorded as a zero.
+    # guarantees the ONE JSON line the driver records either way. The
+    # margin over the soft budget is SMALL (120s) on purpose: it must fire
+    # inside the driver's own timeout or the partial-JSON guarantee is
+    # unreachable exactly when it is needed (BENCH_r04's budget+1800
+    # default sat beyond the driver's kill). tests/test_bench_contract.py
+    # pins this with a wedged-section simulation.
     import threading
 
     # sections publish completed measurements here so a LATE hang (e.g. a
@@ -599,7 +595,7 @@ def main():
         json_out.flush()
         os._exit(3)
 
-    hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", str(budget + 1800)))
+    hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", str(budget + 120)))
     _deadman_timer = threading.Timer(hard_s, _deadman)
     _deadman_timer.daemon = True
     _deadman_timer.start()
@@ -663,33 +659,43 @@ def main():
 
     dropped = []
 
-    # Reserved minimum slice (seconds) per section STILL TO RUN: a section
-    # is skipped only when running it would eat into the reservations of
-    # the sections after it. Estimates are generous uncontended medians +
-    # compile; the guarantee is that an overrun in one section can only
-    # consume the global slack (budget - sum(reserves)), never another
-    # section's reservation.
-    RESERVES = [
-        ("stages", 40),
-        ("training", 90),
-        ("nll", 150),
-        ("registration", 300),
-        ("registration_quality", 90),
-        ("registration_label_quality", 80),
-        ("e2e_dice", 1000),
-    ]
-    reserve_left = dict(RESERVES)
+    # Per-section cost estimates (seconds, uncontended TPU medians incl.
+    # compile — axon compiles server-side with no persistent cache, so every
+    # section pays its compiles fresh). Priority = list order: a section is
+    # ADMITTED only if its own estimated completion fits the remaining soft
+    # budget; a skipped section never blocks a cheaper one after it. Sum of
+    # estimates + headline must fit the budget uncontended so a clean run
+    # drops nothing.
+    ESTIMATES = {
+        "e2e_dice": 650,
+        "stages": 30,
+        "training": 70,
+        "nll": 120,
+        "registration_quality": 80,
+        "registration": 220,
+        "registration_label_quality": 80,
+    }
+
+    # test hook: BENCH_WEDGE_SECTION=<name> replaces that section's body
+    # with an indefinite block, simulating a native call wedging inside the
+    # runtime — the dead-man must still land the ONE JSON line with the
+    # already-measured values (tests/test_bench_contract.py)
+    wedge = os.environ.get("BENCH_WEDGE_SECTION")
 
     def if_time(name, fn, fallback=None):
         # progress goes to stderr: stdout must stay ONE JSON line
-        reserve_left.pop(name, None)
-        needed_later = sum(reserve_left.values())
-        if time.time() + needed_later >= deadline:
+        own = ESTIMATES.get(name, 60)
+        left = deadline - time.time()
+        if own > left:
             dropped.append(name)
-            print("bench: %s SKIPPED (%.0fs left < %.0fs reserved for later "
-                  "sections)" % (name, deadline - time.time(), needed_later),
-                  file=sys.stderr, flush=True)
+            print("bench: %s SKIPPED (est %.0fs > %.0fs budget left)"
+                  % (name, own, left), file=sys.stderr, flush=True)
             return fallback
+        if name == wedge:
+            print("bench: %s WEDGED by BENCH_WEDGE_SECTION" % name,
+                  file=sys.stderr, flush=True)
+            while True:  # simulated hung native call
+                time.sleep(60)
         t0 = time.time()
         try:
             out = fn()
@@ -697,9 +703,9 @@ def main():
             print("bench: %s done in %.1fs (%.0fs elapsed)"
                   % (name, time.time() - t0, time.time() - t_start),
                   file=sys.stderr, flush=True)
-            # opportunistic headline sample in this new tunnel window (a few
-            # seconds; never allowed to eat later sections' reservations)
-            if time.time() + sum(reserve_left.values()) + 30 < deadline:
+            # opportunistic headline sample in this new tunnel window (a
+            # few seconds, only on remaining slack)
+            if time.time() + 30 < deadline:
                 try:
                     reprobe()
                 except Exception as e:
@@ -712,22 +718,23 @@ def main():
                   % (name, time.time() - t0, e), file=sys.stderr, flush=True)
             return fallback
 
-    # order: cheap regression signals first (stages, training), then the
-    # throughput sections, then the two quality sections, then the big
-    # end-to-end accuracy loop (protected by its reservation)
+    # priority order: the driver-critical accuracy signal first (the
+    # headline already ran above it), then the cheap regression sections,
+    # then the expensive registration sections — under contention the TAIL
+    # absorbs the squeeze, never the signals the round is judged on
+    e2e = if_time("e2e_dice", bench_e2e_dice) or {}
     stages = if_time("stages", lambda: bench_stages(predictor, vol, spacing))
     train_steps_per_sec = if_time("training", lambda: bench_training(plan))
     nll = if_time("nll", bench_nll) or {}
     nll_cases_per_min = nll.get("per_case")
     nll_batched = nll.get("batched")
+    reg_quality = if_time("registration_quality", bench_registration_quality)
     reg = if_time("registration", bench_registration) or {}
     reg_pairs_per_min = reg.get("quick_pairs_per_min")
     reg_prod_pairs_per_min = reg.get("production_pairs_per_min")
-    reg_quality = if_time("registration_quality", bench_registration_quality)
     reg_label_quality = if_time(
         "registration_label_quality", bench_registration_label_quality
     )
-    e2e = if_time("e2e_dice", bench_e2e_dice) or {}
 
     _deadman_timer.cancel()  # all device work done; the final print can't hang
     vol_per_min = 60.0 / best_pv[0]

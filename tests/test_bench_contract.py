@@ -36,6 +36,10 @@ bench.main()
 def test_bench_stdout_is_one_json_line():
     env = dict(os.environ)
     env["BENCH_BUDGET_S"] = "0"
+    # zero budget makes the dead-man default (budget+120s) tighter than a
+    # CPU headline compile; relax it here — this test pins the one-line
+    # stdout contract, the wedge test below pins the dead-man
+    env["BENCH_HARD_DEADLINE_S"] = "1200"
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-c", _DRIVER], env=env, cwd=REPO,
@@ -62,3 +66,46 @@ def test_bench_stdout_is_one_json_line():
         "stages", "training", "nll", "registration", "registration_quality",
         "registration_label_quality", "e2e_dice",
     }
+
+
+# wedged-section simulation: BENCH_WEDGE_SECTION turns the first section
+# after the headline into an indefinite block (a stand-in for a native
+# call hanging inside the runtime — the exact failure mode of the r04
+# tunnel). The dead-man must land the ONE JSON line carrying the
+# already-measured headline INSIDE a driver-like window. The headline
+# measurement box is capped so the test spends its time proving the
+# dead-man, not benchmarking a CPU.
+_WEDGE_DRIVER = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import bench
+small = (48, 56, 48)
+_orig = bench.make_synthetic_flair
+bench.make_synthetic_flair = lambda shape=small, seed=0: _orig(small, seed)
+_bh = bench.bench_headline
+bench.bench_headline = lambda p, v, s, max_meas_s=20: _bh(p, v, s, 20)
+bench.main()
+"""
+
+
+@pytest.mark.slow
+def test_deadman_emits_partial_json_when_a_section_wedges():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_WEDGE_SECTION"] = "e2e_dice"
+    # driver-like window: the dead-man must fire well inside the subprocess
+    # timeout below (the stand-in for the real driver's kill)
+    env["BENCH_HARD_DEADLINE_S"] = "240"
+    r = subprocess.run(
+        [sys.executable, "-c", _WEDGE_DRIVER], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 3, (r.returncode, r.stderr[-2000:])
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout[:2000]
+    rec = json.loads(lines[0])
+    # the headline measured BEFORE the wedge must survive into the record
+    assert rec["value"] > 0, rec
+    assert rec["vs_baseline"] > 0, rec
+    assert "error" in rec, rec
+    assert "WEDGED" in r.stderr
