@@ -588,3 +588,113 @@ def test_mesh_dp_burst(tmp_path):
         str(tmp_path / "out_single"), "002_Segmentations", "003_postproc_fov",
         "dp0.nii.gz"))
     assert np.array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_serve_forever_soak(tmp_path):
+    """Reliability under SEQUENCE, not per-feature units: one long-lived
+    serve_forever loop (daemon thread) while the spool receives waves of
+    requests mid-flight, a corrupt input mid-stream, a changed
+    resubmission, and finally STOP while work is still arriving. Invariants
+    at the end: the loop exits on its own, every valid request ends in
+    exactly one receipt + loadable segmentation, the corrupt one is
+    quarantined with a traceback, the post-STOP leftovers are still intact
+    requests in the spool (unclaimed — nothing lost), and the status file
+    agrees with the receipt count. Backs docs/RELIABILITY.md's claims as a
+    sequence test (pipeline/serve.py:530-581)."""
+    import threading
+    import time as _time
+
+    model_dir = tiny_model_dir(tmp_path)
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    os.makedirs(spool)
+
+    srv = SpoolServer(
+        spool, out, model_dir,
+        skip_bfc=True, tta=False, make_previews=False, server_id="soak",
+        settle_seconds=0.0, poll_interval=0.1,
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    def wait_receipts(n, timeout=300.0):
+        t0 = _time.time()
+        done = os.path.join(spool, ".done")
+        while _time.time() - t0 < timeout:
+            if os.path.isdir(done) and len(
+                [f for f in os.listdir(done) if f.endswith(".json")]
+            ) >= n:
+                return
+            _time.sleep(0.2)
+        raise AssertionError("timed out waiting for %d receipts" % n)
+
+    # wave 1: two requests land together
+    spool_request(spool, "w1a", seed=0)
+    spool_request(spool, "w1b", seed=1)
+    wait_receipts(1)
+    # wave 2 arrives while wave 1 may still be mid-flight: a corrupt
+    # input between two valid ones
+    spool_request(spool, "w2a", seed=2)
+    with open(os.path.join(spool, "rotten.nii.gz"), "wb") as f:
+        f.write(b"NOT A NIFTI")
+    spool_request(spool, "w2b", seed=3)
+    wait_receipts(4)  # w1a w1b w2a w2b (rotten -> .failed, no receipt)
+
+    # changed resubmission of an already-served case must recompute (the
+    # served counter ticks a 5th time; provenance tests elsewhere pin that
+    # the receipt's input_sha flips to the new bytes)
+    spool_request(spool, "w1a", seed=42)
+    t0 = _time.time()
+    while srv.served < 5 and _time.time() - t0 < 300:
+        _time.sleep(0.2)
+    assert srv.served >= 5, "changed resubmission was not recomputed"
+
+    # final wave + STOP racing the drain: the loop must finish the case it
+    # is on, unclaim anything prefetched, and exit on its own
+    spool_request(spool, "w3a", seed=4)
+    spool_request(spool, "w3b", seed=5)
+    open(os.path.join(spool, "STOP"), "w").close()
+    t.join(timeout=300)
+    assert not t.is_alive(), "serve_forever did not exit after STOP"
+
+    # invariants
+    receipts = {
+        f[:-5] for f in os.listdir(os.path.join(spool, ".done"))
+        if f.endswith(".json")
+    }
+    leftovers = {
+        case_name_of(f)[0] for f in os.listdir(spool) if case_name_of(f)
+    }
+    # every valid request is exactly-once: receipt XOR still-spooled
+    for case in ("w1a", "w1b", "w2a", "w2b", "w3a", "w3b"):
+        assert (case in receipts) ^ (case in leftovers), (
+            case, receipts, leftovers)
+    for case in receipts:
+        seg = os.path.join(out, "002_Segmentations", "003_postproc_fov",
+                           case + ".nii.gz")
+        assert nifti.try_load_nifti(seg), seg
+    # corrupt input quarantined, not retried forever, no receipt
+    assert os.path.isfile(os.path.join(spool, ".failed", "rotten.nii.gz"))
+    assert "Traceback" in open(
+        os.path.join(spool, ".failed", "rotten.err")).read()
+    assert "rotten" not in receipts
+    # nothing stuck in the server's work dir after exit
+    assert os.listdir(os.path.join(spool, ".work", "soak")) == []
+    # status agrees with the walk: serves = receipts written by this run,
+    # fails = the corrupt one
+    status = json.load(open(os.path.join(spool, ".status", "soak.json")))
+    assert status["failed"] == 1
+    assert status["served"] == srv.served >= 5
+
+    # post-STOP leftovers are intact requests: a fresh --once drain after
+    # STOP removal serves them (restart-recovery completes the story)
+    os.remove(os.path.join(spool, "STOP"))
+    if leftovers:
+        srv2 = SpoolServer(
+            spool, out, model_dir,
+            skip_bfc=True, tta=False, make_previews=False,
+            server_id="soak2", settle_seconds=0.0,
+        )
+        ok, bad = srv2.drain()
+        assert ok == len(leftovers) and bad == 0
