@@ -83,7 +83,9 @@ small = (48, 56, 48)
 _orig = bench.make_synthetic_flair
 bench.make_synthetic_flair = lambda shape=small, seed=0: _orig(small, seed)
 _bh = bench.bench_headline
-bench.bench_headline = lambda p, v, s, max_meas_s=20: _bh(p, v, s, 20)
+bench.bench_headline = (
+    lambda p, v, s, max_meas_s=20, publish=None: _bh(p, v, s, 20, publish)
+)
 bench.main()
 """
 
