@@ -96,11 +96,15 @@ def test_deadman_emits_partial_json_when_a_section_wedges():
     env["JAX_PLATFORMS"] = "cpu"
     env["BENCH_WEDGE_SECTION"] = "e2e_dice"
     # driver-like window: the dead-man must fire well inside the subprocess
-    # timeout below (the stand-in for the real driver's kill)
-    env["BENCH_HARD_DEADLINE_S"] = "240"
+    # timeout below (the stand-in for the real driver's kill). 330s (not
+    # 240) because on a LOADED host the CPU headline compile alone can
+    # exceed 240s and the record then carries value=0 — observed when the
+    # full suite ran alongside another compile-heavy process; the margin
+    # keeps the test about the dead-man, not about host contention.
+    env["BENCH_HARD_DEADLINE_S"] = "330"
     r = subprocess.run(
         [sys.executable, "-c", _WEDGE_DRIVER], env=env, cwd=REPO,
-        capture_output=True, text=True, timeout=420,
+        capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 3, (r.returncode, r.stderr[-2000:])
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
