@@ -107,7 +107,9 @@ def run_train(
     svf_warm_start: seed each svf pair's deformable stage from the
     anchor-row composition and refine on the shortened schedule
     (registration/warm.py) — svf mode only, single-chip serial, measured
-    equal label-overlap quality (docs/PERF.md "SVF warm start")."""
+    equal label-overlap quality but NO end-to-end throughput win on a
+    tunnel-attached chip (pairs are host/wire-bound; docs/PERF.md
+    "SVF warm start")."""
     from deepwmh_tpu.pipeline.multistage import PipelineMultistage, StageBudget
     from deepwmh_tpu.registration.group import (
         GroupRegistration,
@@ -419,8 +421,11 @@ def main(argv=None):
                         "shortened schedule (registration/warm.py). "
                         "Implies --registration-mode svf; incompatible "
                         "with --distributed; needs >= 2 reference cases. "
-                        "Measured equal label-overlap quality at ~1.5-2x "
-                        "pair throughput (docs/PERF.md 'SVF warm start').")
+                        "Measured equal label-overlap quality but NO "
+                        "end-to-end speed win on a tunnel-attached chip — "
+                        "pairs are host/wire-bound (docs/PERF.md 'SVF "
+                        "warm start'); consider it only on local hosts "
+                        "with fast storage.")
     parser.add_argument("--skip-integrity-check", action="store_true")
     args = parser.parse_args(argv)
 

@@ -12,7 +12,12 @@ composed estimate of every remaining pair (s_i, t):
 and the SVF optimizer only has to refine that estimate instead of solving
 from zero — a shortened schedule (warm_schedule) at full quality
 (tests/test_warm_start.py gates the non-circular label-overlap benchmark
-for the warm path; docs/PERF.md carries the measured speed/quality study).
+for the warm path; docs/PERF.md "SVF warm start" carries the measured
+study: label-overlap Dice EQUAL to cold, 0.9303 vs 0.9313, but NO
+end-to-end throughput win on a tunnel-attached chip — production pairs
+are host/wire-bound, so the shortened device schedule saves little while
+the anchor/aux rows add full-budget pairs; 0.77x at 3x3, 0.85-0.90x
+projected at scale. Hence OPT-IN and outside the auto policy.)
 
 The composed displacement is converted to an initial VELOCITY first-order
 (exp(v) ~= v for smooth post-affine fields — the same approximation the
@@ -44,8 +49,10 @@ def warm_schedule(cfg, frac: float = 0.4, floor: int = 20):
     """Shortened per-level iteration schedule for warm-started pairs.
 
     The warm init already carries the large-scale alignment the coarse
-    levels exist to find; frac=0.4 was chosen by the measured study in
-    docs/PERF.md (equal label-overlap quality, see "SVF warm start")."""
+    levels exist to find; at frac=0.4 the measured study (docs/PERF.md
+    "SVF warm start") finds label-overlap quality equal to the cold
+    schedule (0.9303 vs 0.9313) — the speed side of that study is a
+    negative result, see the module docstring."""
     return dataclasses.replace(
         cfg, iters=tuple(max(floor, int(round(i * frac))) for i in cfg.iters)
     )
