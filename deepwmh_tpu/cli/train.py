@@ -101,8 +101,10 @@ def run_train(
     registration pair batches AND pipeline training across devices.
     registration_mode: 'svf' (per-pair optimization), 'learned' (one
     amortized network, the reference's VoxelMorph pathway), or 'auto' —
-    learned above the measured pair-count crossover
-    (registration/policy.py). learned_reg_cfg: optional LearnedRegConfig
+    learned only where its estimated wall-clock win exceeds the
+    quality-insurance factor of the voxel-scaled cost model
+    (registration/policy.py; svf wins full-loop quality at every
+    measured point, docs/PERF.md). learned_reg_cfg: optional LearnedRegConfig
     override for the learned mode's network (None = production config).
     svf_warm_start: seed each svf pair's deformable stage from the
     anchor-row composition and refine on the shortened schedule
@@ -200,8 +202,17 @@ def run_train(
         join_path(output_folder, "regtarget.csv"),
         {"case": training_dataset["case"], "data": [train_paths[c] for c in training_dataset["case"]]},
     )
+    # mean voxels/volume feeds the voxel-scaled cost model: small volumes
+    # make svf pairs cheap, so auto keeps the measured-quality-winning svf
+    # mode far past the bench-shape crossover (registration/policy.py)
+    vox = [
+        int(np.prod(nifti.get_nifti_header(p).shape[:3]))
+        for p in list(ref_paths.values())[:8] + list(train_paths.values())[:8]
+    ]
+    mean_voxels = int(np.mean(vox)) if vox else None
     mode = select_registration_mode(
-        len(S), len(T), mode=registration_mode, distributed=distributed
+        len(S), len(T), mode=registration_mode, distributed=distributed,
+        volume_voxels=mean_voxels,
     )
     print("registration mode: %s (%d pairs%s)"
           % (mode, len(S) * len(T),
@@ -412,9 +423,10 @@ def main(argv=None):
                         "every pair, 'learned' trains ONE network and "
                         "registers each pair with a forward pass (the "
                         "reference's VoxelMorph pathway). 'auto' picks "
-                        "learned above the measured pair-count crossover "
-                        "(quality measured equal on the non-circular "
-                        "label-overlap benchmark; docs/PERF.md).")
+                        "learned only when the voxel-scaled cost model "
+                        "estimates a >=2x wall-clock win (hundreds of "
+                        "bench-shape pairs): svf won held-out Dice at "
+                        "every measured full-loop point (docs/PERF.md).")
     parser.add_argument("--svf-warm-start", action="store_true",
                         help="[Advanced] Seed each svf registration pair "
                         "from the anchor-row composition and refine on a "

@@ -4,44 +4,71 @@ learned network.
 The reference ships both pathways (ANTs per-pair SyN as the default,
 VoxelMorph as the GPU alternative — deepwmh/main/train.py:182-224,
 deepwmh/external_tools/VxM_group_registration.py:84-397) and leaves the
-choice to the user. At the reference's own training scale (10 refs x 100
-subjects = 1000 pairs, train.py:184-185) the amortized design wins by
-construction: one network training spread over all pairs, then one forward
-per pair.
+choice to the user. `select_registration_mode` makes the choice
+automatically from two measured facts (docs/PERF.md "Registration at
+scale" and "Registration crossover validated through the full loop"):
 
-`select_registration_mode` makes that choice automatically from the
-measured cost model (single TPU v5e chip, 192x224x192 @1 mm volumes,
-production configs — see docs/PERF.md "Registration at scale" for the
-measurement):
+1. WALL-CLOCK (one TPU v5e chip, production configs): per-pair costs
+   scale with volume voxels; at bench shape (192x224x192 @1mm, 8.26M
+   voxels) t_svf_pair = 20.6 s and t_learned_pair ~= 6 s, while the
+   learned mode pays a fixed cost (~350 s one-time compiles + ~1450 s of
+   voxel-scaled template construction and network training). At the
+   reference's own 500-1000-pair workloads learned wins 2.0-2.2x total.
 
-  svf total     ~= t_svf_pair * n_pairs
-  learned total ~= t_template(n_vols) + t_train + t_fwd_pair * n_pairs
+2. QUALITY (full train->predict loop, held-out Dice, identical
+   config/seed, each mode forced): svf wins BOTH measured points — 0.931
+   vs 0.780 at 15 pairs (64x80x64), and 0.9451 vs 0.8840 at 168 pairs
+   (same shape, r05) where learned's fixed cost did not even amortize
+   (1936 s vs 1808 s). The per-pair non-circular label-overlap benchmark
+   measures the modes equal on distinct anatomies (0.881/0.879), but the
+   full loop consistently favors svf at small volumes/cohorts.
 
-Quality gate: the non-circular label-propagation benchmark measures the two
-modes EQUAL per pair on distinct anatomies (mean foreground-tissue Dice
-0.88 both, registration/quality.py; floors enforced by
-tests/test_registration_quality.py). Below the crossover the svf default is
-also a measured QUALITY choice, not only wall-clock: at a 15-pair phantom
-cohort the full train->predict loop reaches held-out Dice 0.931 with svf
-vs 0.780 with learned forced (identical config/seed) — a network trained
-on 8 volumes is below the amortized design's regime (docs/PERF.md
-"Registration at scale").
+Policy: auto picks learned only where its wall-clock win is LARGE —
+estimated svf total > QUALITY_INSURANCE_FACTOR (2.0) x learned total,
+with per-pair and fixed costs scaled by mean volume voxels. That lands
+exactly on the regime PERF measured learned winning (2.0x at 10x50,
+2.2x at 10x100 bench-shape pairs) and keeps svf everywhere the full-loop
+quality evidence says it is better: a 168-pair small-volume cohort now
+correctly resolves to svf (the r04 pairs-only crossover sent it to
+learned and lost 0.06 held-out Dice for nothing).
 """
 
 from __future__ import annotations
 
 # Measured on one TPU v5 lite chip at bench shape, 192x224x192 @1mm
 # (docs/PERF.md "Registration at scale"):
-#   t_svf_pair      20.6 s   artifact-to-artifact, production preset
-#   t_fwd_pair       ~6 s    learned: forward 0.8 + fused lift/warp 1.3
-#                            + artifact writes ~3.6
-#   fixed cost    ~1800 s    template ~19 s/volume + network training
-#                            1066 s (300 steps) + one-time compiles ~350 s
-# Crossover = fixed / (t_svf_pair - t_fwd_pair) ~= 125 pairs at a 20-volume
-# cohort; 150 adds margin for smaller volumes (where svf pairs are faster).
-# At the reference's own workloads the choice is clear-cut: 10x50 = 2.0x,
-# 10x100 = 2.2x total wall-clock win for learned.
+BENCH_VOXELS = 192 * 224 * 192  # the shape the per-pair costs were measured at
+T_SVF_PAIR_S = 20.6             # production preset, artifact-to-artifact
+T_LEARNED_PAIR_S = 6.0          # forward 0.8 + fused lift/warp 1.3 + writes
+LEARNED_FIXED_COMPILE_S = 350.0  # one-time compiles (voxel-independent)
+LEARNED_FIXED_SCALED_S = 1450.0  # template (~19 s/vol x ~10) + 300 train steps
+# svf must be this many times slower before auto trades away its measured
+# full-loop quality edge (0.931 vs 0.780 at 15 pairs; 0.9451 vs 0.8840 at
+# 168 pairs — docs/PERF.md). 2.0 = the win PERF measured at the
+# reference's 10x50 workload, the smallest scale learned is known to pay.
+QUALITY_INSURANCE_FACTOR = 2.0
+
+# r01-r04 exposed a bare pair-count crossover; kept for reference and for
+# the cost model's bench-shape sanity anchor (wall-clock EQUALITY lands
+# near 125-150 bench-shape pairs; auto now demands a 2x win, see above).
 LEARNED_CROSSOVER_PAIRS = 150
+
+
+def estimated_totals_s(n_pairs: int, volume_voxels: int | None = None):
+    """(svf_total_s, learned_total_s) from the measured cost model.
+
+    volume_voxels: mean voxels per cohort volume; None assumes bench
+    shape (the scale the model was fit at)."""
+    s = 1.0 if volume_voxels is None else max(
+        float(volume_voxels) / BENCH_VOXELS, 1e-3
+    )
+    svf = T_SVF_PAIR_S * s * n_pairs
+    learned = (
+        LEARNED_FIXED_COMPILE_S
+        + LEARNED_FIXED_SCALED_S * s
+        + T_LEARNED_PAIR_S * s * n_pairs
+    )
+    return svf, learned
 
 
 def select_registration_mode(
@@ -49,6 +76,7 @@ def select_registration_mode(
     n_targets: int,
     mode: str = "auto",
     distributed: str | None = None,
+    volume_voxels: int | None = None,
 ) -> str:
     """Resolve 'auto' to 'svf' or 'learned'.
 
@@ -56,7 +84,9 @@ def select_registration_mode(
     - '--distributed a/b' shards a pair LIST across machines, which only
       the per-pair mode supports (the learned mode trains ONE shared
       network) -> auto resolves to 'svf';
-    - otherwise 'learned' once the workload is past the measured crossover.
+    - otherwise learned only when the estimated svf wall-clock exceeds
+      QUALITY_INSURANCE_FACTOR x the learned estimate (module docstring;
+      volume_voxels = mean voxels per volume, bench shape when None).
     """
     if mode not in ("auto", "svf", "learned"):
         raise ValueError("registration mode must be auto/svf/learned, got %r" % mode)
@@ -65,4 +95,5 @@ def select_registration_mode(
     if distributed is not None:
         return "svf"
     n_pairs = int(n_sources) * int(n_targets)
-    return "learned" if n_pairs >= LEARNED_CROSSOVER_PAIRS else "svf"
+    svf_s, learned_s = estimated_totals_s(n_pairs, volume_voxels)
+    return "learned" if svf_s > QUALITY_INSURANCE_FACTOR * learned_s else "svf"
