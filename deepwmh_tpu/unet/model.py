@@ -200,7 +200,11 @@ class ConvNormAct(nn.Module):
             # inference-only fused path (the Pallas stats kernel defines
             # no VJP): one bf16-rate pass for the two moments, then the
             # normalize+affine folded to a single FMA XLA fuses onward.
-            # Param scope/names match nn.GroupNorm exactly.
+            # Param scope/names match nn.GroupNorm exactly. MEASURED ON
+            # TPU (r05): the full TTA sweep runs 2.0x SLOWER with this on
+            # — the Pallas boundary's forced layout transitions cost more
+            # than the convert_reduce fusions it replaces (docs/PERF.md
+            # "Remaining theoretical headroom"). Kept tested, default OFF.
             scale, bias = _InstanceNormParams(
                 self.features, name="GroupNorm_0"
             )()
