@@ -48,6 +48,7 @@ def label_propagation_quality(
     quick: bool = True,
     large_deformation: bool = True,
     learned_cfg=None,
+    subjects=None,
 ):
     """Register phantom subject A onto phantom subject B through the full
     group-registration path (mode 'svf' = GroupRegistration's optimization
@@ -63,6 +64,12 @@ def label_propagation_quality(
     Returns {"mode", "dice_per_class", "mean_fg_dice", "unregistered_dice",
     "brain_dice"} — unregistered = A's labels compared directly (the floor
     any successful registration must clearly beat).
+
+    subjects: optional (src_subject, tgt_subject) pair of precomputed
+    make_subject(shape, seed_src/seed_tgt, lesion=False) dicts — phantom
+    synthesis at the bench shape costs ~35 s/subject of host CPU, so
+    bench.py synthesizes them on a background thread during earlier
+    device-bound sections and hands them in here.
     """
     from deepwmh_tpu.registration.group import (
         GroupRegistration,
@@ -75,8 +82,11 @@ def label_propagation_quality(
     hdr.set_shape(shape)
     hdr.set_zooms(spacing)
 
-    src = make_subject(shape, seed=seed_src, lesion=False)
-    tgt = make_subject(shape, seed=seed_tgt, lesion=False)
+    if subjects is not None:
+        src, tgt = subjects
+    else:
+        src = make_subject(shape, seed=seed_src, lesion=False)
+        tgt = make_subject(shape, seed=seed_tgt, lesion=False)
     paths = {}
     for name, sub in (("SRC", src), ("TGT", tgt)):
         for k in ("flair", "label2", "label1"):
